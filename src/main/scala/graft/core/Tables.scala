@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the harness parquet tables (TESTDATA.md).
+  *
+  * At 100 TB these reads are partitioned parquet scans; all queries built on
+  * top rely on Catalyst pushing filters/projections into the scan
+  * (`PushedFilters` / `ReadSchema`), so nothing here materializes data.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read nanos as long (legacy conf) and floor-convert to
+    * microseconds — exactly the truncation DuckDB applies when it reads the
+    * same file, so oracle comparisons line up.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) DIV 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

@@ -1,0 +1,499 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+/** Relational query capability over the harness tables — joins, aggregations,
+  * window functions, set ops, rollup, top-k, semi/anti joins, sessionization.
+  *
+  * The reference (`comparaonline/event-streamer`) has no relational layer at
+  * all (SURVEY.md §2.2); these queries realize the "Engine plan" column of
+  * that coverage matrix with Spark built-ins only, so Catalyst gets full
+  * freedom: predicate pushdown into the parquet scans, partial aggregation,
+  * broadcast joins for the dimension tables, AQE at runtime.
+  *
+  * == Numeric parity with the DuckDB oracle ==
+  * Double summation is order-dependent, and Spark/DuckDB aggregate in
+  * different orders, so any `SUM(double)` would hash-mismatch. Every
+  * aggregated money/quantity column is therefore cast to an exact DECIMAL
+  * before arithmetic (the source doubles are 2-decimal values, so the cast is
+  * lossless) and back to double only at the very end. Decimal arithmetic is
+  * associative — both engines compute the identical exact value, and the
+  * final nearest-double is bit-identical. This also mirrors what a production
+  * deployment should do: money columns as DECIMAL, not DOUBLE.
+  *
+  * == Scale notes (100 TB) ==
+  * - `lineitem`/`orders`/`events` are the fact tables: never broadcast,
+  *   always aggregated with partial (map-side) aggregation before shuffle.
+  * - `region`/`nation`/`supplier`/`part`/`customer` are dimensions:
+  *   explicitly `broadcast()`ed where joined to facts, so the fact table is
+  *   never shuffled for the join.
+  * - Window queries partition by a high-cardinality key (custkey/user_id),
+  *   so state per partition stays small at any scale.
+  * - Top-k is `orderBy(...).limit(k)` → Spark plans TakeOrderedAndProject
+  *   (per-partition heap + driver merge, no global sort).
+  */
+object RelationalQueries {
+
+  // ---- exact-decimal helpers (see scaladoc above) ----
+  private val D2 = DecimalType(14, 2)
+  private val D4 = DecimalType(8, 4)
+  private def dec2(c: Column): Column = c.cast(D2)
+  private def dec4(c: Column): Column = c.cast(D4)
+  private def one4: Column = lit(1).cast(D4)
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  // SQL-side equivalents for the oracle strings
+  private def sDec2(e: String) = s"CAST($e AS DECIMAL(14,2))"
+  private def sDec4(e: String) = s"CAST($e AS DECIMAL(8,4))"
+  private val sOne4 = "CAST(1 AS DECIMAL(8,4))"
+  private def sDSum(e: String) = s"CAST(ROUND(SUM($e), 2) AS DOUBLE)"
+  private def sDSum4(e: String) = s"CAST(ROUND(SUM($e), 4) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O(n) scan + grouped agg; partial agg map-side, 6 groups → tiny shuffle.
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      val disc  = dec2($"l_extendedprice") * (one4 - dec4($"l_discount"))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= ts("2000-12-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum(dec2($"l_quantity")), 2).cast("double").as("sum_qty"),
+          round(sum(dec2($"l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(sum(disc), 2).cast("double").as("sum_disc_price"),
+          round(sum(disc.cast(DecimalType(18, 6)) * (one4 + dec4($"l_tax"))), 2)
+            .cast("double").as("sum_charge"),
+          (round(sum(dec2($"l_quantity")), 2).cast("double") / count(lit(1))).as("avg_qty"),
+          (round(sum(dec2($"l_extendedprice")), 2).cast("double") / count(lit(1))).as("avg_price"),
+          (round(sum(dec4($"l_discount")), 4).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Region->nation->customer: both dims broadcast; fact (customer) never shuffles.
+    "q02_region_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(dec2($"c_acctbal")), 2).cast("double").as("total_acctbal"),
+          (round(sum(dec2($"c_acctbal")), 2).cast("double") / count(lit(1))).as("avg_acctbal"))
+        .orderBy($"r_name")
+    },
+
+    // TPC-H Q3 shape: filter-pushdown on all three tables, broadcast customer,
+    // top-10 via TakeOrderedAndProject (exact decimal revenue → stable order).
+    "q03_shipping_priority" -> { (s, d) =>
+      import s.implicits._
+      val cut = ts("1997-06-01")
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderdate" < cut)
+      val l = Tables.lineitem(s, d).filter($"l_shipdate" > cut)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum(dec2($"l_extendedprice") * (one4 - dec4($"l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // EXISTS → left_semi join (no fact-row duplication, no payload shuffle of lineitem cols).
+    "q04_order_priority" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1996-07-01"))
+      val l = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_orderkey")
+      o.join(l, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // TPC-H Q5 shape: five-way join; all dims broadcast, lineitem⋈orders is
+    // the only shuffle join (on orderkey).
+    "q05_region_revenue" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+      Tables.lineitem(s, d)
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(round(sum(dec2($"l_extendedprice") * (one4 - dec4($"l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // TPC-H Q6 shape: pure scan query — every predicate pushes into parquet.
+    "q06_revenue_delta" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01")
+          && $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(
+          round(sum(dec2($"l_extendedprice") * dec4($"l_discount")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // NOT EXISTS → left_anti join: customers with no recent orders.
+    "q07_customers_without_orders" -> { (s, d) =>
+      import s.implicits._
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("2000-01-01")).select($"o_custkey")
+      Tables.customer(s, d)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Global top-k: TakeOrderedAndProject (per-partition heaps, no full sort).
+    "q08_topk_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // Ranking window, one shuffle on the partition key.
+    "q09_top_orders_per_customer" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Running aggregate window (frame = unbounded preceding .. current).
+    "q10_running_spend" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          sum(dec2($"o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"),
+          row_number().over(w).as("order_seq"))
+        .orderBy($"o_custkey", $"order_seq")
+    },
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    "q11_distinct_counts" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Hierarchical aggregate: ROLLUP grouping sets.
+    "q12_rollup_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2($"l_quantity")), 2).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // Set operations: INTERSECT then EXCEPT on distinct customer-key sets.
+    "q13_set_ops" -> { (s, d) =>
+      import s.implicits._
+      def buyers(y: String, y1: String) = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts(y) && $"o_orderdate" < ts(y1))
+        .select($"o_custkey".as("custkey")).distinct()
+      buyers("1995-01-01", "1996-01-01")
+        .intersect(buyers("1996-01-01", "1997-01-01"))
+        .except(buyers("2001-01-01", "2002-01-01"))
+        .orderBy($"custkey")
+    },
+
+    // Date-part extraction + monthly aggregate.
+    "q14_monthly_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(dec2($"o_totalprice")), 2).cast("double").as("total_sales"))
+        .orderBy($"o_year", $"o_month")
+    },
+
+    // String functions: regexp extraction, length, distinct-count.
+    "q15_part_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .groupBy($"p_type")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          (round(sum(dec2($"p_retailprice")), 2).cast("double") / count(lit(1))).as("avg_price"),
+          sum($"p_size".cast("long")).as("total_size"),
+          max(length($"p_name")).as("max_name_len"),
+          countDistinct(regexp_extract($"p_brand", "[0-9]+", 0)).as("n_brands"))
+        .orderBy($"p_type")
+    },
+
+    // Flagship event pipeline: envelope code normalization (custom Catalyst
+    // expression), JSON prop extraction, route predicate, grouped agg —
+    // the batch twin of the streaming router (SURVEY.md §7.2).
+    "q16_route_count" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("code", GraftFunctions.upper_camel($"event_type"))
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .filter($"k".isNotNull)
+        .filter($"code".isin("Click", "Purchase", "Signup"))
+        .groupBy($"code")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(dec2($"value")), 2).cast("double").as("total_value"),
+          sum($"k").as("sum_k"))
+        .orderBy($"code")
+    },
+
+    // Event-time tumbling window (batch twin of the streaming windowed agg).
+    "q17_hourly_events" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2($"value")), 2).cast("double").as("total_value"))
+        .select($"window.start".as("window_start"), $"event_type", $"n", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    },
+
+    // Sessionization: 30-min-gap sessions via lag + running flag-sum —
+    // the batch twin of streaming session_window.
+    "q18_sessionize" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+      val newSess = when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_sess", newSess)
+        .withColumn("session_id",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    },
+
+    // Scalar-subquery shape: compare each row against its group aggregate.
+    "q19_above_nation_avg" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val na = cust.groupBy($"c_nationkey".as("nk"))
+        .agg((round(sum(dec2($"c_acctbal")), 2).cast("double") / count(lit(1))).as("nation_avg"))
+      cust.join(broadcast(na), $"c_nationkey" === $"nk")
+        .filter($"c_acctbal" > $"nation_avg")
+        .select($"c_custkey", $"c_acctbal", $"nation_avg")
+        .orderBy($"c_custkey")
+    }
+  )
+
+  private val sRevenue =
+    s"${sDec2("l_extendedprice")} * ($sOne4 - ${sDec4("l_discount")})"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sDSum(sDec2("l_quantity"))} AS sum_qty,
+         | ${sDSum(sDec2("l_extendedprice"))} AS sum_base_price,
+         | ${sDSum(sRevenue)} AS sum_disc_price,
+         | ${sDSum(s"CAST($sRevenue AS DECIMAL(18,6)) * ($sOne4 + ${sDec4("l_tax")})")} AS sum_charge,
+         | ${sDSum(sDec2("l_quantity"))} / COUNT(*) AS avg_qty,
+         | ${sDSum(sDec2("l_extendedprice"))} / COUNT(*) AS avg_price,
+         | ${sDSum4(sDec4("l_discount"))} / COUNT(*) AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_stats" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         | ${sDSum(sDec2("c_acctbal"))} AS total_acctbal,
+         | ${sDSum(sDec2("c_acctbal"))} / COUNT(*) AS avg_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q03_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         | ${sDSum(sRevenue)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      s"""SELECT n_name, ${sDSum(sRevenue)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_revenue_delta" ->
+      s"""SELECT ${sDSum(s"${sDec2("l_extendedprice")} * ${sDec4("l_discount")}")} AS revenue,
+         | COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q08_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q09_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_running_spend" ->
+      s"""SELECT o_custkey, o_orderkey,
+         | CAST(SUM(${sDec2("o_totalprice")}) OVER (PARTITION BY o_custkey
+         |   ORDER BY o_orderdate, o_orderkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |   ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+         |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q11_distinct_counts" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_rollup_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | ${sDSum(sDec2("l_quantity"))} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q13_set_ops" ->
+      """(SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        | INTERSECT
+        | SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+        |ORDER BY custkey""".stripMargin,
+
+    "q14_monthly_orders" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         | CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+         | COUNT(*) AS n_orders,
+         | ${sDSum(sDec2("o_totalprice"))} AS total_sales
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q15_part_stats" ->
+      s"""SELECT p_type, COUNT(*) AS n_parts,
+         | ${sDSum(sDec2("p_retailprice"))} / COUNT(*) AS avg_price,
+         | CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+         | CAST(MAX(length(p_name)) AS INTEGER) AS max_name_len,
+         | CAST(COUNT(DISTINCT regexp_extract(p_brand, '[0-9]+')) AS BIGINT) AS n_brands
+         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "q16_route_count" ->
+      s"""SELECT upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS code,
+         | COUNT(*) AS n_events,
+         | ${sDSum(sDec2("value"))} AS total_value,
+         | CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         |FROM events
+         |WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  AND upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+         |      IN ('Click', 'Purchase', 'Signup')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_hourly_events" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         | COUNT(*) AS n, ${sDSum(sDec2("value"))} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM se GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q19_above_nation_avg" ->
+      s"""WITH na AS (
+         |  SELECT c_nationkey AS nk,
+         |    ${sDSum(sDec2("c_acctbal"))} / COUNT(*) AS nation_avg
+         |  FROM customer GROUP BY c_nationkey)
+         |SELECT c_custkey, c_acctbal, nation_avg
+         |FROM customer JOIN na ON c_nationkey = nk
+         |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+  )
+}
