@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session fixture: one local session per suite, UTC, small shuffle
+  * fan-out (local mode — not the default 200). */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def fixedClock(iso: String): () => java.time.Instant = {
+    val i = java.time.Instant.parse(iso)
+    () => i
+  }
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+import graft.core.{EngineConfig, Strategy}
+import graft.produce.Emitter
+import graft.route.RouteRegistry
+import graft.testkit.TestHarness
+
+/** Structured Streaming behavior: the router over a real (memory) stream,
+  * event-time windows + watermark, session windows, stateful dedup — the
+  * engine's streaming core (SURVEY.md §2.2 streaming rows). */
+class StreamingSpec extends SparkSuite {
+
+  test("router over a MemoryStream: micro-batches route and capture emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = new TestHarness(spark, EngineConfig(groupId = Some("g")))
+    val counts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    h.consumer.add("clicks", "click", (df, _) =>
+      counts.synchronized { counts("click") += df.count() })
+    h.consumer.add("clicks", (df, _) =>
+      counts.synchronized { counts("all") += df.count() })
+
+    val mem = MemoryStream[(String, String)]
+    val q = h.consumer.start(mem.toDF().toDF("topic", "value"),
+      trigger = Trigger.AvailableNow())
+    mem.addData(
+      ("clicks", """{"code":"Click","n":1}"""),
+      ("clicks", """{"code":"View","n":2}"""),
+      ("clicks", """not json"""))
+    q.awaitTermination(60000)
+    assert(counts("click") == 1)   // only the Click event
+    assert(counts("all") == 2)     // both valid events; malformed dropped
+    h.consumer.stop()
+  }
+
+  test("streaming windowed aggregation with watermark over the events table") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    mem.addData(
+      (t("00:01"), "click", 1.0), (t("00:02"), "click", 2.0),
+      (t("00:07"), "click", 5.0), (t("00:03"), "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .selectExpr("window.start AS ws", "event_type", "n", "v")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:05:00.0", "click", 1L, 5.0),
+      ("2024-01-01 00:00:00.0", "view", 1L, 1.0)))
+    q.stop()
+  }
+
+  test("streaming session windows (30-min gap)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    mem.addData(
+      (t("00:00:00"), 1L), (t("00:10:00"), 1L),  // session 1
+      (t("01:00:00"), 1L),                        // gap > 30m → session 2
+      (t("00:05:00"), 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .selectExpr("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    q.stop()
+  }
+
+  test("stateful streaming dedup: dropDuplicatesWithinWatermark on event_id") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    mem.addData((t("00:00:00"), 1L), (t("00:01:00"), 1L), (t("00:02:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((t("00:03:00"), 2L), (t("00:04:00"), 3L))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("backpressure admission bounds (O12/O13): maxOffsets per strategy") {
+    val em = new Emitter(EngineConfig())
+    def router(cfg: EngineConfig): RouteRegistry = {
+      val r = new RouteRegistry(cfg, em)
+      r.add("topic-a", (_: DataFrame, _: Emitter) => ())
+      r.add("topic-b", (_: DataFrame, _: Emitter) => ())
+      r.add("topic-b", "e", (_: DataFrame, _: Emitter) => ())  // dup topic
+      r
+    }
+    // default cap 20 × 2 distinct topics
+    assert(KafkaBridge.maxOffsets(EngineConfig(), router(EngineConfig())) == 40L)
+    // per-topic override + unlimited
+    val cfg = EngineConfig(perTopicCaps = Map("topic-a" -> Some(5), "topic-b" -> None))
+    assert(KafkaBridge.maxOffsets(cfg, router(cfg)) == 5L + Int.MaxValue.toLong)
+    // one-by-one → strict serialization
+    val one = EngineConfig(strategy = Strategy.OneByOne)
+    assert(KafkaBridge.maxOffsets(one, router(one)) == 1L)
+  }
+
+  test("one-by-one strategy processes messages individually and in order") {
+    val schemas = new graft.core.EventSchemaRegistry().register("T",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType))))
+    val h = new TestHarness(spark, EngineConfig(strategy = Strategy.OneByOne), schemas = schemas)
+    val seen = mutable.Buffer.empty[Long]
+    h.consumer.add("t", (df, _) => {
+      val ids = df.select("i").collect().map(_.getLong(0))
+      assert(ids.length <= 1, "one message per dispatch")
+      seen ++= ids
+      ()
+    })
+    import spark.implicits._
+    val batch = (1L to 5L).map(i => ("t", s"""{"code":"T","i":$i}""")).toDF("topic", "value")
+    h.consumer.process(batch)
+    assert(seen.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+}
