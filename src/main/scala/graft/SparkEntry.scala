@@ -17,10 +17,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++
+      ext.TextAnalysis.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracle
+    relational.RelationalQueries.oracle ++
+      ext.TextAnalysis.oracle ++
+      ext.Dedup.oracle ++
+      ext.Similarity.oracle
 }

@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * and `embeddings`: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - **Exact** is a hash groupBy — one shuffle on the text hash, partial
+  *    agg map-side. Group on `md5(text)`, never the full text, so shuffle
+  *    rows are 16 bytes + ids.
+  *  - **MinHash+LSH** is the scalable near-dup path: per-doc signatures are
+  *    a narrow map; candidate generation is a *band-bucket equi-join*
+  *    (shuffle keyed on (band, hash)) instead of an O(n²) cross join.
+  *    Verification runs only on candidates.
+  *  - **n-gram Jaccard** here is the exact verifier: an equi-join on
+  *    (source, shingle). At full scale you run it only on LSH candidates;
+  *    the per-source partition keeps the join bounded here.
+  *  - **SimHash** pairs are blocked by `lang`; at scale you'd block by
+  *    simhash prefix bands (same equi-join trick).
+  *  - **Embedding cosine** self-join is O(n²)/partition — it's the exact
+  *    baseline; the scalable variant is `Similarity.s02_ann_buckets`.
+  *
+  * Hash parity: every pseudo-hash is `md5` (identical hex in Spark/DuckDB);
+  * minhash minima are lexicographic minima of hex prefixes — engine-neutral.
+  */
+object Dedup {
+
+  private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, source, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("w", split(trim($"text"), "\\s+"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", $"source", explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
+          .stripMargin)).as("s"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: representative id + copy count per distinct text.
+    "d01_dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        .select($"rep_id", $"n_copies", $"fp")
+        .orderBy($"rep_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (same-source blocking).
+    "d02_dedup_ngram_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val sh = shingles(s, d)
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val com = sh.as("a").join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.s") === col("b.s")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      com
+        .join(cnt.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(cnt.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b",
+          ($"c".cast("double") / (col("x.n") + col("y.n") - $"c")).as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // MinHash (8 perms) + LSH (4 bands × 2 rows): candidate pairs with
+    // estimated similarity = matching signature fraction.
+    "d03_dedup_minhash_lsh" -> { (s, d) =>
+      import s.implicits._
+      val hj = shingles(s, d)
+        .withColumn("j", explode(typedlit((0 until 8).toArray)))
+        .withColumn("h", substring(
+          md5(concat($"j".cast("string"), lit(":"), $"s").cast("binary")), 1, 16))
+        .groupBy($"doc_id", $"j").agg(min($"h").as("sig"))
+      val sigCols = (0 until 8).map(j => max(when($"j" === j, $"sig")).as(s"s$j"))
+      val sigs = hj.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until 4).map(b => struct(
+        lit(b).as("band_idx"),
+        md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).cast("binary")).as("band_hash")))
+      val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
+        .select($"doc_id", $"band.band_idx", $"band.band_hash")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val matches: Column = (0 until 8)
+        .map(j => when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(sigs.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b", (matches.cast("double") / 8.0).as("est_sim"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // SimHash (16-bit, md5-derived) near-dup pairs with Hamming <= 2,
+    // blocked by lang.
+    "d04_dedup_simhash" -> { (s, d) =>
+      import s.implicits._
+      val hx = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(split(trim($"text"), "\\s+")).as("w"))
+        .withColumn("hx", substring(md5($"w".cast("binary")), 1, 16))
+      val vAggs = (0 until 16).map(dd =>
+        sum(when(substring($"hx", dd + 1, 1).isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$dd"))
+      val v = hx.groupBy($"doc_id", $"lang").agg(vAggs.head, vAggs.tail: _*)
+      val simhash = (0 until 16)
+        .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sh = v.select($"doc_id", $"lang", simhash.as("simhash"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter($"hamming" <= 2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
+    "d05_dedup_embedding_cosine" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cos = Similarity.cosine(col("a.v"), col("b.v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+        .filter($"cos" > 0.35)
+        .select($"id_a", $"id_b", round($"cos", 6).as("cos_sim"))
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+
+  val oracle: Map[String, String] = {
+    val shingleCte =
+      raw"""words AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, source,
+           |    unnest(list_transform(range(1, len(w) - 1),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |  FROM words WHERE len(w) >= 3)""".stripMargin
+
+    Map(
+      "d01_dedup_exact" ->
+        """SELECT min(doc_id) AS rep_id, COUNT(*) AS n_copies, md5(text) AS fp
+          |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
+
+      "d02_dedup_ngram_jaccard" ->
+        raw"""WITH $shingleCte,
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+             |FROM com JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+             |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.2
+             |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "d03_dedup_minhash_lsh" -> {
+        val sigCols = (0 until 8).map(j =>
+          s"max(CASE WHEN j = $j THEN sig END) AS s$j").mkString(", ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b} || s${2 * b + 1}) AS band_hash FROM sigs")
+          .mkString("\n  UNION ALL ")
+        val matches = (0 until 8).map(j =>
+          s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        raw"""WITH $shingleCte,
+             |hj AS (SELECT doc_id, j, min(substr(md5(j::VARCHAR || ':' || s), 1, 16)) AS sig
+             |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) js GROUP BY doc_id, j),
+             |sigs AS (SELECT doc_id, $sigCols FROM hj GROUP BY doc_id),
+             |bands AS ($bandSelects),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+             |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / 8.0 AS est_sim
+             |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "d04_dedup_simhash" -> {
+        val vCols = (0 until 16).map(dd =>
+          s"SUM(CASE WHEN strpos('89abcdef', substr(hx, ${dd + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v$dd")
+          .mkString(",\n    ")
+        val bits = (0 until 16).map(dd =>
+          s"(CASE WHEN v$dd > 0 THEN CAST(${1L << dd} AS BIGINT) ELSE 0 END)").mkString(" + ")
+        raw"""WITH words AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+             |hx AS (SELECT doc_id, lang, substr(md5(w), 1, 16) AS hx FROM words),
+             |v AS (SELECT doc_id, lang,
+             |    $vCols
+             |  FROM hx GROUP BY doc_id, lang),
+             |sh AS (SELECT doc_id, lang, CAST($bits AS BIGINT) AS simhash FROM v)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "d05_dedup_embedding_cosine" ->
+        raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(${Similarity.sqlCosine("a.v", "b.v")}, 6) AS cos_sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ${Similarity.sqlCosine("a.v", "b.v")} > 0.35
+             |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  *  - `s01_cosine_topk` — brute-force exact top-k: broadcast the (small)
+  *    query set against the full vector table, per-query ranking window.
+  *    At 100 TB the vector table is the fact side and is only scanned, never
+  *    shuffled: the window partitions by query_id (tiny cardinality), so
+  *    the shuffle moves candidate rows only.
+  *  - `s02_ann_buckets` — the scale path: a sign-bit LSH bucket (one bucket
+  *    id per vector from the signs of the leading dims) turns the cross
+  *    product into an equi-join on bucket. Recall trades off with bucket
+  *    bits; production would probe multiple neighboring buckets.
+  *
+  * The dot product is an in-order fold (`aggregate(zip_with(...))`) —
+  * sequential double summation matching DuckDB's `list_dot_product`, so the
+  * oracle compares bit-identical doubles (outputs additionally rounded to
+  * 6 dp as insurance).
+  */
+object Similarity {
+
+  /** Sequential-fold cosine similarity between two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p * q), lit(0.0).cast("double"), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** DuckDB twin of [[cosine]]. */
+  def sqlCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
+
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-10 for queries vec_id < 5.
+    "s01_cosine_topk" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"query_id", $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos_sim"), $"rn")
+        .orderBy($"query_id", $"rn")
+    },
+
+    // LSH-bucketed ANN: sign bits of dims 0..7 → 256 buckets; neighbors
+    // searched within the query's bucket only.
+    "s02_ann_buckets" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bucket: Column = (0 until 8)
+        .map(i => when(element_at($"v", i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = vectors(s, d).withColumn("bucket", bucket)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket".as("qbucket"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"bucket", $"vec_id", cosine($"qv", $"v").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
+          round($"cos", 6).as("cos_sim"), $"rn")
+        .orderBy($"query_id", $"rn")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |c AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |  FROM c)
+           |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
+           |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "s02_ann_buckets" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    CAST($bucket AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+           |c AS (SELECT query_id, e.bucket, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON e.bucket = qbucket AND vec_id <> query_id),
+           |r AS (SELECT query_id, bucket, vec_id, cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |  FROM c)
+           |SELECT query_id, bucket, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table: token counting, quality scoring, language ID,
+  * document fingerprinting. All are single-pass narrow transforms (no
+  * shuffle except final ORDER BY) — they scale linearly with input and stay
+  * inside whole-stage codegen; at 100 TB they are scan-bound.
+  *
+  * Every query has a DuckDB oracle; the only functions used are ones with
+  * identical semantics in both engines (md5 hex, regexp splits, list
+  * filters, integer arithmetic, deterministic double division).
+  */
+object TextAnalysis {
+
+  private val Stop = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token/char statistics per document.
+    "t01_text_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), "\\s+"))
+        .select(
+          $"doc_id",
+          size($"w").as("n_tokens"),
+          length($"text").cast("long").as("n_chars"),
+          expr("CAST(aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)")
+            .divide(size($"w")).as("avg_token_len"),
+          expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)").as("ttr"))
+        .orderBy($"doc_id")
+    },
+
+    // Heuristic quality score: stopword density, punctuation, length.
+    "t02_text_quality" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("n_tokens", size($"w"))
+        .withColumn("punct_cnt", size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0))))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(w, x -> x IN (${sqlList(Stop("en"))})))"))
+        .select(
+          $"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
+          ($"stop_cnt".cast("double") / $"n_tokens").as("stop_ratio"),
+          ($"punct_cnt".cast("double") / length($"text")).as("punct_ratio"),
+          (($"stop_cnt".cast("double") / $"n_tokens") * 0.4
+            + (lit(1.0) - $"punct_cnt".cast("double") / length($"text")) * 0.3
+            + least(lit(1.0), $"n_tokens".cast("double") / 100.0) * 0.3).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // N-gram-profile language ID: count marker-stopword hits per language,
+    // argmax with a fixed preference order for determinism.
+    "t03_text_langid" -> { (s, d) =>
+      import s.implicits._
+      val df = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), "\\s+"))
+      val withHits = Stop.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
+        acc.withColumn(s"${lang}_hits",
+          expr(s"size(filter(w, x -> x IN (${sqlList(Stop(lang))})))"))
+      }
+      withHits.select(
+          $"doc_id", $"lang",
+          $"en_hits", $"de_hits", $"es_hits", $"fr_hits",
+          when($"en_hits" >= $"de_hits" && $"en_hits" >= $"es_hits" && $"en_hits" >= $"fr_hits", "en")
+            .when($"de_hits" >= $"es_hits" && $"de_hits" >= $"fr_hits", "de")
+            .when($"es_hits" >= $"fr_hits", "es")
+            .otherwise("fr").as("predicted"))
+        .orderBy($"doc_id")
+    },
+
+    // Fingerprints: whole-document md5 prefix plus the minimum 5-gram
+    // shingle hash (a winnowing-style rolling fingerprint).
+    "t04_doc_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), "\\s+"))
+        .filter(size($"w") >= 5)
+        .withColumn("sh", expr(
+          """transform(sequence(1, size(w) - 4),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |    element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))""".stripMargin))
+        .select(
+          $"doc_id",
+          substring(md5($"text".cast("binary")), 1, 16).as("fp"),
+          expr("array_min(transform(sh, x -> substr(md5(CAST(x AS BINARY)), 1, 16)))")
+            .as("min_shingle_fp"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_text_stats" ->
+      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(w) AS INTEGER) AS n_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS INTEGER) AS avg_token_len,
+           |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS INTEGER) AS ttr
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t02_text_quality" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents
+           |), c AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(w) AS INTEGER) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS punct_cnt,
+           |    CAST(len(list_filter(w, x -> x IN (${sqlList(Stop("en"))}))) AS INTEGER) AS stop_cnt
+           |  FROM t)
+           |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+           |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+           |  CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio,
+           |  (CAST(stop_cnt AS DOUBLE) / n_tokens) * 0.4
+           |    + (1.0 - CAST(punct_cnt AS DOUBLE) / length(text)) * 0.3
+           |    + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3 AS quality
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t03_text_langid" -> {
+      val hits = Stop.keys.toSeq.sorted.map(l =>
+        s"CAST(len(list_filter(w, x -> x IN (${sqlList(Stop(l))}))) AS INTEGER) AS ${l}_hits").mkString(",\n    ")
+      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+           |h AS (SELECT doc_id, lang,
+           |    $hits
+           |  FROM t)
+           |SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+           |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |       WHEN es_hits >= fr_hits THEN 'es'
+           |       ELSE 'fr' END AS predicted
+           |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "t04_doc_fingerprint" ->
+      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+           |s AS (SELECT doc_id, text,
+           |    list_transform(range(1, len(w) - 3),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS sh
+           |  FROM t WHERE len(w) >= 5)
+           |SELECT doc_id,
+           |  substr(md5(text), 1, 16) AS fp,
+           |  list_min(list_transform(sh, x -> substr(md5(x), 1, 16))) AS min_shingle_fp
+           |FROM s ORDER BY doc_id""".stripMargin
+  )
+}
