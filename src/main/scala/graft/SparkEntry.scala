@@ -20,7 +20,8 @@ object SparkEntry {
     relational.RelationalQueries.queries ++
       ext.TextAnalysis.queries ++
       ext.Dedup.queries ++
-      ext.Similarity.queries
+      ext.Similarity.queries ++
+      ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     relational.RelationalQueries.oracle ++
       ext.TextAnalysis.oracle ++
       ext.Dedup.oracle ++
-      ext.Similarity.oracle
+      ext.Similarity.oracle ++
+      ext.Multimodal.oracle
 }

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Typed metadata for an opaque media blob. In a production pipeline the
+  * media table is `(media_id, kind, content: binary, meta: struct)` with the
+  * blob either inline (small) or a reference into object storage (large) —
+  * at 100 TB you shard by `media_id` so decode parallelism = partitions, and
+  * you keep `spark.sql.files.maxPartitionBytes` low enough that a partition
+  * of blobs fits executor memory. */
+final case class MediaMeta(
+    kind: String,        // "image" | "audio" | "video"
+    width: Int,
+    height: Int,
+    nFrames: Int,
+    sampleRate: Int)
+
+final case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
+
+final case class MediaFeatures(
+    media_id: Long, kind: String, n_bytes: Long,
+    f0: Long, f1: Long, f2: Long, f3: Long)
+
+/** Multimodal-column plumbing: binary content + typed metadata, with
+  * decode / feature-extract / resize / frame-sample implemented as
+  * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
+  * `mapInPandas` batch: one JVM call per partition, imperative per-blob
+  * work inside, declarative plan outside.
+  *
+  * ==STUBS==
+  * No image/audio codecs exist in this container, so the decoders are
+  * **deterministic fakes** over the raw bytes (clearly marked below). The
+  * Spark-side plumbing — schema, typed Encoders, partitioning, batch shape,
+  * feature extraction through `mapPartitions` — is real and tested; swap
+  * `decodeStub`/`resizeStub`/`frameSampleStub` for real codecs in
+  * production.
+  *
+  * There is no media table in the harness, so `documents.text` cast to
+  * binary stands in for the blob column (ASCII, so byte == code point —
+  * which also makes the stub features SQL-expressible for the oracle).
+  */
+object Multimodal {
+
+  /** STUB decode + feature-extract: 4 accumulator "features", feature j =
+    * sum of bytes at positions ≡ j (mod 4). Deterministic, locale-free. */
+  def decodeStub(bytes: Array[Byte]): Array[Long] = {
+    val f = new Array[Long](4)
+    var i = 0
+    while (i < bytes.length) { f(i % 4) += bytes(i) & 0xff; i += 1 }
+    f
+  }
+
+  /** STUB resize: keep every byte whose index maps into the target "area"
+    * (a real implementation decodes + bilinear-resamples). */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.min(bytes.length, w * h)
+    java.util.Arrays.copyOfRange(bytes, 0, n)
+  }
+
+  /** STUB frame sampling: every `everyN`-th byte is a "frame". */
+  def frameSampleStub(bytes: Array[Byte], everyN: Int): Array[Byte] = {
+    require(everyN > 0, "everyN must be positive")
+    bytes.grouped(everyN).map(_.head).toArray
+  }
+
+  /** Batch feature extraction: typed Dataset in, typed Dataset out, one
+    * decoder invocation per blob, batched per partition. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val f = decodeStub(r.content)
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, f(0), f(1), f(2), f(3))
+      }
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // documents.text as the stand-in blob; source as the media kind.
+    "m01_media_features" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          $"text".cast("binary").as("content"))
+      extractFeatures(s, media).orderBy($"media_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // ASCII stand-in blobs make the stub features expressible in SQL:
+    // byte i == ord(char i).
+    "m01_media_features" -> {
+      def f(j: Int) =
+        s"CAST(list_sum(list_transform(range(1, length(text) + 1), i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS f$j"
+      raw"""SELECT doc_id AS media_id, source AS kind,
+           |  CAST(length(text) AS BIGINT) AS n_bytes,
+           |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |FROM documents ORDER BY media_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+
+  test("decodeStub: deterministic positional byte sums") {
+    val f = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4, 5))
+    assert(f.toSeq == Seq(1L + 5L, 2L, 3L, 4L))
+    assert(Multimodal.decodeStub(Array.empty[Byte]).toSeq == Seq(0L, 0L, 0L, 0L))
+    // unsigned byte handling
+    assert(Multimodal.decodeStub(Array[Byte](-1)).toSeq == Seq(255L, 0L, 0L, 0L))
+  }
+
+  test("resizeStub and frameSampleStub shapes") {
+    val b = (0 until 100).map(_.toByte).toArray
+    assert(Multimodal.resizeStub(b, 4, 5).length == 20)
+    assert(Multimodal.resizeStub(b, 50, 50).length == 100) // never grows
+    assert(Multimodal.frameSampleStub(b, 10).length == 10)
+    assert(Multimodal.frameSampleStub(b, 10).toSeq == (0 until 100 by 10).map(_.toByte))
+    intercept[IllegalArgumentException] { Multimodal.frameSampleStub(b, 0) }
+  }
+
+  test("extractFeatures: typed mapPartitions pipeline over binary column") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", "abcd"),
+      (2L, "audio", "zz")).toDF("media_id", "kind", "text")
+      .selectExpr("media_id", "kind", "CAST(text AS BINARY) AS content")
+    val got = Multimodal.extractFeatures(spark, media)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "image", 4L, 'a'.toLong, 'b'.toLong),
+      (2L, "audio", 2L, 'z'.toLong, 'z'.toLong)))
+  }
+
+  test("m01 query runs over the harness documents table") {
+    val df = Multimodal.queries("m01_media_features")(spark, "/root/testdata/sf0.001")
+    val rows = df.limit(5).collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("media_id", "kind", "n_bytes", "f0", "f1", "f2", "f3"))
+  }
+}
