@@ -32,8 +32,19 @@ object Dedup {
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, source, s). */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  /** MinHash permutation constants: `perm_j(h) = (A_j*h + B_j) mod P` over
+    * the 28-bit md5-prefix shingle hash. Products stay < 2^55 — exact in
+    * 64-bit integers in both engines. */
+  private[ext] val MinhashP = 2147483647L
+  private[ext] val MinhashA = Seq(
+    15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
+  private[ext] val MinhashB = Seq(
+    12582917L, 23456789L, 37139213L, 49632323L,
+    57885161L, 74207281L, 82589933L, 99990001L)
+
+  /** Word-3-gram shingles per doc, with duplicates: (doc_id, source, s). */
+  private def shinglesRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("w", split(trim($"text"), "\\s+"))
@@ -42,8 +53,11 @@ object Dedup {
         """transform(sequence(1, size(w) - 2),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
           .stripMargin)).as("s"))
-      .distinct()
   }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, source, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesRaw(s, d).distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: representative id + copy count per distinct text.
@@ -59,7 +73,11 @@ object Dedup {
     // Exact n-gram Jaccard near-dup pairs (same-source blocking).
     "d02_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
+      // persisted: both sides of the self-join and the per-doc counts read
+      // it — 3 uses, one computation (at 100 TB: MEMORY_AND_DISK, or a
+      // staged parquet materialization between pipeline phases)
       val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val com = sh.as("a").join(sh.as("b"),
           col("a.source") === col("b.source") && col("a.s") === col("b.s")
@@ -75,25 +93,32 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // MinHash (8 perms) + LSH (4 bands × 2 rows): candidate pairs with
-    // estimated similarity = matching signature fraction.
+    // MinHash (8 permutations) + LSH (4 bands × 2 rows): candidate pairs
+    // with estimated similarity = matching signature fraction.
+    //
+    // One md5 per shingle; the 8 permutations are cheap integer hashes
+    // `(A_j * h + B_j) mod P` over the 28-bit md5 prefix — all 8 minima
+    // computed in a single groupBy pass (no per-permutation explode).
+    // Band keys are exact 63-bit integers (s_even * P + s_odd), so the LSH
+    // bucket join shuffles 16-byte keys. This is the shape that scales:
+    // signatures are one narrow row per document, candidates come from an
+    // equi-join, and only candidates are ever paired.
     "d03_dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      val hj = shingles(s, d)
-        .withColumn("j", explode(typedlit((0 until 8).toArray)))
-        .withColumn("h", substring(
-          md5(concat($"j".cast("string"), lit(":"), $"s").cast("binary")), 1, 16))
-        .groupBy($"doc_id", $"j").agg(min($"h").as("sig"))
-      val sigCols = (0 until 8).map(j => max(when($"j" === j, $"sig")).as(s"s$j"))
-      val sigs = hj.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
+      val hs = shinglesRaw(s, d).withColumn("h", h)
+      val sigCols = (0 until 8).map(j =>
+        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
+      val sigs = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until 4).map(b => struct(
         lit(b).as("band_idx"),
-        md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).cast("binary")).as("band_hash")))
+        (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
       val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
-        .select($"doc_id", $"band.band_idx", $"band.band_hash")
+        .select($"doc_id", $"band.band_idx", $"band.band_key")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx")
-            && col("a.band_hash") === col("b.band_hash")
+            && col("a.band_key") === col("b.band_key")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -135,7 +160,9 @@ object Dedup {
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cos = Similarity.cosine(col("a.v"), col("b.v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      val cos = Similarity.cosineWithNorms(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
         .filter($"cos" > 0.35)
@@ -170,20 +197,25 @@ object Dedup {
 
       "d03_dedup_minhash_lsh" -> {
         val sigCols = (0 until 8).map(j =>
-          s"max(CASE WHEN j = $j THEN sig END) AS s$j").mkString(", ")
+          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
         val bandSelects = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, md5(s${2 * b} || s${2 * b + 1}) AS band_hash FROM sigs")
+          s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
           .mkString("\n  UNION ALL ")
         val matches = (0 until 8).map(j =>
           s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-        raw"""WITH $shingleCte,
-             |hj AS (SELECT doc_id, j, min(substr(md5(j::VARCHAR || ':' || s), 1, 16)) AS sig
-             |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) js GROUP BY doc_id, j),
-             |sigs AS (SELECT doc_id, $sigCols FROM hj GROUP BY doc_id),
+        raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |shr AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM words WHERE len(w) >= 3),
+             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
+             |sigs AS (SELECT doc_id,
+             |    $sigCols
+             |  FROM hs GROUP BY doc_id),
              |bands AS ($bandSelects),
              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-             |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+             |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
              |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / 8.0 AS est_sim
              |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin

@@ -25,12 +25,18 @@ import graft.core.Tables
   */
 object Similarity {
 
+  /** In-order dot product — the codegen'd native expression. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
   /** Sequential-fold cosine similarity between two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p * q), lit(0.0).cast("double"), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+
+  /** Cosine from a precomputed squared-norm per side: same arithmetic (and
+    * bit-identical result), but the O(n²) pair loop does one dot product
+    * instead of three. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / sqrt(na * nb)
 
   /** DuckDB twin of [[cosine]]. */
   def sqlCosine(a: String, b: String): String =
@@ -47,12 +53,13 @@ object Similarity {
     "s01_cosine_topk" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val e = vectors(s, d)
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
       val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"v".as("qv"))
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       e.join(broadcast(q), $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id", cosine($"qv", $"v").as("cos"))
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 10)
         .select($"query_id", $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos_sim"), $"rn")
@@ -68,11 +75,14 @@ object Similarity {
         .map(i => when(element_at($"v", i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
         .reduce(_ + _)
       val e = vectors(s, d).withColumn("bucket", bucket)
+        .withColumn("nrm", dot($"v", $"v"))
       val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket".as("qbucket"))
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          $"bucket".as("qbucket"), $"nrm".as("qnrm"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
       e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
-        .select($"query_id", $"bucket", $"vec_id", cosine($"qv", $"v").as("cos"))
+        .select($"query_id", $"bucket", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
