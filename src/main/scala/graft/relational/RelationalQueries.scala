@@ -301,6 +301,20 @@ object RelationalQueries {
         .orderBy($"user_id", $"session_id")
     },
 
+    // Sketch aggregation: HyperLogLog++ approximate distinct next to the
+    // exact count. No DuckDB oracle (sketch estimates are engine-specific)
+    // → the driver records a rows-only check. At 100 TB the approx variant
+    // is the one you run: fixed-size sketch state, no expand, mergeable.
+    "q20_approx_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._

@@ -29,12 +29,12 @@ class StreamingSpec extends SparkSuite {
       counts.synchronized { counts("all") += df.count() })
 
     val mem = MemoryStream[(String, String)]
-    val q = h.consumer.start(mem.toDF().toDF("topic", "value"),
-      trigger = Trigger.AvailableNow())
     mem.addData(
       ("clicks", """{"code":"Click","n":1}"""),
       ("clicks", """{"code":"View","n":2}"""),
       ("clicks", """not json"""))
+    val q = h.consumer.start(mem.toDF().toDF("topic", "value"),
+      trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
     assert(counts("click") == 1)   // only the Click event
     assert(counts("all") == 2)     // both valid events; malformed dropped
@@ -145,5 +145,48 @@ class StreamingSpec extends SparkSuite {
     val batch = (1L to 5L).map(i => ("t", s"""{"code":"T","i":$i}""")).toDF("topic", "value")
     h.consumer.process(batch)
     assert(seen.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("stream-static broadcast join: event enrichment against a dimension") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val joined = mem.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    q.stop()
+  }
+
+  test("custom stateful operator: per-user running count via mapGroupsWithState") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[(Long, String)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "n").writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
+    q.processAllAvailable()
+    mem.addData((1L, "d"))
+    q.processAllAvailable()
+    val latest = spark.table("state_out")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(latest == Set((1L, 3L), (2L, 1L)))
+    q.stop()
   }
 }
