@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, ToUpperCamelCase}
+
+/** Session-extension wiring for graft's custom Catalyst expressions, so a
+  * deployment can enable them cluster-wide without touching code:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * This is preference-order (b) of the custom-operator ladder: scalar
+  * expressions injected at the function registry. No custom `Rule` or
+  * `SparkStrategy` is required anywhere in this engine — every whole-operator
+  * semantic the reference has (routing, enrichment, backpressure) is
+  * expressible as a declarative plan over built-ins, which is exactly what
+  * keeps Catalyst free to optimize (see SURVEY.md §4.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("upper_camel"),
+      new ExpressionInfo(classOf[ToUpperCamelCase].getName, "upper_camel"),
+      (exprs: Seq[Expression]) => ToUpperCamelCase(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

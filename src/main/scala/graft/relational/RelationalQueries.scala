@@ -315,6 +315,58 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Analytic window functions: lag/lead + day gaps between orders.
+    "q21_order_gaps" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+        .withColumn("days_since_prev",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+
+    // Full grouping-set lattice: CUBE over status x priority.
+    "q22_cube_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2($"o_totalprice")), 2).cast("double").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    // Pivot: order counts per status column, by year.
+    "q23_pivot_status" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .pivot($"o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_year",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_year")
+    },
+
+    // Skew-safe salted aggregation: events has only 5 event types — at
+    // 100 TB the plain merge lands on 5 reducers; the salted two-phase
+    // produces the identical result with keys x buckets merge tasks.
+    "q24_salted_event_stats" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      graft.operators.Salted.countSumByKey(
+          ev, $"event_type", dec2($"value"),
+          graft.operators.Salted.salt(16, $"event_id"),
+          countName = "n_events", sumName = "psum")
+        .select($"__key".as("event_type"), $"n_events",
+          round($"psum", 2).cast("double").as("total_value"))
+        .orderBy($"event_type")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -500,6 +552,33 @@ object RelationalQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM se GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q21_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q22_cube_summary" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         | ${sDSum(sDec2("o_totalprice"))} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q23_pivot_status" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_salted_event_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         | ${sDSum(sDec2("value"))} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (

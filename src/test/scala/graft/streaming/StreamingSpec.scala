@@ -189,4 +189,29 @@ class StreamingSpec extends SparkSuite {
     assert(latest == Set((1L, 3L), (2L, 1L)))
     q.stop()
   }
+
+  test("checkpoint restart: committed micro-batches are not reprocessed") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    def harness(): TestHarness = {
+      val h = new TestHarness(spark,
+        EngineConfig(groupId = Some("g"), checkpointLocation = Some(ckpt)))
+      h.consumer.add("t", (df, _) => { seen.addAndGet(df.count()); () })
+      h
+    }
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("t", """{"code":"T","i":1}"""), ("t", """{"code":"T","i":2}"""))
+    val q1 = harness().consumer.start(mem.toDF().toDF("topic", "value"),
+      trigger = Trigger.AvailableNow(), queryName = "ckpt-1")
+    q1.awaitTermination(60000)
+    assert(seen.get() == 2)
+    // restart against the same checkpoint: only the new offsets replay
+    mem.addData(("t", """{"code":"T","i":3}"""))
+    val q2 = harness().consumer.start(mem.toDF().toDF("topic", "value"),
+      trigger = Trigger.AvailableNow(), queryName = "ckpt-2")
+    q2.awaitTermination(60000)
+    assert(seen.get() == 3, "batch 1 must not be reprocessed after restart")
+  }
 }
