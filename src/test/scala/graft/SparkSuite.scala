@@ -11,6 +11,8 @@ trait SparkSuite extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${sys.props.getOrElse("user.name", "u")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
