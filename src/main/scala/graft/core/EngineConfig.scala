@@ -56,6 +56,11 @@ object ErrorPolicy {
   *                           the reference's Kafka offset auto-commit with a
   *                           WAL — upgrades delivery to at-least-once even
   *                           across restarts)
+  * @param dlqTopic           dead-letter topic for malformed messages. The
+  *                           reference silently skips them (README.md:103);
+  *                           with a DLQ set they are additionally emitted
+  *                           raw for inspection/replay — an extension, off
+  *                           by default for parity.
   */
 final case class EngineConfig(
     host: String = "localhost:9092",
@@ -70,7 +75,8 @@ final case class EngineConfig(
     onlyTesting: Boolean = false,
     errorPolicy: ErrorPolicy = ErrorPolicy.LogAndContinue,
     parsedEventsReverseCompat: Boolean = false,
-    checkpointLocation: Option[String] = None) {
+    checkpointLocation: Option[String] = None,
+    dlqTopic: Option[String] = None) {
 
   /** appName resolution chain (reference producer/legacy-producer.ts:152 +
     * README.md:112-118): per-message appName → config.appName → groupId →

@@ -166,6 +166,20 @@ final class Emitter(
     writer.start()
   }
 
+  /** Raw passthrough emit (no envelope, no validation) — dead-letter
+    * routing of unparseable message values. */
+  private[graft] def emitRaw(df: DataFrame, topic: String): Unit = {
+    val values = df.select(col("value").cast("string").as("value"))
+    if (config.onlyTesting) {
+      val vs = values.collect().map(_.getString(0)).toSeq
+      if (vs.nonEmpty) synchronized { captured += EmittedBatch(topic, vs) }
+    } else {
+      val withTopic = values.select(col("value"), lit(topic).as("topic")).persist()
+      try resolveHosts(None).foreach(writeKafkaBatch(withTopic, topic, _))
+      finally withTopic.unpersist()
+    }
+  }
+
   private def resolveHosts(overwrite: Option[Seq[String]]): Seq[String] =
     overwrite.filter(_.nonEmpty).getOrElse(config.host +: config.additionalHosts)
 

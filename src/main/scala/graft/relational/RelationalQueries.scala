@@ -367,6 +367,22 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // Schemaless payload access via Spark 4 VariantType: parse the JSON
+    // props column once into a variant, extract typed fields lazily —
+    // the engine's fallback for event payloads with no registered schema
+    // (SURVEY.md §1.5). Variant parse+get is columnar and shredding-aware,
+    // unlike repeated get_json_object string scans.
+    "q25_variant_props" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("v", parse_json($"props"))
+        .select($"event_id", try_variant_get($"v", "$.k", "bigint").as("k"))
+        .filter($"k".isNotNull)
+        .groupBy(($"k" % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"k_bucket")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -579,6 +595,13 @@ object RelationalQueries {
       s"""SELECT event_type, COUNT(*) AS n_events,
          | ${sDSum(sDec2("value"))} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q25_variant_props" ->
+      """WITH k AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (

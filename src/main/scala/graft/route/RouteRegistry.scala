@@ -102,18 +102,23 @@ final class RouteRegistry(
     * `from_json` pass; malformed JSON parses to null and is dropped but the
     * row is still consumed (O7/O8 — same skip-and-commit semantics as the
     * reference, consumer/legacy-consumer.ts:163-198). */
-  def parse(envelopes: DataFrame): DataFrame = {
+  private val Corrupt = "_corrupt_record"
+
+  /** Parse with the corrupt-record marker retained — internal; the marker
+    * column drives both malformed-drop and DLQ routing. */
+  private def parseAll(envelopes: DataFrame): DataFrame = {
     // PERMISSIVE from_json yields an all-null struct (not null) for corrupt
     // input, so malformed-drop needs an explicit corrupt-record marker.
-    val corrupt = "_corrupt_record"
-    val schema = schemas.mergedSchema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val schema = schemas.mergedSchema.add(Corrupt, org.apache.spark.sql.types.StringType)
     envelopes
       .withColumn("__parsed", from_json(col("value").cast("string"), schema,
-        Map("columnNameOfCorruptRecord" -> corrupt)))
-      .filter(col("__parsed").isNotNull && col(s"__parsed.$corrupt").isNull)
+        Map("columnNameOfCorruptRecord" -> Corrupt)))
+      .filter(col("__parsed").isNotNull)
       .select(col("topic"), col("value"), col("__parsed.*"))
-      .drop(corrupt)
   }
+
+  def parse(envelopes: DataFrame): DataFrame =
+    parseAll(envelopes).filter(col(Corrupt).isNull).drop(Corrupt)
 
   /** Route predicate (O10): `topic = r.topic AND (r.eventName IS NULL OR
     * code = r.eventName)` — null-tolerant: a missing `code` only matches
@@ -142,8 +147,15 @@ final class RouteRegistry(
   def process(envelopes: DataFrame): Unit = {
     if (config.strategy == Strategy.OneByOne) processOneByOne(envelopes)
     else {
-      val parsed = parse(envelopes).persist()
-      try dispatch(parsed) finally { parsed.unpersist(); () }
+      val all = parseAll(envelopes).persist()
+      try {
+        dispatch(all.filter(col(Corrupt).isNull).drop(Corrupt))
+        // DLQ extension: malformed values are emitted raw for replay
+        // (reference parity = silent skip; both commit the offset).
+        config.dlqTopic.foreach { t =>
+          emitter.emitRaw(all.filter(col(Corrupt).isNotNull).select(col("value")), t)
+        }
+      } finally { all.unpersist(); () }
     }
   }
 

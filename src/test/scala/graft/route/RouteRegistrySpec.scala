@@ -167,4 +167,15 @@ class RouteRegistrySpec extends SparkSuite {
       r.start(dummy)  // no groupId, not onlyTesting
     }
   }
+
+  test("DLQ extension: malformed values are emitted raw to the dead-letter topic") {
+    val h = new TestHarness(spark, EngineConfig(dlqTopic = Some("dlq")))
+    var good = 0L
+    h.consumer.add("t", (df, _) => { good += df.count() })
+    h.inputRaw("t", """{"a":1}""")
+    h.inputRaw("t", "garbage {{{")
+    assert(good == 1)
+    val dlq = h.emitter.getEmittedEvents.filter(_.topic == "dlq")
+    assert(dlq.flatMap(_.values) == Seq("garbage {{{"))
+  }
 }
