@@ -163,7 +163,10 @@ object Dedup {
         .withColumn("nrm", Similarity.dot($"v", $"v"))
       val cos = Similarity.cosineWithNorms(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // spread the streamed side of the pair loop across all cores — the
+      // broadcast-NLJ parallelism equals the streamed side's partitions
+      val par = s.sparkContext.defaultParallelism
+      e.repartition(par).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
         .filter($"cos" > 0.35)
         .select($"id_a", $"id_b", round($"cos", 6).as("cos_sim"))

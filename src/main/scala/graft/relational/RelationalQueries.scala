@@ -383,6 +383,21 @@ object RelationalQueries {
         .orderBy($"k_bucket")
     },
 
+    // Pure-SQL surface: the same engine through spark.sql over temp views,
+    // written in the ANSI subset both engines parse identically — a user of
+    // the SQL API gets the identical Catalyst plan the DataFrame API builds.
+    "q26_sql_surface" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY c_mktsegment, o_orderstatus
+          |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -602,6 +617,14 @@ object RelationalQueries {
         |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_sql_surface" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
