@@ -66,6 +66,39 @@ object Similarity {
         .orderBy($"query_id", $"rn")
     },
 
+    // IVF-style ANN: assign every vector to its nearest of 8 deterministic
+    // seed centroids (one coarse-quantization pass), then search only the
+    // query's inverted list (cell). At 100 TB this is the standard
+    // billion-vector layout: cells are partitions, the query probes
+    // nprobe cells instead of the full table. Centroids here are the first
+    // 8 vectors (deterministic for the oracle); production would k-means.
+    "s03_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm", $"cent_id",
+          cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter($"crn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"))
+      val q = assigned.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"cell".as("qcell"))
+      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      assigned.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"cell", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 5)
+        .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
+          round($"cos", 6).as("cos_sim"), $"rn")
+        .orderBy($"query_id", $"rn")
+    },
+
     // LSH-bucketed ANN: sign bits of dims 0..7 → 256 buckets; neighbors
     // searched within the query's bucket only.
     "s02_ann_buckets" -> { (s, d) =>
@@ -102,6 +135,25 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "s03_ann_ivf" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+           |  FROM assigned WHERE vec_id < 5),
+           |c AS (SELECT query_id, cell, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM assigned JOIN q ON cell = qcell AND vec_id <> query_id),
+           |r AS (SELECT query_id, cell, vec_id, cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |  FROM c)
+           |SELECT query_id, cell, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "s02_ann_buckets" -> {
       val bucket = (0 until 8)
