@@ -1,0 +1,57 @@
+package graft.relational
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Plan-shape regression tests: the scale-critical physical properties the
+  * queries rely on (pushdown, broadcast, top-k operator, no cartesian
+  * products) must not silently regress. */
+class PlanShapeSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q06: every predicate reaches the parquet scan") {
+    val p = plan("q06_revenue_delta")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q03: dimension joins broadcast, no shuffle of the fact for them") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q08: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q08_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q16: scan reads only the three needed event columns") {
+    val p = plan("q16_route_count")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double,props:string>"))
+  }
+
+  test("d03: LSH candidate generation is an equi-join (no cartesian/BNLJ)") {
+    val p = plan("d03_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s01/s02: query sets broadcast to the vector scan") {
+    assert(plan("s01_cosine_topk").contains("Broadcast"))
+    assert(plan("s02_ann_buckets").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is two-phase (partial before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
