@@ -155,6 +155,21 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Edit-distance near-dup: Levenshtein over document prefixes, blocked
+    // by source. Edit distance is O(m*n) per pair — at scale it's strictly
+    // a verifier over blocked/LSH candidates, never a primary scan.
+    "d06_dedup_levenshtein" -> { (s, d) =>
+      import s.implicits._
+      val pre = Tables.documents(s, d)
+        .select($"doc_id", $"source", substring($"text", 1, 40).as("p"))
+      pre.as("a").join(pre.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.p"), col("b.p")).as("edit_dist"))
+        .filter($"edit_dist" <= 12)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._
@@ -242,6 +257,14 @@ object Dedup {
              |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= 2
              |ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      "d06_dedup_levenshtein" ->
+        """WITH pre AS (SELECT doc_id, source, substr(text, 1, 40) AS p FROM documents)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+          |FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.p, b.p) <= 12
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d05_dedup_embedding_cosine" ->
         raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -49,19 +49,21 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force exact cosine top-10 for queries vec_id < 5.
+    // Brute-force exact cosine top-10 for queries vec_id < 5. Ranking uses
+    // the two-phase salted top-k: with only 5 query keys, a naive window
+    // would shuffle every candidate to 5 reducers — the two-phase variant
+    // first shrinks each (query, salt) slice to its local top 10, so the
+    // final per-query rank sees ≤ buckets×10 rows per key at any scale.
     "s01_cosine_topk" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      val cand = e.join(broadcast(q), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id",
           cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 10)
+      graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 10, saltFrom = $"vec_id")
         .select($"query_id", $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos_sim"), $"rn")
         .orderBy($"query_id", $"rn")
     },

@@ -398,6 +398,18 @@ object RelationalQueries {
           |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
     },
 
+    // Post-aggregation filter (HAVING): suppliers by shipped revenue.
+    "q27_top_suppliers_having" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(round(sum(dec2($"l_extendedprice") * (one4 - dec4($"l_discount"))), 2)
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .filter($"n_items" > 100)
+        .orderBy($"s_suppkey")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -625,6 +637,13 @@ object RelationalQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY c_mktsegment, o_orderstatus
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    "q27_top_suppliers_having" ->
+      s"""SELECT s_suppkey, s_name, ${sDSum(sRevenue)} AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_suppkey, s_name
+         |HAVING COUNT(*) > 100
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
