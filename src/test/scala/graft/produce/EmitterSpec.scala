@@ -117,4 +117,22 @@ class EmitterSpec extends SparkSuite {
     assert(em.getEmittedEvents.head.values.head ==
       """{"z":1,"a":2,"createdAt":"2022-12-08 00:00:00Z","appName":"my-app","code":"MyEvent"}""")
   }
+
+  test("dataflow emit and driver emitJson produce identical envelopes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val em = testingEmitter()
+      val name = "n" + rnd.alphanumeric.take(4).mkString
+      val strVal = rnd.alphanumeric.take(6).mkString
+      val num = rnd.nextInt(1000)
+      val eventName = if (rnd.nextBoolean()) Some("some-event_x") else None
+      // dataflow path: DataFrame -> enrich -> capture
+      em.emit(Seq((strVal, num)).toDF(name, "num"), "t", eventName)
+      // driver path: JSON doc -> emitJson -> capture
+      em.emitJson("t", Seq(s"""{"$name":"$strVal","num":$num}"""), eventName)
+      val Seq(a, b) = em.getEmittedEvents.map(_.values.head)
+      assert(a == b, s"dataflow vs driver envelope for ($name, $strVal, $num, $eventName)")
+    }
+  }
 }
