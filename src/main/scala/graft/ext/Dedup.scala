@@ -35,11 +35,11 @@ object Dedup {
   /** MinHash permutation constants: `perm_j(h) = (A_j*h + B_j) mod P` over
     * the 28-bit md5-prefix shingle hash. Products stay < 2^55 — exact in
     * 64-bit integers in both engines. */
-  private[ext] val MinhashP = 2147483647L
-  private[ext] val MinhashA = Seq(
+  private[graft] val MinhashP = 2147483647L
+  private[graft] val MinhashA = Seq(
     15485863L, 32452843L, 49979687L, 67867967L,
     86028121L, 104395301L, 122949823L, 141650939L)
-  private[ext] val MinhashB = Seq(
+  private[graft] val MinhashB = Seq(
     12582917L, 23456789L, 37139213L, 49632323L,
     57885161L, 74207281L, 82589933L, 99990001L)
 

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.ext.Dedup
+
+/** Custom stateful streaming operators.
+  *
+  * [[RunningStatsProcessor]] uses Spark 4's `transformWithState` API (the
+  * successor to mapGroupsWithState): typed per-key state in the RocksDB
+  * state store, TTL-able, timer-capable. At 100 TB/day the state store
+  * shards by key across executors and checkpoints incrementally — the
+  * operator itself holds one small row per key.
+  *
+  * [[StreamingDedup]] is the streaming twin of the batch MinHash dedup
+  * (Dedup d03): an incoming document whose 8-permutation signature was
+  * already seen inside the watermark horizon is dropped. State size is
+  * bounded by the watermark; the signature (8 longs) is independent of
+  * document length, so the state store never holds documents.
+  */
+object StatefulOps {
+
+  /** Per-key running (count, sum) via transformWithState. */
+  class RunningStatsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "stats", ExpressionEncoder[(Long, Double)](), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (dn, dsum) = rows.foldLeft((0L, 0.0)) { case ((n, s), r) => (n + 1, s + r._2) }
+      val prev = if (state.exists()) state.get() else (0L, 0.0)
+      val next = (prev._1 + dn, prev._2 + dsum)
+      state.update(next)
+      Iterator.single((key, next._1, next._2))
+    }
+  }
+
+  /** MinHash signature as a single string column (same permutation
+    * constants as the batch d03 pipeline). */
+  def signatureCol(textCol: String): org.apache.spark.sql.Column = {
+    val sigs = (0 until 8).map { j =>
+      s"""array_min(transform(
+         |  transform(sequence(1, size(__w) - 2),
+         |    i -> CAST(conv(substr(md5(CAST(concat_ws(' ', element_at(__w, i),
+         |         element_at(__w, i + 1), element_at(__w, i + 2)) AS BINARY)), 1, 7), 16, 10) AS BIGINT)),
+         |  h -> (${Dedup.MinhashA(j)}L * h + ${Dedup.MinhashB(j)}L) % ${Dedup.MinhashP}L))""".stripMargin
+    }
+    expr(s"concat_ws('-', ${sigs.mkString(", ")})")
+  }
+
+  object StreamingDedup {
+    /** Drop documents whose MinHash signature already appeared within the
+      * watermark horizon. `df` needs an event-time column and a text
+      * column; emits the surviving rows (append mode). */
+    def bySignature(
+        df: DataFrame,
+        tsCol: String,
+        textCol: String,
+        watermark: String = "1 hour"): DataFrame =
+      df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+        .filter(size(col("__w")) >= 3)
+        .withColumn("minhash_sig", signatureCol(textCol))
+        .drop("__w")
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("minhash_sig")
+  }
+}

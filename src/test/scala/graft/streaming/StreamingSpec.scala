@@ -214,4 +214,57 @@ class StreamingSpec extends SparkSuite {
     q2.awaitTermination(60000)
     assert(seen.get() == 3, "batch 1 must not be reprocessed after restart")
   }
+
+  test("transformWithState: per-key running stats with RocksDB state store") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StatefulOps.RunningStatsProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n", "total").writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("tws_out")
+        .groupBy($"user_id").agg(max($"n").as("n"), max($"total").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming MinHash dedup: near-identical docs collapse within the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val deduped = StatefulOps.StreamingDedup.bySignature(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    mem.addData(
+      (t("00:00:00"), 1L, text),
+      (t("00:01:00"), 2L, text),                                  // exact dup -> dropped
+      (t("00:02:00"), 3L, "completely different words in this tiny document here"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 3L))
+    q.stop()
+  }
 }
