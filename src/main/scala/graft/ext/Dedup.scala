@@ -25,8 +25,9 @@ import graft.core.Tables
   *  - **Embedding cosine** self-join is O(n²)/partition — it's the exact
   *    baseline; the scalable variant is `Similarity.s02_ann_buckets`.
   *
-  * Hash parity: every pseudo-hash is `md5` (identical hex in Spark/DuckDB);
-  * minhash minima are lexicographic minima of hex prefixes — engine-neutral.
+  * Hash parity: every pseudo-hash derives from `md5` (identical hex in
+  * Spark/DuckDB); MinHash permutations are exact 64-bit integer arithmetic
+  * over a 28-bit md5 prefix — engine-neutral and overflow-free.
   */
 object Dedup {
 

@@ -18,10 +18,11 @@ import graft.core.Tables
   *    product into an equi-join on bucket. Recall trades off with bucket
   *    bits; production would probe multiple neighboring buckets.
   *
-  * The dot product is an in-order fold (`aggregate(zip_with(...))`) —
-  * sequential double summation matching DuckDB's `list_dot_product`, so the
-  * oracle compares bit-identical doubles (outputs additionally rounded to
-  * 6 dp as insurance).
+  * The dot product is the codegen'd [[graft.functions.DotProduct]]
+  * expression — an in-order sequential double summation matching DuckDB's
+  * `list_dot_product` bit-for-bit, so the oracle compares identical doubles
+  * (outputs additionally rounded to 6 dp as insurance). Squared norms are
+  * precomputed per vector so the pair loop does one dot, not three.
   */
 object Similarity {
 

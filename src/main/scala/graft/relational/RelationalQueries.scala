@@ -410,6 +410,20 @@ object RelationalQueries {
         .orderBy($"s_suppkey")
     },
 
+    // List aggregation: per-customer order list as a deterministic CSV
+    // (engine list-agg ordering is nondeterministic in both engines, so the
+    // portable form sorts before joining).
+    "q28_order_lists" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          array_join(sort_array(collect_list($"o_orderkey".cast("string"))), ",")
+            .as("orderkeys_csv"))
+        .filter($"n_orders" <= 3)
+        .orderBy($"o_custkey")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -644,6 +658,13 @@ object RelationalQueries {
          |GROUP BY s_suppkey, s_name
          |HAVING COUNT(*) > 100
          |ORDER BY s_suppkey""".stripMargin,
+
+    "q28_order_lists" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS orderkeys_csv
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) <= 3
+        |ORDER BY o_custkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
