@@ -135,4 +135,14 @@ class EmitterSpec extends SparkSuite {
       assert(a == b, s"dataflow vs driver envelope for ($name, $strVal, $num, $eventName)")
     }
   }
+
+  test("GraftConfig singleton shim: set/get/throw-before-set parity") {
+    import graft.core.GraftConfig
+    GraftConfig.reset()
+    intercept[IllegalStateException] { GraftConfig.getConfig }
+    GraftConfig.setConfig(EngineConfig(appName = Some("x")))
+    assert(GraftConfig.getConfig.appName.contains("x"))
+    GraftConfig.reset()
+    assert(!GraftConfig.isSet)
+  }
 }
