@@ -76,7 +76,9 @@ object Dedup {
       import s.implicits._
       // persisted: both sides of the self-join and the per-doc counts read
       // it — 3 uses, one computation (at 100 TB: MEMORY_AND_DISK, or a
-      // staged parquet materialization between pipeline phases)
+      // staged parquet materialization between pipeline phases). Not
+      // explicitly unpersisted — the blocks are small, LRU-evictable, and
+      // spill-backed, so they yield under memory pressure.
       val sh = shingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))

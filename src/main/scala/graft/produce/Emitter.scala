@@ -46,7 +46,7 @@ final case class EmittedBatch(topic: String, values: Seq[String])
   */
 final class Emitter(
     val config: EngineConfig,
-    clock: () => Instant = () => Instant.now()) {
+    clock: () => Instant = Emitter.WallClock) {
 
   import Emitter._
 
@@ -62,10 +62,18 @@ final class Emitter(
     validate(df, topic, eventName)
     val code = upperCamel(eventName.getOrElse(topic))
     val payloadCols = df.columns.filterNot(Envelope.MetaFields.contains)
+    // With the default wall clock the stamp is a current_timestamp()
+    // EXPRESSION, re-evaluated per batch query / per micro-batch — a
+    // literal would freeze stream-start time into a long-running
+    // writeStream plan. An injected clock (tests) becomes a literal.
+    val nowStamp: Column =
+      if (clock eq Emitter.WallClock)
+        date_format(current_timestamp(), Envelope.CreatedAtPattern)
+      else lit(formatCreatedAt(clock()))
     val createdAt: Column =
       if (df.columns.contains(Envelope.CreatedAtField))
-        coalesce(col(Envelope.CreatedAtField), lit(formatCreatedAt(clock())))
-      else lit(formatCreatedAt(clock()))
+        coalesce(col(Envelope.CreatedAtField), nowStamp)
+      else nowStamp
     val appName: Column =
       if (df.columns.contains(Envelope.AppNameField))
         coalesce(col(Envelope.AppNameField), lit(config.resolveAppName()))
@@ -146,7 +154,9 @@ final class Emitter(
   }
 
   /** Streaming emit: enrich + Kafka sink for every configured host via
-    * foreachBatch (replicated sinks can't be a single writeStream). */
+    * foreachBatch (replicated sinks can't be a single writeStream). In
+    * `onlyTesting` mode each micro-batch is captured in memory, like the
+    * batch emit path. */
   def emitStream(
       df: DataFrame,
       topic: String,
@@ -156,9 +166,14 @@ final class Emitter(
     val hosts = resolveHosts(None)
     val writer = enriched.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try hosts.foreach(writeKafkaBatch(batch, topic, _))
-        finally batch.unpersist()
+        if (config.onlyTesting) {
+          val values = batch.select("value").collect().map(_.getString(0)).toSeq
+          if (values.nonEmpty) synchronized { captured += EmittedBatch(topic, values) }
+        } else {
+          batch.persist()
+          try hosts.foreach(writeKafkaBatch(batch, topic, _))
+          finally batch.unpersist()
+        }
         ()
       }
     checkpoint.orElse(config.checkpointLocation)
@@ -220,6 +235,11 @@ final class Emitter(
 }
 
 object Emitter {
+  /** Sentinel default clock: identity-compared in [[Emitter.enrich]] to
+    * decide between a per-batch `current_timestamp()` expression (wall
+    * clock) and a frozen literal (injected test clock). */
+  val WallClock: () => Instant = () => Instant.now()
+
   private val mapper = new ObjectMapper()
 
   private val createdAtFmt =

@@ -168,8 +168,11 @@ final class RouteRegistry(
     envelopes.select(col("topic").cast("string"), col("value").cast("string"))
       .as[(String, String)].collect()
       .foreach { case (t, v) =>
-        val one = parse(Seq((t, v)).toDF("topic", "value"))
-        dispatch(one)
+        val one = parseAll(Seq((t, v)).toDF("topic", "value"))
+        dispatch(one.filter(col(Corrupt).isNull).drop(Corrupt))
+        config.dlqTopic.foreach { dlq =>
+          emitter.emitRaw(one.filter(col(Corrupt).isNotNull).select(col("value")), dlq)
+        }
       }
   }
 

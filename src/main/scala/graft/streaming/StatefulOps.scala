@@ -44,14 +44,16 @@ object StatefulOps {
     }
   }
 
-  /** MinHash signature as a single string column (same permutation
-    * constants as the batch d03 pipeline). */
-  def signatureCol(textCol: String): org.apache.spark.sql.Column = {
+  /** MinHash signature over a words-array column (same permutation
+    * constants as the batch d03 pipeline). Requires `size(wordsCol) >= 3`;
+    * callers must provide a fallback for shorter inputs. */
+  private def signatureCol(wordsCol: String): org.apache.spark.sql.Column = {
+    val w = wordsCol
     val sigs = (0 until 8).map { j =>
       s"""array_min(transform(
-         |  transform(sequence(1, size(__w) - 2),
-         |    i -> CAST(conv(substr(md5(CAST(concat_ws(' ', element_at(__w, i),
-         |         element_at(__w, i + 1), element_at(__w, i + 2)) AS BINARY)), 1, 7), 16, 10) AS BIGINT)),
+         |  transform(sequence(1, size($w) - 2),
+         |    i -> CAST(conv(substr(md5(CAST(concat_ws(' ', element_at($w, i),
+         |         element_at($w, i + 1), element_at($w, i + 2)) AS BINARY)), 1, 7), 16, 10) AS BIGINT)),
          |  h -> (${Dedup.MinhashA(j)}L * h + ${Dedup.MinhashB(j)}L) % ${Dedup.MinhashP}L))""".stripMargin
     }
     expr(s"concat_ws('-', ${sigs.mkString(", ")})")
@@ -59,16 +61,19 @@ object StatefulOps {
 
   object StreamingDedup {
     /** Drop documents whose MinHash signature already appeared within the
-      * watermark horizon. `df` needs an event-time column and a text
-      * column; emits the surviving rows (append mode). */
+      * watermark horizon; emits the surviving rows (append mode). `df`
+      * needs an event-time column and a text column. Documents too short
+      * for 3-gram shingling fall back to an exact-text signature — they
+      * pass through unless literally identical, never silently vanish. */
     def bySignature(
         df: DataFrame,
         tsCol: String,
         textCol: String,
         watermark: String = "1 hour"): DataFrame =
       df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
-        .filter(size(col("__w")) >= 3)
-        .withColumn("minhash_sig", signatureCol(textCol))
+        .withColumn("minhash_sig",
+          when(size(col("__w")) >= 3, signatureCol("__w"))
+            .otherwise(concat(lit("exact:"), md5(col(textCol).cast("binary")))))
         .drop("__w")
         .withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("minhash_sig")

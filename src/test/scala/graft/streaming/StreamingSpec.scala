@@ -267,4 +267,66 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Seq(1L, 3L))
     q.stop()
   }
+
+  test("emitStream in onlyTesting captures per micro-batch instead of touching Kafka") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val em = new Emitter(EngineConfig(appName = Some("s"), onlyTesting = true))
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("a", 1L), ("b", 2L))
+    val q = em.emitStream(mem.toDF().toDF("name", "n"), "out-topic", Some("ev"),
+      checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-es").toString))
+    q.processAllAvailable()
+    q.stop()
+    val got = em.getEmittedEvents
+    assert(got.map(_.topic).distinct == Seq("out-topic"))
+    assert(got.flatMap(_.values).size == 2)
+    assert(got.flatMap(_.values).forall(_.contains(""""code":"Ev"""")))
+  }
+
+  test("default-clock enrichment stamps per batch (current_timestamp in plan, not a literal)") {
+    import spark.implicits._
+    val em = new Emitter(EngineConfig(appName = Some("s")))
+    val plan = em.enrich(Seq(Tuple1("x")).toDF("p"), "t")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("current_timestamp"), s"expected live timestamp, got:\n$plan")
+    // injected clock -> frozen literal, no current_timestamp
+    val fixed = new Emitter(EngineConfig(appName = Some("s")),
+      fixedClock("2022-12-08T00:00:00Z"))
+    val plan2 = fixed.enrich(Seq(Tuple1("x")).toDF("p"), "t")
+      .queryExecution.analyzed.toString
+    assert(!plan2.contains("current_timestamp"))
+  }
+
+  test("streaming dedup: short documents fall back to exact signature, never vanish") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StatefulOps.StreamingDedup.bySignature(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_short").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    mem.addData(
+      (t("00:00:00"), 1L, "hello world"),     // < 3 tokens: exact fallback
+      (t("00:01:00"), 2L, "hello world"),     // identical short doc -> dropped
+      (t("00:02:00"), 3L, "bye"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup_short").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("one-by-one strategy routes malformed values to the DLQ too") {
+    val h = new TestHarness(spark,
+      EngineConfig(strategy = Strategy.OneByOne, dlqTopic = Some("dlq")))
+    var good = 0L
+    h.consumer.add("t", (df, _) => { good += df.count() })
+    h.inputRaw("t", """{"a":1}""")
+    h.inputRaw("t", "garbage {{{")
+    assert(good == 1)
+    assert(h.emitter.getEmittedEvents.filter(_.topic == "dlq")
+      .flatMap(_.values) == Seq("garbage {{{"))
+  }
 }
