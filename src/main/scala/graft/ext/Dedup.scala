@@ -158,6 +158,45 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Capstone: the full scalable near-dup pipeline in one query —
+    // MinHash signatures -> LSH band candidates -> exact Jaccard verify
+    // restricted to candidates. This is the production shape at 100 TB:
+    // the O(n²) verifier only ever sees the (tiny) candidate set.
+    "d07_dedup_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
+      val hs = shinglesRaw(s, d).withColumn("h", h)
+      val sigCols = (0 until 8).map(j =>
+        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
+      val sigs = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until 4).map(b => struct(
+        lit(b).as("band_idx"),
+        (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
+      val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
+        .select($"doc_id", $"band.band_idx", $"band.band_key")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact verification over candidates only
+      val shd = shingles(s, d).select($"doc_id", $"s")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(shd.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(shd.as("y"), $"doc_b" === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+      common
+        .join(cnt.as("cx"), $"doc_a" === col("cx.doc_id"))
+        .join(cnt.as("cy"), $"doc_b" === col("cy.doc_id"))
+        .select($"doc_a", $"doc_b",
+          ($"c".cast("double") / (col("cx.n") + col("cy.n") - $"c")).as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Edit-distance near-dup: Levenshtein over document prefixes, blocked
     // by source. Edit distance is O(m*n) per pair — at scale it's strictly
     // a verifier over blocked/LSH candidates, never a primary scan.
@@ -258,6 +297,38 @@ object Dedup {
              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
              |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= 2
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "d07_dedup_pipeline" -> {
+        val sigCols = (0 until 8).map(j =>
+          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
+          .mkString("\n  UNION ALL ")
+        raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |shr AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM words WHERE len(w) >= 3),
+             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
+             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
+             |sigs AS (SELECT doc_id,
+             |    $sigCols
+             |  FROM hs GROUP BY doc_id),
+             |bands AS ($bandSelects),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+             |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+             |  FROM cand
+             |  JOIN shd x ON doc_a = x.doc_id
+             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
+             |  GROUP BY doc_a, doc_b)
+             |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (cx.n + cy.n - c) AS jaccard
+             |FROM common JOIN cnt cx ON doc_a = cx.doc_id JOIN cnt cy ON doc_b = cy.doc_id
+             |WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2
              |ORDER BY doc_a, doc_b""".stripMargin
       },
 
