@@ -43,6 +43,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d04: multi-index Hamming candidates come from an equi-join") {
+    val p = plan("d04_dedup_simhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s01/s02: query sets broadcast to the vector scan") {
     assert(plan("s01_cosine_topk").contains("Broadcast"))
     assert(plan("s02_ann_buckets").contains("BroadcastHashJoin"))
