@@ -60,6 +60,57 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesRaw(s, d).distinct()
 
+  /** MinHash signatures per doc (one groupBy pass, map-side combinable):
+    * (doc_id, s0..s7). Persisted — every consumer joins it at least twice. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
+    val hs = shinglesRaw(s, d).withColumn("h", h)
+    val sigCols = (0 until 8).map(j =>
+      min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
+    hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
+    * 4 bands × 2 rows, integer band keys, equi-join. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b => struct(
+      lit(b).as("band_idx"),
+      (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Shared oracle CTEs: words → raw shingles → hashes → signatures →
+    * bands → candidate pairs (the SQL twin of minhashSigs + lshCandidates). */
+  private def sqlMinhashCtes: String = {
+    val sigCols = (0 until 8).map(j =>
+      s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    raw"""words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |shr AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM words WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
+         |sigs AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: representative id + copy count per distinct text.
     "d01_dedup_exact" -> { (s, d) =>
@@ -108,23 +159,8 @@ object Dedup {
     // equi-join, and only candidates are ever paired.
     "d03_dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
-      val hs = shinglesRaw(s, d).withColumn("h", h)
-      val sigCols = (0 until 8).map(j =>
-        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
-      val sigs = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bandCols = (0 until 4).map(b => struct(
-        lit(b).as("band_idx"),
-        (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
-      val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
-        .select($"doc_id", $"band.band_idx", $"band.band_key")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx")
-            && col("a.band_key") === col("b.band_key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val sigs = minhashSigs(s, d)
+      val cand = lshCandidates(sigs)
       val matches: Column = (0 until 8)
         .map(j => when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
         .reduce(_ + _)
@@ -181,22 +217,7 @@ object Dedup {
     // the O(n²) verifier only ever sees the (tiny) candidate set.
     "d07_dedup_pipeline" -> { (s, d) =>
       import s.implicits._
-      val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
-      val hs = shinglesRaw(s, d).withColumn("h", h)
-      val sigCols = (0 until 8).map(j =>
-        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
-      val sigs = hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandCols = (0 until 4).map(b => struct(
-        lit(b).as("band_idx"),
-        (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
-      val bands = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
-        .select($"doc_id", $"band.band_idx", $"band.band_key")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx")
-            && col("a.band_key") === col("b.band_key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandidates(minhashSigs(s, d))
       // exact verification over candidates only
       val shd = shingles(s, d).select($"doc_id", $"s")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -278,26 +299,9 @@ object Dedup {
              |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d03_dedup_minhash_lsh" -> {
-        val sigCols = (0 until 8).map(j =>
-          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
-        val bandSelects = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
-          .mkString("\n  UNION ALL ")
         val matches = (0 until 8).map(j =>
           s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-        raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-             |shr AS (SELECT doc_id,
-             |    unnest(list_transform(range(1, len(w) - 1),
-             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-             |  FROM words WHERE len(w) >= 3),
-             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
-             |sigs AS (SELECT doc_id,
-             |    $sigCols
-             |  FROM hs GROUP BY doc_id),
-             |bands AS ($bandSelects),
-             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-             |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        raw"""WITH $sqlMinhashCtes
              |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / 8.0 AS est_sim
              |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin
@@ -323,25 +327,8 @@ object Dedup {
       },
 
       "d07_dedup_pipeline" -> {
-        val sigCols = (0 until 8).map(j =>
-          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
-        val bandSelects = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
-          .mkString("\n  UNION ALL ")
-        raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-             |shr AS (SELECT doc_id,
-             |    unnest(list_transform(range(1, len(w) - 1),
-             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-             |  FROM words WHERE len(w) >= 3),
+        raw"""WITH $sqlMinhashCtes,
              |shd AS (SELECT DISTINCT doc_id, s FROM shr),
-             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
-             |sigs AS (SELECT doc_id,
-             |    $sigCols
-             |  FROM hs GROUP BY doc_id),
-             |bands AS ($bandSelects),
-             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-             |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
              |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
              |  FROM cand

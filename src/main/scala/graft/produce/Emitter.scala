@@ -61,14 +61,17 @@ final class Emitter(
   def enrich(df: DataFrame, topic: String, eventName: Option[String] = None): DataFrame = {
     validate(df, topic, eventName)
     val code = upperCamel(eventName.getOrElse(topic))
-    val payloadCols = df.columns.filterNot(Envelope.MetaFields.contains)
     // With the default wall clock the stamp is a current_timestamp()
     // EXPRESSION, re-evaluated per batch query / per micro-batch — a
     // literal would freeze stream-start time into a long-running
     // writeStream plan. An injected clock (tests) becomes a literal.
+    // Rendering goes through to_utc_timestamp so the string is UTC wall
+    // time in ANY session timezone (the reference's toISOString semantics).
     val nowStamp: Column =
       if (clock eq Emitter.WallClock)
-        date_format(current_timestamp(), Envelope.CreatedAtPattern)
+        date_format(
+          to_utc_timestamp(current_timestamp(), current_timezone()),
+          Envelope.CreatedAtPattern)
       else lit(formatCreatedAt(clock()))
     val createdAt: Column =
       if (df.columns.contains(Envelope.CreatedAtField))
@@ -78,14 +81,25 @@ final class Emitter(
       if (df.columns.contains(Envelope.AppNameField))
         coalesce(col(Envelope.AppNameField), lit(config.resolveAppName()))
       else lit(config.resolveAppName())
-    val fields =
-      payloadCols.map(c => col(c)) :+
-        createdAt.as(Envelope.CreatedAtField) :+
-        appName.as(Envelope.AppNameField) :+
+    // Field order parity with `{...payload, createdAt: ..., appName, code}`:
+    // JS object spread keeps a re-assigned key at its ORIGINAL position, so
+    // payload-supplied createdAt/appName stay in place; only meta fields the
+    // payload lacks are appended (createdAt, appName), and `code` (reserved,
+    // never in payloads) is always last.
+    val inPlace = df.columns.map {
+      case Envelope.CreatedAtField => createdAt.as(Envelope.CreatedAtField)
+      case Envelope.AppNameField => appName.as(Envelope.AppNameField)
+      case c => col(c)
+    }
+    val appended =
+      (if (df.columns.contains(Envelope.CreatedAtField)) Nil
+       else Seq(createdAt.as(Envelope.CreatedAtField))) ++
+        (if (df.columns.contains(Envelope.AppNameField)) Nil
+         else Seq(appName.as(Envelope.AppNameField))) :+
         lit(code).as(Envelope.CodeField)
     df.select(
       lit(topic).as("topic"),
-      to_json(struct(fields: _*)).as("value"))
+      to_json(struct(inPlace ++ appended: _*)).as("value"))
   }
 
   /** Fan-out (O5): one message per element of an array column. */

@@ -576,16 +576,21 @@ object RelationalQueries {
          | CAST(COUNT(DISTINCT regexp_extract(p_brand, '[0-9]+')) AS BIGINT) AS n_brands
          |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
 
-    "q16_route_count" ->
-      s"""SELECT upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS code,
+    "q16_route_count" -> {
+      // full upper_camel semantics (uppercase first char and after each
+      // [-_ ] delimiter, delimiters dropped) — not just initial-cap, so the
+      // oracle stays correct for delimiter-containing event types too
+      val sqlUpperCamel =
+        "array_to_string(list_transform(string_split_regex(event_type, '[-_ ]'), x -> upper(x[1]) || x[2:]), '')"
+      s"""SELECT $sqlUpperCamel AS code,
          | COUNT(*) AS n_events,
          | ${sDSum(sDec2("value"))} AS total_value,
          | CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
          |FROM events
          |WHERE json_extract_string(props, '$$.k') IS NOT NULL
-         |  AND upper(substr(event_type, 1, 1)) || substr(event_type, 2)
-         |      IN ('Click', 'Purchase', 'Signup')
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  AND $sqlUpperCamel IN ('Click', 'Purchase', 'Signup')
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q17_hourly_events" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

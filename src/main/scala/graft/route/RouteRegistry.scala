@@ -105,16 +105,39 @@ final class RouteRegistry(
   private val Corrupt = "_corrupt_record"
 
   /** Parse with the corrupt-record marker retained — internal; the marker
-    * column drives both malformed-drop and DLQ routing. */
+    * column drives both malformed-drop and DLQ routing.
+    *
+    * Two-tier parse: the merged registry schema first; rows it rejects
+    * (e.g. a payload field whose JSON type conflicts with another code's
+    * registered type) get a second chance against the minimal envelope
+    * schema, so they still route by `code` — with null payload fields and
+    * the raw `value` available for handler-side re-parsing. Only messages
+    * that fail BOTH parses (truly malformed JSON) are marked corrupt. This
+    * matches the reference, which JSON.parses every message independently
+    * and routes anything parseable.
+    */
   private def parseAll(envelopes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     // PERMISSIVE from_json yields an all-null struct (not null) for corrupt
     // input, so malformed-drop needs an explicit corrupt-record marker.
-    val schema = schemas.mergedSchema.add(Corrupt, org.apache.spark.sql.types.StringType)
-    envelopes
-      .withColumn("__parsed", from_json(col("value").cast("string"), schema,
-        Map("columnNameOfCorruptRecord" -> Corrupt)))
-      .filter(col("__parsed").isNotNull)
-      .select(col("topic"), col("value"), col("__parsed.*"))
+    val opts = Map("columnNameOfCorruptRecord" -> Corrupt)
+    val full = schemas.mergedSchema.add(Corrupt, StringType)
+    val minimal = org.apache.spark.sql.types.StructType(
+      Envelope.metaSchema.fields).add(Corrupt, StringType)
+    val parsed = envelopes
+      .withColumn("__p", from_json(col("value").cast("string"), full, opts))
+      .withColumn("__m", from_json(col("value").cast("string"), minimal, opts))
+      .filter(col("__p").isNotNull)
+    val fullOk = col(s"__p.$Corrupt").isNull
+    val payloadFields = schemas.mergedSchema.fields
+      .filterNot(f => Envelope.MetaFields.contains(f.name))
+    val cols =
+      payloadFields.map(f => when(fullOk, col(s"__p.${f.name}")).as(f.name)) ++
+        Envelope.MetaFields.map(m =>
+          when(fullOk, col(s"__p.$m")).otherwise(col(s"__m.$m")).as(m)) :+
+        when(fullOk, lit(null).cast(StringType))
+          .otherwise(col(s"__m.$Corrupt")).as(Corrupt)
+    parsed.select(col("topic") +: col("value") +: cols.toSeq: _*)
   }
 
   def parse(envelopes: DataFrame): DataFrame =

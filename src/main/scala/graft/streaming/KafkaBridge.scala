@@ -45,21 +45,43 @@ object KafkaBridge {
       .select(col("topic"), col("value").cast("string").as("value"))
   }
 
+  /** How much an "unlimited" topic contributes to the shared micro-batch
+    * bound: large relative to any cap, but finite — one unlimited topic
+    * must not erase every other topic's admission control (the bound is a
+    * single global knob; true per-topic isolation = [[perTopicPlans]]). */
+  val UnlimitedShareFactor = 100L
+
   /** Micro-batch admission bound: the Spark analog of the reference's
     * per-topic in-flight caps (consumer/legacy-consumer.ts:175-181).
     * `OneByOne` → 1 message per micro-batch (strict serialization);
-    * `Topic` → cap × topic-count (per-topic caps with distinct limits would
-    * use one query per topic, each with its own bound). Topics marked
-    * unlimited (None in perTopicCaps) don't constrain the bound. */
+    * `Topic` → sum of per-topic caps, with unlimited topics clamped to
+    * `UnlimitedShareFactor × maxMessagesPerTopic`. The global bound is
+    * approximate by nature — Kafka admission can't be split per topic
+    * within one query; use [[perTopicPlans]] when exact per-topic caps
+    * matter. */
   def maxOffsets(config: EngineConfig, router: RouteRegistry): Long =
     config.strategy match {
       case Strategy.OneByOne => 1L
       case Strategy.Topic =>
+        val unlimitedShare = UnlimitedShareFactor * config.maxMessagesPerTopic
         router.topics.map { t =>
           config.perTopicCaps.getOrElse(t, Some(config.maxMessagesPerTopic))
-            .getOrElse(Int.MaxValue).toLong
+            .map(_.toLong).getOrElse(unlimitedShare)
         }.sum
     }
+
+  /** Exact per-topic admission: one streaming query per topic, each with
+    * its own `maxOffsetsPerTrigger` (None = no bound). This is the faithful
+    * translation of the reference's independent per-topic queues — at the
+    * cost of one consumer group/query per topic. */
+  def perTopicPlans(config: EngineConfig, router: RouteRegistry): Map[String, Option[Long]] =
+    router.topics.map { t =>
+      t -> (config.strategy match {
+        case Strategy.OneByOne => Some(1L)
+        case Strategy.Topic =>
+          config.perTopicCaps.getOrElse(t, Some(config.maxMessagesPerTopic)).map(_.toLong)
+      })
+    }.toMap
 
   /** Batch Kafka sink with producer tuning passthrough (O18). */
   def sink(df: DataFrame, config: EngineConfig, host: String): Unit = {

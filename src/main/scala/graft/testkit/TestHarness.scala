@@ -25,7 +25,7 @@ import graft.route.RouteRegistry
 final class TestHarness(
     val spark: SparkSession,
     baseConfig: EngineConfig = EngineConfig(),
-    clock: () => java.time.Instant = () => java.time.Instant.now(),
+    clock: () => java.time.Instant = graft.produce.Emitter.WallClock,
     val schemas: EventSchemaRegistry = new EventSchemaRegistry) {
 
   val config: EngineConfig = baseConfig.copy(onlyTesting = true)

@@ -178,4 +178,26 @@ class RouteRegistrySpec extends SparkSuite {
     val dlq = h.emitter.getEmittedEvents.filter(_.topic == "dlq")
     assert(dlq.flatMap(_.values) == Seq("garbage {{{"))
   }
+
+  test("schema-conflict messages still route by code (two-tier parse fallback)") {
+    // code A registers k as Long; a message for code B carries k as a string.
+    // The merged-schema parse rejects it, but the minimal-envelope fallback
+    // must still route it — the reference parses each message independently.
+    val schemas = new EventSchemaRegistry()
+      .register("A", StructType(Seq(StructField("k", LongType))))
+    val h = new TestHarness(spark, EngineConfig(dlqTopic = Some("dlq")), schemas = schemas)
+    var bFired = 0L
+    var aSawK: Option[Long] = None
+    h.consumer.add("t", "b", (df, _) => { bFired += df.count() })
+    h.consumer.add("t", "a", (df, _) => {
+      val rows = df.select("k").collect()
+      if (rows.nonEmpty) aSawK = Some(rows.head.getLong(0))
+    })
+    h.inputRaw("t", """{"k":"not-a-number","code":"B"}""")
+    h.inputRaw("t", """{"k":7,"code":"A"}""")
+    assert(bFired == 1, "type-conflicting message must still reach its route")
+    assert(aSawK.contains(7L), "well-typed message keeps its parsed payload")
+    assert(h.emitter.getEmittedEvents.forall(_.topic != "dlq"),
+      "schema conflicts are not DLQ material - only unparseable JSON is")
+  }
 }

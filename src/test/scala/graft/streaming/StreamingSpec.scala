@@ -121,12 +121,17 @@ class StreamingSpec extends SparkSuite {
     }
     // default cap 20 × 2 distinct topics
     assert(KafkaBridge.maxOffsets(EngineConfig(), router(EngineConfig())) == 40L)
-    // per-topic override + unlimited
+    // per-topic override + unlimited: unlimited is clamped (a single global
+    // bound must not be erased by one unlimited topic)
     val cfg = EngineConfig(perTopicCaps = Map("topic-a" -> Some(5), "topic-b" -> None))
-    assert(KafkaBridge.maxOffsets(cfg, router(cfg)) == 5L + Int.MaxValue.toLong)
+    assert(KafkaBridge.maxOffsets(cfg, router(cfg))
+      == 5L + KafkaBridge.UnlimitedShareFactor * 20L)
     // one-by-one → strict serialization
     val one = EngineConfig(strategy = Strategy.OneByOne)
     assert(KafkaBridge.maxOffsets(one, router(one)) == 1L)
+    // exact per-topic admission: one plan per topic, None = truly unbounded
+    assert(KafkaBridge.perTopicPlans(cfg, router(cfg))
+      == Map("topic-a" -> Some(5L), "topic-b" -> None))
   }
 
   test("one-by-one strategy processes messages individually and in order") {
