@@ -1,0 +1,63 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** The full training-data curation pipeline, composed end-to-end from the
+  * engine's operators — the 100 TB shape in one runnable job:
+  *
+  *   documents → exact dedup → MinHash+LSH near-dup drop → quality filter
+  *   → tokenize/fingerprint → curated parquet
+  *
+  * `sbt "runMain graft.examples.PipelineDemo [sfDir] [outDir]"`.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft-curated")
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // 1. exact dedup: keep the representative doc per distinct text
+    val reps = SparkEntry.queries("d01_dedup_exact")(spark, sfDir)
+      .select($"rep_id".as("doc_id"))
+    val exact = docs.join(reps, "doc_id")
+
+    // 2. near-dup drop: LSH candidates verified by Jaccard >= 0.2 — drop
+    //    the higher doc_id of each verified pair (keep-first policy)
+    val nearDupLosers = SparkEntry.queries("d07_dedup_pipeline")(spark, sfDir)
+      .select($"doc_b".as("doc_id")).distinct()
+    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    // 3. quality floor
+    val quality = SparkEntry.queries("t02_text_quality")(spark, sfDir)
+      .select($"doc_id", $"quality")
+    val curated = deduped.join(quality, "doc_id").filter($"quality" >= 0.5)
+
+    // 4. enrich with token stats + fingerprints, write curated set
+    val stats = SparkEntry.queries("t01_text_stats")(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"n_subtokens")
+    val fps = SparkEntry.queries("t04_doc_fingerprint")(spark, sfDir)
+      .select($"doc_id", $"fp")
+    val out = curated.join(stats, "doc_id").join(fps, "doc_id")
+      .select($"doc_id", $"lang", $"source", $"quality",
+        $"n_tokens", $"n_subtokens", $"fp", $"text")
+    out.write.mode("overwrite").parquet(outDir)
+
+    val kept = spark.read.parquet(outDir).count()
+    println(f"[pipeline] $total%d docs -> $kept%d curated " +
+      f"(${100.0 * kept / total}%.1f%% kept) at $outDir")
+    spark.stop()
+  }
+}
