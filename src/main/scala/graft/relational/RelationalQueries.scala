@@ -280,7 +280,8 @@ object RelationalQueries {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           round(sum(dec2($"value")), 2).cast("double").as("total_value"))
-        .select($"window.start".as("window_start"), $"event_type", $"n", $"total_value")
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"event_type", $"n", $"total_value")
         .orderBy($"window_start", $"event_type")
     },
 
@@ -297,7 +298,8 @@ object RelationalQueries {
           sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"),
-          min($"ts").as("session_start"), max($"ts").as("session_end"))
+          min($"ts").cast("timestamp_ntz").as("session_start"),
+          max($"ts").cast("timestamp_ntz").as("session_end"))
         .orderBy($"user_id", $"session_id")
     },
 

@@ -47,6 +47,12 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # strict dtype check BEFORE normalization (driver may compare schemas)
+        dt_g = {c: str(got[c].dtype) for c in got.columns}
+        dt_e = {c: str(exp[c].dtype) for c in exp.columns}
+        for c in sorted(set(dt_g) & set(dt_e)):
+            if dt_g[c] != dt_e[c]:
+                print(f"  WARN {name}: dtype {c}: spark={dt_g[c]} oracle={dt_e[c]}")
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
