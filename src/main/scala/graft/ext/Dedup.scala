@@ -255,6 +255,24 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Production-width 64-bit SimHash signatures via the codegen'd
+    // SimHash64 expression, with 4×16-bit multi-index block keys for the
+    // scale-path equi-join. No DuckDB oracle (xxHash64 is Spark-specific)
+    // → rows-only check; cross-checked against a Scala reference in
+    // SimHash64Spec.
+    "d08_simhash64_signatures" -> { (s, d) =>
+      import s.implicits._
+      val sig = graft.functions.SimHash64(split(trim($"text"), "\\s+"))
+      Tables.documents(s, d)
+        .select($"doc_id", sig.as("simhash64"))
+        .select($"doc_id", $"simhash64",
+          ($"simhash64".bitwiseAND(0xffffL)).as("block0"),
+          (shiftright($"simhash64", 16).bitwiseAND(0xffffL)).as("block1"),
+          (shiftright($"simhash64", 32).bitwiseAND(0xffffL)).as("block2"),
+          (shiftright($"simhash64", 48).bitwiseAND(0xffffL)).as("block3"))
+        .orderBy($"doc_id")
+    },
+
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._

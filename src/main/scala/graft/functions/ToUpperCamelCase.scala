@@ -69,5 +69,7 @@ object GraftFunctions {
       "upper_camel", exprs => ToUpperCamelCase(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
   }
 }
