@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSuite
+import graft.SparkEntry
+import graft.core.Tables
+
+/** Streaming↔batch parity over the REAL harness events data: the same
+  * aggregation expressed as a streaming query over a file source must
+  * produce exactly the batch query's rows. This is the engine's core
+  * promise — one declarative plan, batch and incremental execution
+  * interchangeable. */
+class StreamingParitySpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Events staged as a plain-micros parquet dir (the raw table is
+    * TIMESTAMP(NANOS), which the streaming file source can't schema). */
+  private lazy val stagedEvents: String = {
+    val dir = Files.createTempDirectory("graft-events-staged").toString + "/ev"
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly window aggregation equals batch q17") {
+    val batch = SparkEntry.queries("q17_hourly_events")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+    val schema = spark.read.parquet(stagedEvents).schema
+    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(14, 2))), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("parity_win").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming rows ${streamed.size} vs batch rows ${batch.size}")
+  }
+
+  test("streaming session_window matches batch gap-based sessionization") {
+    // batch q18 sessions: (user_id, session_start, n_events)
+    val batch = SparkEntry.queries("q18_sessionize")(spark, sf)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSet
+
+    val schema = spark.read.parquet(stagedEvents).schema
+    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("parity_sess")
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streaming sessions ${streamed.size} vs batch sessions ${batch.size}")
+  }
+}
