@@ -426,6 +426,20 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // Time-range window frame: rolling 90-day spend per customer. RANGE
+    // frames aggregate over ORDER-BY peers, so ties are deterministic by
+    // construction. Interval range frames are SQL-only in Spark.
+    "q29_rolling_spend" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_rs")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+          |    AS spend_90d
+          |FROM orders_rs ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -672,6 +686,14 @@ object RelationalQueries {
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) <= 3
         |ORDER BY o_custkey""".stripMargin,
+
+    "q29_rolling_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS spend_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
