@@ -440,6 +440,51 @@ object RelationalQueries {
           |FROM orders_rs ORDER BY o_custkey, o_orderkey""".stripMargin)
     },
 
+    // FULL OUTER join: daily order activity vs daily shipping activity —
+    // days present on either side survive with null-padded counterparts.
+    "q30_full_outer_activity" -> { (s, d) =>
+      import s.implicits._
+      val ordered = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("d1")).agg(count(lit(1)).as("n_ordered"))
+      val shipped = Tables.lineitem(s, d)
+        .groupBy(to_date($"l_shipdate").as("d2")).agg(count(lit(1)).as("n_shipped"))
+      ordered.join(shipped, $"d1" === $"d2", "full_outer")
+        .select(coalesce($"d1", $"d2").cast("timestamp_ntz").as("day"),
+          coalesce($"n_ordered", lit(0L)).as("n_ordered"),
+          coalesce($"n_shipped", lit(0L)).as("n_shipped"))
+        .orderBy($"day")
+    },
+
+    // Multiset (ALL) set operations: duplicates preserved.
+    "q31_multiset_ops" -> { (s, d) =>
+      import s.implicits._
+      def supps(lo: String, hi: String) = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts(lo) && $"l_shipdate" < ts(hi))
+        .select($"l_suppkey".as("suppkey"))
+      supps("1996-01-01", "1997-01-01")
+        .exceptAll(supps("1997-01-01", "1998-01-01"))
+        .groupBy($"suppkey").agg(count(lit(1)).as("surplus"))
+        .orderBy($"suppkey")
+    },
+
+    // Scalar string-function breadth: identical semantics in both engines.
+    "q32_string_kitchen" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_partkey" <= 50)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("up"),
+          lower($"p_brand").as("lo"),
+          reverse($"p_type").as("rev"),
+          lpad($"p_brand", 12, "*").as("pad"),
+          substring($"p_name", 3, 5).as("sub"),
+          concat_ws("|", $"p_brand", $"p_type").as("joined"),
+          length(replace($"p_name", lit(" "), lit(""))).cast("long").as("squeezed_len"),
+          locate("a", $"p_name").cast("long").as("first_a"))
+        .orderBy($"p_partkey")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -694,6 +739,40 @@ object RelationalQueries {
         |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
         |    AS spend_90d
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q30_full_outer_activity" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d1, COUNT(*) AS n_ordered
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS d2, COUNT(*) AS n_shipped
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COALESCE(d1, d2) AS TIMESTAMP) AS day,
+        |  COALESCE(n_ordered, 0) AS n_ordered,
+        |  COALESCE(n_shipped, 0) AS n_shipped
+        |FROM o FULL OUTER JOIN l ON d1 = d2
+        |ORDER BY day""".stripMargin,
+
+    "q31_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey AS suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |b AS (SELECT l_suppkey AS suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+        |e AS (SELECT suppkey FROM a EXCEPT ALL SELECT suppkey FROM b)
+        |SELECT suppkey, COUNT(*) AS surplus FROM e
+        |GROUP BY suppkey ORDER BY suppkey""".stripMargin,
+
+    "q32_string_kitchen" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  reverse(p_type) AS rev,
+        |  lpad(p_brand, 12, '*') AS pad,
+        |  substr(p_name, 3, 5) AS sub,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS squeezed_len,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
