@@ -334,4 +334,29 @@ class StreamingSpec extends SparkSuite {
     assert(h.emitter.getEmittedEvents.filter(_.topic == "dlq")
       .flatMap(_.values) == Seq("garbage {{{"))
   }
+
+  test("stream-stream join with watermarks and a time-bound condition") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val c = clicks.toDF().toDF("click_ts", "user_id").withWatermark("click_ts", "1 hour")
+    val b = buys.toDF().toDF("buy_ts", "buy_user").withWatermark("buy_ts", "1 hour")
+    // attribute a purchase to a click by the same user within 30 minutes
+    val joined = c.join(b,
+      expr("""user_id = buy_user AND
+             |buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    clicks.addData((t("00:00:00"), 1L), (t("00:00:00"), 2L), (t("02:00:00"), 3L))
+    buys.addData((t("00:10:00"), 1L),   // within 30m of click -> attributed
+                 (t("01:30:00"), 2L),   // 90m later -> NOT attributed
+                 (t("02:05:00"), 3L))   // within 30m -> attributed
+    q.processAllAvailable()
+    val users = spark.table("ssj_out").select("user_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(users == Seq(1L, 3L))
+    q.stop()
+  }
 }
