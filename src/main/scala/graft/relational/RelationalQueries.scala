@@ -485,6 +485,21 @@ object RelationalQueries {
         .orderBy($"p_partkey")
     },
 
+    // Temporal scalar-function breadth: interval arithmetic, month-end,
+    // quarter extraction, day differencing — engine-agreeing semantics only.
+    "q33_temporal_fns" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderkey" <= 200)
+        .select(
+          $"o_orderkey",
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due"),
+          last_day($"o_orderdate".cast("date")).cast("timestamp_ntz").as("eom"),
+          quarter($"o_orderdate").as("q"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("age_days"))
+        .orderBy($"o_orderkey")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -773,6 +788,14 @@ object RelationalQueries {
         |  CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS squeezed_len,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
         |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
+
+    "q33_temporal_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS age_days
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
