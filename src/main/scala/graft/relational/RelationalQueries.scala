@@ -500,6 +500,18 @@ object RelationalQueries {
         .orderBy($"o_orderkey")
     },
 
+    // Distribution window functions: quartile bucketing + rank ratios.
+    "q34_window_distribution" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(s, d)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -796,6 +808,15 @@ object RelationalQueries {
         |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
         |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS age_days
         |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q34_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
