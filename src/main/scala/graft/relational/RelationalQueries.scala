@@ -512,6 +512,19 @@ object RelationalQueries {
         .orderBy($"c_mktsegment", $"c_custkey")
     },
 
+    // Exact percentiles (linear interpolation — identical formula in both
+    // engines over identical doubles). At 100 TB you'd use approx_percentile
+    // (mergeable sketch); the exact form is the correctness baseline.
+    "q35_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          percentile($"o_totalprice", lit(0.5)).as("median_price"),
+          percentile($"o_totalprice", lit(0.9)).as("p90_price"))
+        .orderBy($"o_orderpriority")
+    },
+
     // Scalar-subquery shape: compare each row against its group aggregate.
     "q19_above_nation_avg" -> { (s, d) =>
       import s.implicits._
@@ -817,6 +830,12 @@ object RelationalQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q35_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q19_above_nation_avg" ->
       s"""WITH na AS (
