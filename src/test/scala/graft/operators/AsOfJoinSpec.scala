@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class AsOfJoinSpec extends SparkSuite {
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("each event gets the latest price at-or-before its time") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "AAA", t("10:00:00")),
+      (2L, "AAA", t("10:05:00")),
+      (3L, "BBB", t("10:02:00")),
+      (4L, "CCC", t("10:01:00"))).toDF("trade_id", "sym", "ts")
+    val prices = Seq(
+      ("AAA", t("09:59:00"), 10.0),
+      ("AAA", t("10:03:00"), 11.0),
+      ("AAA", t("10:30:00"), 15.0),   // in the future for all trades
+      ("BBB", t("09:00:00"), 7.0)).toDF("psym", "pts", "price")
+
+    val joined = AsOfJoin.asOf(trades, prices,
+      leftId = trades("trade_id"),
+      key = (trades("sym"), prices("psym")),
+      time = (trades("ts"), prices("pts")))
+      .select("trade_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(joined(1L).contains(10.0))   // 09:59 quote
+    assert(joined(2L).contains(11.0))   // 10:03 quote supersedes
+    assert(joined(3L).contains(7.0))    // older quote still valid
+    assert(joined(4L).isEmpty)          // CCC has no quote → null survives
+  }
+
+  test("tolerance bounds how stale the matched row may be") {
+    import spark.implicits._
+    val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
+    val dim = Seq(("K", t("09:00:00"), "old")).toDF("dk", "dts", "v")
+    val within = AsOfJoin.asOf(ev, dim, ev("id"),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 5 HOURS")))
+      .select("v").collect()
+    assert(within.head.getString(0) == "old")
+    val tooOld = AsOfJoin.asOf(ev, dim, ev("id"),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")))
+      .select("v").collect()
+    assert(tooOld.head.isNullAt(0), "match outside tolerance is dropped")
+  }
+}
