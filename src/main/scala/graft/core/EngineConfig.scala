@@ -61,6 +61,19 @@ object ErrorPolicy {
   *                           with a DLQ set they are additionally emitted
   *                           raw for inspection/replay — an extension, off
   *                           by default for parity.
+  * @param startingOffsets    Kafka source start position ("latest" |
+  *                           "earliest" | per-partition JSON). Only applies
+  *                           to the first start; once a checkpoint exists
+  *                           the WAL wins. Default "latest" = the
+  *                           reference's `fromBeginning: false` consumer.
+  * @param failOnDataLoss     fail the stream when expected offsets are gone
+  *                           (topic deleted / retention passed). `None`
+  *                           (default) resolves to TRUE when
+  *                           `checkpointLocation` is set — silently skipping
+  *                           a data-loss window would break the
+  *                           at-least-once contract the checkpoint
+  *                           advertises — and FALSE for ephemeral
+  *                           checkpoint-less runs.
   */
 final case class EngineConfig(
     host: String = "localhost:9092",
@@ -76,7 +89,13 @@ final case class EngineConfig(
     errorPolicy: ErrorPolicy = ErrorPolicy.LogAndContinue,
     parsedEventsReverseCompat: Boolean = false,
     checkpointLocation: Option[String] = None,
-    dlqTopic: Option[String] = None) {
+    dlqTopic: Option[String] = None,
+    startingOffsets: String = "latest",
+    failOnDataLoss: Option[Boolean] = None) {
+
+  /** Resolved failOnDataLoss — see the param doc. */
+  def resolveFailOnDataLoss: Boolean =
+    failOnDataLoss.getOrElse(checkpointLocation.isDefined)
 
   /** appName resolution chain (reference producer/legacy-producer.ts:152 +
     * README.md:112-118): per-message appName → config.appName → groupId →

@@ -34,8 +34,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[ArrayData])
 
+  // MODULE$-qualified for the same reason as ToUpperCamelCase: resolving
+  // through the case class relies on a static forwarder scalac may omit.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64$$.MODULE$$.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Left rows with no match survive with null right columns (left outer).
   *
+  * When two right rows share the same key AND timestamp, the winner is
+  * decided by `rightTieBreak` (descending), so the result is deterministic
+  * across runs and partitionings — the repo-wide total-order rule. The
+  * default tie-break is every right column in name order, total as long
+  * as the right side has no fully-duplicate rows; pass an explicit unique
+  * right-row id when it might.
+  *
   * @param leftId a column uniquely identifying left rows (needed to rank
   *               matches per left row)
+  * @param rightTieBreak columns of `right` breaking equal-timestamp ties
+  *                      (highest wins); default = all right columns
   */
 object AsOfJoin {
 
@@ -34,13 +43,18 @@ object AsOfJoin {
       leftId: Column,
       key: (Column, Column),
       time: (Column, Column),
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val (lk, rk) = key
     val (lt, rt) = time
     val cond = lk === rk && rt <= lt &&
       tolerance.map(tol => rt >= lt - tol).getOrElse(lit(true))
     val joined = left.join(right, cond, "left_outer")
-    val w = Window.partitionBy(leftId).orderBy(rt.desc_nulls_last)
+    val tieBreak =
+      if (rightTieBreak.nonEmpty) rightTieBreak
+      else right.columns.sorted.toSeq.map(right(_))
+    val order = (rt +: tieBreak).map(_.desc_nulls_last)
+    val w = Window.partitionBy(leftId).orderBy(order: _*)
     joined
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)

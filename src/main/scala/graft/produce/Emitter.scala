@@ -114,7 +114,14 @@ final class Emitter(
 
   /** Emit a payload DataFrame to `topic` on every configured host (batch).
     * `overwriteHosts` replaces the configured host set for this call only
-    * (reference emit overload p3, producer/legacy-producer.ts:194). */
+    * (reference emit overload p3, producer/legacy-producer.ts:194).
+    *
+    * A 0-row DataFrame emits nothing and records no captured batch —
+    * consistent with [[emitStream]]'s per-micro-batch capture. The
+    * reference instead REJECTS an empty `data` array eagerly
+    * (producer/legacy-producer.ts:180 "Data array can't be empty"); that
+    * validation is not reproducible here because a DataFrame's row count
+    * is unknown until the job runs — documented deviation. */
   def emit(
       df: DataFrame,
       topic: String,
@@ -123,7 +130,7 @@ final class Emitter(
     val enriched = enrich(df, topic, eventName)
     if (config.onlyTesting) {
       val values = enriched.select("value").collect().map(_.getString(0)).toSeq
-      synchronized { captured += EmittedBatch(topic, values) }
+      if (values.nonEmpty) synchronized { captured += EmittedBatch(topic, values) }
     } else {
       val hosts = resolveHosts(overwriteHosts)
       // Multi-cluster replication (O3): compute once, write per host.

@@ -55,6 +55,32 @@ object RelationalQueries {
   private def sDSum(e: String) = s"CAST(ROUND(SUM($e), 2) AS DOUBLE)"
   private def sDSum4(e: String) = s"CAST(ROUND(SUM($e), 4) AS DOUBLE)"
 
+  /** DuckDB twin of [[graft.functions.ToUpperCamelCase]] with the
+    * reference's EXACT `charAt(0).toUpperCase() + slice(1)
+    * .replace(/[-_ ]./g, up)` semantics: a left-to-right fold over the
+    * tail's characters (chr(1) marks a pending delimiter awaiting its
+    * follower, chr(2) is an end-of-string sentinel that flushes a trailing
+    * delimiter). Verified equivalent to the JS rule on randomized inputs;
+    * the one knowing divergence is DuckDB's `upper()` mapping `ß` to `ẞ`
+    * where JS/Java expand to `SS` — unreachable for these event codes. */
+  private def sqlUpperCamelFold(col: String): String =
+    s"""CASE WHEN $col IS NULL OR $col = '' THEN $col ELSE
+       | upper(substr($col, 1, 1)) ||
+       | list_reduce(
+       |   list_append(list_prepend('', string_split(substr($col, 2), '')), chr(2)),
+       |   (acc, c) -> CASE
+       |     WHEN c = chr(2) THEN
+       |       CASE WHEN length(acc) >= 2 AND substr(acc, length(acc)-1, 1) = chr(1)
+       |            THEN substr(acc, 1, length(acc)-2) || substr(acc, length(acc), 1)
+       |            ELSE acc END
+       |     WHEN length(acc) >= 2 AND substr(acc, length(acc)-1, 1) = chr(1) THEN
+       |       CASE WHEN c IN (chr(10), chr(13), chr(8232), chr(8233))
+       |            THEN substr(acc, 1, length(acc)-2) || substr(acc, length(acc), 1) || c
+       |            ELSE substr(acc, 1, length(acc)-2) || upper(c) END
+       |     WHEN c IN ('-', '_', ' ') THEN acc || chr(1) || c
+       |     ELSE acc || c END)
+       |END""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O(n) scan + grouped agg; partial agg map-side, 6 groups → tiny shuffle.
     "q01_pricing_summary" -> { (s, d) =>
@@ -678,11 +704,7 @@ object RelationalQueries {
          |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "q16_route_count" -> {
-      // full upper_camel semantics (uppercase first char and after each
-      // [-_ ] delimiter, delimiters dropped) — not just initial-cap, so the
-      // oracle stays correct for delimiter-containing event types too
-      val sqlUpperCamel =
-        "array_to_string(list_transform(string_split_regex(event_type, '[-_ ]'), x -> upper(x[1]) || x[2:]), '')"
+      val sqlUpperCamel = sqlUpperCamelFold("event_type")
       s"""SELECT $sqlUpperCamel AS code,
          | COUNT(*) AS n_events,
          | ${sDSum(sDec2("value"))} AS total_value,

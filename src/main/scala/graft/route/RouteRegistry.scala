@@ -112,9 +112,16 @@ final class RouteRegistry(
     * registered type) get a second chance against the minimal envelope
     * schema, so they still route by `code` — with null payload fields and
     * the raw `value` available for handler-side re-parsing. Only messages
-    * that fail BOTH parses (truly malformed JSON) are marked corrupt. This
-    * matches the reference, which JSON.parses every message independently
-    * and routes anything parseable.
+    * that fail BOTH parses are marked corrupt. This matches the reference,
+    * which JSON.parses every message independently and routes anything
+    * parseable.
+    *
+    * Null values (Kafka tombstones) and empty/whitespace-only values —
+    * where `from_json` returns a null STRUCT instead of a corrupt-marked
+    * one — are marked corrupt too, so the DLQ contract ("every
+    * unparseable value is emitted raw for replay") holds for them rather
+    * than silently skipping. A DLQ'd tombstone re-emits as a null-valued
+    * record, which Kafka accepts.
     */
   private def parseAll(envelopes: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.StringType
@@ -127,15 +134,18 @@ final class RouteRegistry(
     val parsed = envelopes
       .withColumn("__p", from_json(col("value").cast("string"), full, opts))
       .withColumn("__m", from_json(col("value").cast("string"), minimal, opts))
-      .filter(col("__p").isNotNull)
-    val fullOk = col(s"__p.$Corrupt").isNull
+    val fullOk = col("__p").isNotNull && col(s"__p.$Corrupt").isNull
     val payloadFields = schemas.mergedSchema.fields
       .filterNot(f => Envelope.MetaFields.contains(f.name))
     val cols =
       payloadFields.map(f => when(fullOk, col(s"__p.${f.name}")).as(f.name)) ++
         Envelope.MetaFields.map(m =>
           when(fullOk, col(s"__p.$m")).otherwise(col(s"__m.$m")).as(m)) :+
-        when(fullOk, lit(null).cast(StringType))
+        // corrupt marker: null value (tombstone) / null parse result (empty
+        // input) / both-parse failure; null marker = successfully parsed
+        when(col("value").isNull, lit("<null value>"))
+          .when(col("__m").isNull, coalesce(col("value").cast("string"), lit("")))
+          .when(fullOk, lit(null).cast(StringType))
           .otherwise(col(s"__m.$Corrupt")).as(Corrupt)
     parsed.select(col("topic") +: col("value") +: cols.toSeq: _*)
   }

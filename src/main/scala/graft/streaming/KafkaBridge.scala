@@ -36,8 +36,8 @@ object KafkaBridge {
     val reader = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", config.host)
       .option("subscribe", router.topics.mkString(","))
-      .option("startingOffsets", "latest")
-      .option("failOnDataLoss", "false")
+      .option("startingOffsets", config.startingOffsets)
+      .option("failOnDataLoss", config.resolveFailOnDataLoss.toString)
       .option("maxOffsetsPerTrigger", maxOffsets(config, router).toString)
     config.groupId.foreach(g => reader.option("kafka.group.id", g))
     minPartitions.foreach(p => reader.option("minPartitions", p.toString))

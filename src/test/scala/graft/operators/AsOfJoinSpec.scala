@@ -32,6 +32,28 @@ class AsOfJoinSpec extends SparkSuite {
     assert(joined(4L).isEmpty)          // CCC has no quote → null survives
   }
 
+  test("equal-timestamp ties break deterministically (highest tie-break wins)") {
+    import spark.implicits._
+    val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
+    // two right rows with identical key + timestamp
+    val dim = Seq(
+      ("K", t("11:00:00"), "alpha", 1L),
+      ("K", t("11:00:00"), "beta", 2L)).toDF("dk", "dts", "v", "rid")
+    // explicit tie-break: highest rid wins, on every run
+    (1 to 5).foreach { _ =>
+      val got = AsOfJoin.asOf(ev, dim, ev("id"),
+        (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+        rightTieBreak = Seq(dim("rid")))
+        .select("v").head().getString(0)
+      assert(got == "beta")
+    }
+    // default tie-break (all right columns, name-ordered, desc): rid 2 wins
+    val gotDefault = AsOfJoin.asOf(ev, dim, ev("id"),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")))
+      .select("v").head().getString(0)
+    assert(gotDefault == "beta")
+  }
+
   test("tolerance bounds how stale the matched row may be") {
     import spark.implicits._
     val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")

@@ -179,6 +179,20 @@ class RouteRegistrySpec extends SparkSuite {
     assert(dlq.flatMap(_.values) == Seq("garbage {{{"))
   }
 
+  test("DLQ extension: tombstones (null values) and empty values reach the DLQ") {
+    val h = new TestHarness(spark, EngineConfig(dlqTopic = Some("dlq")))
+    var good = 0L
+    h.consumer.add("t", (df, _) => { good += df.count() })
+    h.inputRaw("t", null)          // Kafka tombstone
+    h.inputRaw("t", "")            // empty value: from_json yields null struct
+    h.inputRaw("t", """{"a":1}""")
+    assert(good == 1, "unparseable values must not reach handlers")
+    val dlq = h.emitter.getEmittedEvents.filter(_.topic == "dlq").flatMap(_.values)
+    assert(dlq.size == 2, s"tombstone + empty value both DLQ'd, got $dlq")
+    assert(dlq.contains(null) && dlq.contains(""),
+      "tombstone replays as a null-valued record, empty value as-is")
+  }
+
   test("schema-conflict messages still route by code (two-tier parse fallback)") {
     // code A registers k as Long; a message for code B carries k as a string.
     // The merged-schema parse rejects it, but the minimal-envelope fallback
