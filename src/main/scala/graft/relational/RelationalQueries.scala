@@ -561,6 +561,69 @@ object RelationalQueries {
         .filter($"c_acctbal" > $"nation_avg")
         .select($"c_custkey", $"c_acctbal", $"nation_avg")
         .orderBy($"c_custkey")
+    },
+
+    // As-of join (graft.operators.AsOfJoin): last-click attribution — each
+    // purchase matched to the user's most recent click at-or-before it,
+    // within a 7-day window. Oracle = DuckDB's native ASOF LEFT JOIN (the
+    // tolerance maps to a post-pick filter: the as-of pick is the LATEST
+    // candidate, so nullifying an out-of-window pick equals constraining
+    // the join — every other candidate is older still).
+    "q36_asof_attribution" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("click_ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+        leftId = purchases("purchase_id"),
+        key = (purchases("user_id"), clicks("c_user")),
+        time = (purchases("ts"), clicks("click_ts")),
+        tolerance = Some(expr("INTERVAL 7 DAYS")),
+        rightTieBreak = Seq(clicks("click_id")))
+        .select($"purchase_id", $"user_id", $"click_id",
+          expr("(unix_micros(ts) - unix_micros(click_ts)) DIV 60000000")
+            .as("mins_since_click"))
+        .orderBy($"purchase_id")
+    },
+
+    // Range (band) join: non-equi join of a fact against interval brackets.
+    // The brackets side is tiny and broadcast, so the fact table never
+    // shuffles — the 100 TB shape for banding/bucketing joins (Spark plans
+    // BroadcastNestedLoopJoin; with AQE the scan stays one pass).
+    "q37_range_join" -> { (s, d) =>
+      import s.implicits._
+      val brackets = Seq(
+        ("p1_subzero", -100000.0, 0.0),
+        ("p2_low", 0.0, 2500.0),
+        ("p3_mid", 2500.0, 5000.0),
+        ("p4_high", 5000.0, 7500.0),
+        ("p5_top", 7500.0, 100000.0)).toDF("bracket", "lo", "hi")
+      Tables.customer(s, d)
+        .join(broadcast(brackets), $"c_acctbal" >= $"lo" && $"c_acctbal" < $"hi")
+        .groupBy($"bracket")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(dec2($"c_acctbal")), 2).cast("double").as("total_bal"))
+        .orderBy($"bracket")
+    },
+
+    // GROUPING SETS — the general form behind rollup (q12) and cube (q22):
+    // explicit per-dimension subtotals in ONE aggregation pass (Spark
+    // expands sets via a single Expand + hash agg, not N scans).
+    "q38_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(dec2($"o_totalprice")), 2).cast("double").as("total_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n_orders", $"total_price")
+        .orderBy($"status", $"priority")
     }
   )
 
@@ -866,6 +929,36 @@ object RelationalQueries {
          |  FROM customer GROUP BY c_nationkey)
          |SELECT c_custkey, c_acctbal, nation_avg
          |FROM customer JOIN na ON c_nationkey = nk
-         |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+         |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
+
+    "q36_asof_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.event_id END AS click_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY
+        |       THEN CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS BIGINT)
+        |  END AS mins_since_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q37_range_join" ->
+      s"""WITH brackets(bracket, lo, hi) AS (VALUES
+         |  ('p1_subzero', -100000.0, 0.0), ('p2_low', 0.0, 2500.0),
+         |  ('p3_mid', 2500.0, 5000.0), ('p4_high', 5000.0, 7500.0),
+         |  ('p5_top', 7500.0, 100000.0))
+         |SELECT bracket, COUNT(*) AS n_customers,
+         |  ${sDSum(sDec2("c_acctbal"))} AS total_bal
+         |FROM customer JOIN brackets ON c_acctbal >= lo AND c_acctbal < hi
+         |GROUP BY bracket ORDER BY bracket""".stripMargin,
+
+    "q38_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n_orders,
+         |  ${sDSum(sDec2("o_totalprice"))} AS total_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin
   )
 }
