@@ -1,0 +1,33 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer: `runMain graft.examples.QueryTimer <name>
+  * [sfDir] [reps]` — times one SparkEntry query end-to-end (count action)
+  * after a warm-up rep, printing each rep. For hotspot work where the full
+  * Bench sweep is too coarse. */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    (0 to reps).foreach { i =>
+      // fresh plan each rep; persisted intermediates are cleared so every
+      // rep pays the full cost
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"rep=$i rows=$n time=$dt%.3f s" + (if (i == 0) " (warmup)" else ""))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -185,29 +185,31 @@ object Dedup {
         .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sh = v.select($"doc_id", $"lang", simhash.as("simhash"))
-      // Multi-index Hamming search: split the 16 bits into 3 blocks
-      // (6/5/5). By pigeonhole, any pair with Hamming distance <= 2 agrees
-      // on at least one whole block, so an equi-join on (lang, block_idx,
-      // block_value) finds EXACTLY the same pairs as the naive O(n²)
-      // cross join — the oracle keeps the naive definition. At scale this
-      // is the difference between n² and a hash join.
-      val blockCols = Seq(
-        struct(lit(0).as("bi"), ($"simhash".bitwiseAND(63L)).as("bv")),
-        struct(lit(1).as("bi"), (shiftright($"simhash", 6).bitwiseAND(31L)).as("bv")),
-        struct(lit(2).as("bi"), (shiftright($"simhash", 11).bitwiseAND(31L)).as("bv")))
-      val blocks = sh.select($"doc_id", $"lang", explode(array(blockCols: _*)).as("b"))
-        .select($"doc_id", $"lang", $"b.bi", $"b.bv")
-      val cand = blocks.as("a").join(blocks.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bi") === col("b.bi")
-            && col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.as("x"), $"doc_a" === col("x.doc_id"))
-        .join(sh.as("y"), $"doc_b" === col("y.doc_id"))
-        .select($"doc_a", $"doc_b",
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .filter($"hamming" <= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Value-space Hamming search: a 16-bit simhash has at most 2^16
+      // distinct values, and in practice far fewer than there are docs —
+      // so pair up the distinct (lang, value)s first (tiny quadratic,
+      // lang-partitioned) and expand the qualifying value pairs back to
+      // doc pairs with two equi-joins. EXACTLY the naive O(n²) pair set
+      // (the value space is exhaustive — no pigeonhole argument needed),
+      // but the quadratic step never touches per-doc rows. For signatures
+      // too wide to enumerate (64-bit), the multi-index block equi-join of
+      // d08 is the scale path instead.
+      val vals = sh.select($"lang", $"simhash").distinct()
+      // Each unordered value pair appears in both orientations, and the
+      // doc-level `doc_a < doc_b` keeps exactly one expansion of each —
+      // including same-value (Hamming 0) buckets.
+      val vp = vals.as("va").join(vals.as("vb"),
+          col("va.lang") === col("vb.lang") &&
+            bit_count(col("va.simhash").bitwiseXOR(col("vb.simhash"))) <= 2)
+        .select(col("va.lang").as("vl"),
+          col("va.simhash").as("ha"), col("vb.simhash").as("hb"))
+      vp
+        .join(sh.as("x"), $"vl" === col("x.lang") && $"ha" === col("x.simhash"))
+        .join(sh.as("y"), $"vl" === col("y.lang") && $"hb" === col("y.simhash")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
         .orderBy($"doc_a", $"doc_b")
     },
 
