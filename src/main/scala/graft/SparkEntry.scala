@@ -21,7 +21,8 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++
+      ext.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       ext.TextAnalysis.oracle ++
       ext.Dedup.oracle ++
       ext.Similarity.oracle ++
-      ext.Multimodal.oracle
+      ext.Multimodal.oracle ++
+      ext.Curation.oracle
 }

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Dataset-curation operators for a training-data pipeline: deterministic
+  * subsampling and train/val/test splitting over `documents`.
+  *
+  * Both are built on a content-stable pseudo-random unit: the first 28 bits
+  * of `md5(doc_id)` as a uniform in `[0, 2^28)`. Hash-based sampling is the
+  * only kind that scales AND reproduces: it needs no global state, no RNG
+  * seed plumbing, assigns every row independently (narrow, no shuffle), and
+  * a rerun — or a different engine, which is exactly what the DuckDB oracle
+  * proves — selects the identical rows. At 100 TB both queries are
+  * scan-bound single passes.
+  */
+object Curation {
+
+  /** 28-bit md5 prefix of the stringified id — uniform in [0, 2^28). */
+  private def u28(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 7), 16, 10).cast("long")
+
+  private def sqlU28(id: String): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 7))::BIGINT"
+
+  /** 2^28 as a double — `u28 / Unit28` is exact (28-bit numerator fits a
+    * double mantissa), so threshold compares agree bit-for-bit across
+    * engines. */
+  private val Unit28 = 268435456.0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified downsampling for data mixing: keep 25% of the dominant
+    // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
+    "c01_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val keepBound = when($"lang" === "en", lit(0.25)).otherwise(lit(0.75))
+      Tables.documents(s, d)
+        .filter((u28($"doc_id") / Unit28) < keepBound)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+
+    // Deterministic 80/10/10 train/val/test assignment; output is the
+    // per-(lang, split) census plus the id-range evidence that assignment
+    // is content-stable.
+    "c02_hash_split" -> { (s, d) =>
+      import s.implicits._
+      val u = u28($"doc_id") / Unit28
+      val split = when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+      Tables.documents(s, d)
+        .withColumn("split", split)
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"lang", $"split")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c01_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${sqlU28("doc_id")} / 268435456.0) <
+         |  (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "c02_hash_split" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    ${sqlU28("doc_id")} / 268435456.0 AS u FROM documents)
+         |SELECT lang,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  )
+}

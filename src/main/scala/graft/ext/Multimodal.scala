@@ -24,6 +24,9 @@ final case class MediaFeatures(
     media_id: Long, kind: String, n_bytes: Long,
     f0: Long, f1: Long, f2: Long, f3: Long)
 
+final case class FrameSummary(
+    media_id: Long, n_frames: Int, first_b: Int, last_b: Int, checksum: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -78,6 +81,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resize + frame-sample through the stub codecs: per blob, "resize" to
+    * an 8×8 area (prefix truncation) then take every 4th byte as a frame;
+    * summarize frames per media. Same mapPartitions batch shape a real
+    * video pipeline uses (decode → resample → per-frame features). */
+  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val frames = frameSampleStub(resizeStub(r.content, 8, 8), 4)
+        FrameSummary(
+          r.media_id,
+          frames.length,
+          if (frames.isEmpty) -1 else frames.head & 0xff,
+          if (frames.isEmpty) -1 else frames.last & 0xff,
+          frames.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // documents.text as the stand-in blob; source as the media kind.
     "m01_media_features" -> { (s, d) =>
@@ -86,6 +108,14 @@ object Multimodal {
         .select($"doc_id".as("media_id"), $"source".as("kind"),
           $"text".cast("binary").as("content"))
       extractFeatures(s, media).orderBy($"media_id")
+    },
+
+    "m02_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          $"text".cast("binary").as("content"))
+      sampleFrames(s, media).orderBy($"media_id")
     }
   )
 
@@ -99,6 +129,21 @@ object Multimodal {
            |  CAST(length(text) AS BIGINT) AS n_bytes,
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
            |FROM documents ORDER BY media_id""".stripMargin
-    }
+    },
+
+    // resize = prefix-truncate to 64 bytes; frames = bytes 0,4,8,… of the
+    // truncation; ASCII stand-in blobs keep it SQL-expressible.
+    "m02_frame_sample" ->
+      raw"""WITH t AS (SELECT doc_id AS media_id,
+           |    least(length(text), 64) AS n, text FROM documents),
+           |f AS (SELECT media_id, n, (n + 3) // 4 AS nf, text FROM t)
+           |SELECT media_id,
+           |  CAST(nf AS INTEGER) AS n_frames,
+           |  CAST(CASE WHEN nf = 0 THEN -1 ELSE ord(substr(text, 1, 1)) END AS INTEGER) AS first_b,
+           |  CAST(CASE WHEN nf = 0 THEN -1
+           |       ELSE ord(substr(text, (nf - 1) * 4 + 1, 1)) END AS INTEGER) AS last_b,
+           |  CAST(coalesce(list_sum(list_transform(range(0, nf),
+           |    k -> ord(substr(text, k * 4 + 1, 1)))), 0) AS BIGINT) AS checksum
+           |FROM f ORDER BY media_id""".stripMargin
   )
 }

@@ -102,6 +102,40 @@ object Similarity {
         .orderBy($"query_id", $"rn")
     },
 
+    // One Lloyd (k-means) refinement step from the s03 seed centroids:
+    // assign every vector to its nearest centroid, then recompute each
+    // cell's mean. The sum is an IN-ORDER elementwise fold over the cell's
+    // members sorted by vec_id (`aggregate` over a sorted collect_list),
+    // so both engines add the same doubles in the same order —
+    // bit-identical means despite double non-associativity. At 100 TB the
+    // in-order fold becomes the map-side partial pattern instead
+    // (per-partition sums + merge) and exact cross-engine parity is
+    // traded for speed; here parity is the point.
+    "s04_kmeans_refine" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v",
+          $"cent_id", cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter($"crn" === 1)
+        .select($"vec_id", $"v", $"cent_id".as("cell"))
+      val meanCols = (0 until 4).map(i =>
+        round(element_at($"sv", i + 1) / $"n_members", 6).as(s"m$i"))
+      assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(struct($"vec_id", $"v"))).as("vs"))
+        .withColumn("sv", expr(
+          """aggregate(vs, array_repeat(CAST(0.0 AS DOUBLE), 64),
+            |  (acc, x) -> zip_with(acc, x.v, (p, q) -> p + q))""".stripMargin))
+        .select($"cell" +: $"n_members" +: meanCols: _*)
+        .orderBy($"cell")
+    },
+
     // LSH-bucketed ANN: sign bits of dims 0..7 → 256 buckets; neighbors
     // searched within the query's bucket only.
     "s02_ann_buckets" -> { (s, d) =>
@@ -157,6 +191,26 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, cell, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "s04_kmeans_refine" -> {
+      val ms = (0 until 4)
+        .map(i => s"round(sv[${i + 1}] / n_members, 6) AS m$i").mkString(", ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |g AS (SELECT cell, COUNT(*) AS n_members, list(v ORDER BY vec_id) AS vs
+           |  FROM assigned GROUP BY cell),
+           |sm AS (SELECT cell, n_members,
+           |    list_reduce(list_prepend(list_transform(range(1, 65), i -> 0.0), vs),
+           |      (acc, x) -> list_transform(range(1, 65), i -> acc[i] + x[i])) AS sv
+           |  FROM g)
+           |SELECT cell, n_members, $ms FROM sm ORDER BY cell""".stripMargin
+    },
 
     "s02_ann_buckets" -> {
       val bucket = (0 until 8)

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Hash-based sampling/splitting must be deterministic, rate-accurate, and
+  * consistent between the two queries (same u28 unit). */
+class CurationSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("c01: sampling is deterministic and respects per-stratum rates") {
+    val q = Curation.queries("c01_stratified_sample")
+    val a = q(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same input must select identical rows")
+    // rate sanity at the larger sf where strata have enough mass
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = q(spark, "/root/testdata/sf0.01")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      val rate = keptBy.getOrElse(lang, 0L).toDouble / n
+      val want = if (lang == "en") 0.25 else 0.75
+      assert(math.abs(rate - want) < 0.15, s"$lang rate $rate !~ $want (n=$n)")
+    }
+  }
+
+  test("c02: split census covers every doc exactly once, ~80/10/10") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val census = Curation.queries("c02_hash_split")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val bySplit = census.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySplit.values.sum == docs.count(), "partition of the corpus")
+    val n = bySplit.values.sum.toDouble
+    assert(math.abs(bySplit("train") / n - 0.8) < 0.06)
+    assert(math.abs(bySplit("val") / n - 0.1) < 0.05)
+    assert(math.abs(bySplit("test") / n - 0.1) < 0.05)
+  }
+
+  test("s04: refined means are finite and cells partition the vectors") {
+    val rows = Similarity.queries("s04_kmeans_refine")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val members = rows.map(_.getLong(1)).sum
+    assert(members == graft.core.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      (2 until 6).foreach(i => assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite))
+    }
+  }
+
+  test("m02: frame summaries agree with a direct stub computation") {
+    import spark.implicits._
+    val media = Seq((1L, "k", "abcdefgh" * 10), (2L, "k", "xy"))
+      .toDF("media_id", "kind", "text")
+      .selectExpr("media_id", "kind", "CAST(text AS BINARY) AS content")
+    val got = Multimodal.sampleFrames(spark, media).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // blob 1: 80 bytes -> resize keeps 64 -> frames at 0,4,...,60 (16)
+    val s1 = "abcdefgh" * 10
+    val frames1 = (0 until 64 by 4).map(s1.charAt)
+    assert(got(0) == ((1L, 16, frames1.head.toInt, frames1.last.toInt,
+      frames1.map(_.toLong).sum)))
+    // blob 2: 2 bytes -> 1 frame ('x')
+    assert(got(1) == ((2L, 1, 'x'.toInt, 'x'.toInt, 'x'.toLong)))
+  }
+}
