@@ -42,6 +42,33 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // Benchmark decontamination: flag training documents sharing any
+    // word-5-gram with the held-out eval set (doc_id % 10 = 0 stands in
+    // for the benchmark corpus). The eval shingle set is small by
+    // construction and broadcast, so the training side is a single scan +
+    // broadcast-hash join — the shape that decontaminates 100 TB of
+    // training text against megabytes of benchmarks without a shuffle.
+    "c03_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      def sh5(df: DataFrame, idAs: String) = df
+        .withColumn("w", split(trim($"text"), "\\s+"))
+        .filter(size($"w") >= 5)
+        .select($"doc_id".as(idAs), explode(expr(
+          """transform(sequence(1, size(w) - 4),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |    element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"""
+            .stripMargin)).as("s"))
+        .distinct()
+      val docs = Tables.documents(s, d)
+      val evalSh = sh5(docs.filter($"doc_id" % 10 === 0), "eval_id")
+      val trainSh = sh5(docs.filter($"doc_id" % 10 =!= 0), "train_id")
+      trainSh.join(broadcast(evalSh), "s")
+        .groupBy($"train_id")
+        .agg(countDistinct($"eval_id").as("n_eval_hits"),
+          min($"eval_id").as("first_eval_hit"))
+        .orderBy($"train_id")
+    },
+
     // Deterministic 80/10/10 train/val/test assignment; output is the
     // per-(lang, split) census plus the id-range evidence that assignment
     // is content-stable.
@@ -64,6 +91,20 @@ object Curation {
          |WHERE (${sqlU28("doc_id")} / 268435456.0) <
          |  (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "c03_decontaminate" ->
+      raw"""WITH sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(w) - 3),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+           |  WHERE len(w) >= 5),
+           |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+           |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0)
+           |SELECT train_id, COUNT(DISTINCT eval_id) AS n_eval_hits,
+           |  min(eval_id) AS first_eval_hit
+           |FROM tr JOIN ev USING (s)
+           |GROUP BY train_id ORDER BY train_id""".stripMargin,
 
     "c02_hash_split" ->
       s"""WITH t AS (SELECT doc_id, lang,

@@ -43,10 +43,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("d04: multi-index Hamming candidates come from an equi-join") {
+  test("d04: value-space Hamming pairing never plans a cartesian product") {
     val p = plan("d04_dedup_simhash")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q36: as-of join is a keyed join + window, no cartesian/BNLJ") {
+    val p = plan("q36_asof_attribution")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("q37: range join broadcasts the bracket side (fact never shuffles)") {
+    val p = plan("q37_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("c01: sampling scan reads only (doc_id, lang), never the text") {
+    val p = plan("c01_stratified_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
+  }
+
+  test("c03: decontamination joins broadcast the eval shingle set") {
+    val p = plan("c03_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s04: centroid assignment broadcasts the centroid set") {
+    val p = plan("s04_kmeans_refine")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("s01/s02: query sets broadcast to the vector scan") {
