@@ -130,12 +130,18 @@ object Dedup {
       // staged parquet materialization between pipeline phases). Not
       // explicitly unpersisted — the blocks are small, LRU-evictable, and
       // spill-backed, so they yield under memory pressure.
+      // join key: one 64-bit xxhash of (source, shingle) instead of the
+      // two-column string key — narrower shuffle rows, long-vs-long
+      // equality. Internal only (outputs never see it); a collision would
+      // be caught by the oracle gate, and at 2^-64 rates it's the same
+      // trade every large-scale shuffle-by-hash makes.
       val sh = shingles(s, d)
+        .withColumn("k", xxhash64($"source", $"s"))
+        .select($"doc_id", $"k")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val com = sh.as("a").join(sh.as("b"),
-          col("a.source") === col("b.source") && col("a.s") === col("b.s")
-            && col("a.doc_id") < col("b.doc_id"))
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("c"))
       com

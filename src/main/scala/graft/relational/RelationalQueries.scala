@@ -608,6 +608,48 @@ object RelationalQueries {
         .orderBy($"bracket")
     },
 
+    // Navigation window functions: first/second/last order price per
+    // customer over the full partition frame (deterministic ordering).
+    "q39_window_navigation" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(w).as("first_price"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"),
+          last($"o_totalprice").over(w).as("last_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // Statistical aggregates with cross-engine determinism: corr/stddev
+    // derived from EXACT decimal moments (n, Σx, Σy, Σx², Σy², Σxy — all
+    // decimal-exact, then one identical double formula). The built-in
+    // corr()/stddev() stream doubles in engine-specific order and can
+    // differ in final ulps; moments are associative and exact, so this
+    // form is also the right 100 TB shape (map-side partial moment sums).
+    "q40_exact_stats" -> { (s, d) =>
+      import s.implicits._
+      val x = dec2($"l_quantity")
+      val y = $"l_discount".cast(DecimalType(8, 4))
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select($"l_returnflag", $"n",
+          round(
+            ($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")) /
+              sqrt(($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")) *
+                ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))),
+            6).as("corr_qty_disc"),
+          round(sqrt(($"n" * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) / ($"n" * ($"n" - 1))), 6)
+            .as("stddev_qty"))
+        .orderBy($"l_returnflag")
+    },
+
     // GROUPING SETS — the general form behind rollup (q12) and cube (q22):
     // explicit per-dimension subtotals in ONE aggregation pass (Spark
     // expands sets via a single Expand + hash agg, not N scans).
@@ -951,6 +993,34 @@ object RelationalQueries {
          |  ${sDSum(sDec2("c_acctbal"))} AS total_bal
          |FROM customer JOIN brackets ON c_acctbal >= lo AND c_acctbal < hi
          |GROUP BY bracket ORDER BY bracket""".stripMargin,
+
+    "q39_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  last_value(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q40_exact_stats" ->
+      s"""WITH m AS (SELECT l_returnflag,
+         |  COUNT(*) AS n,
+         |  SUM(${sDec2("l_quantity")}) AS sx,
+         |  SUM(${sDec4("l_discount")}) AS sy,
+         |  SUM(${sDec2("l_quantity")} * ${sDec2("l_quantity")}) AS sxx,
+         |  SUM(${sDec4("l_discount")} * ${sDec4("l_discount")}) AS syy,
+         |  SUM(${sDec2("l_quantity")} * ${sDec4("l_discount")}) AS sxy
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS corr_qty_disc,
+         |  round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / (n * (n - 1))), 6) AS stddev_qty
+         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q38_grouping_sets" ->
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
