@@ -1,0 +1,17 @@
+package graft.core
+
+/** Cross-engine tokenization constants.
+  *
+  * Java regex `\s` matches `[ \t\n\x0B\f\r]` but RE2 (DuckDB) `\s` omits
+  * vertical tab `\x0B` — a text containing one would shingle differently in
+  * Spark vs the oracle. Both engines read this spelled-out class
+  * identically, so every tokenizer that feeds an oracle-checked query uses
+  * it instead of `\s`.
+  */
+object Tok {
+  /** Whitespace run — identical under java.util.regex and RE2. */
+  val Ws: String = raw"[ \t\n\x0B\f\r]+"
+
+  /** The same class, negatable form (no `+`), for embedding in classes. */
+  val WsChars: String = raw" \t\n\x0B\f\r"
+}

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, Tok}
 
 /** Dataset-curation operators for a training-data pipeline: deterministic
   * subsampling and train/val/test splitting over `documents`.
@@ -51,7 +51,7 @@ object Curation {
     "c03_decontaminate" -> { (s, d) =>
       import s.implicits._
       def sh5(df: DataFrame, idAs: String) = df
-        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("w", split(trim($"text"), Tok.Ws))
         .filter(size($"w") >= 5)
         .select($"doc_id".as(idAs), explode(expr(
           """transform(sequence(1, size(w) - 4),
@@ -97,7 +97,7 @@ object Curation {
            |  SELECT DISTINCT doc_id,
            |    unnest(list_transform(range(1, len(w) - 3),
            |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
            |  WHERE len(w) >= 5),
            |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
            |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0)

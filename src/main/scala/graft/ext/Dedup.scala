@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, Tok}
 
 /** Deduplication operators for a training-data pipeline, over `documents`
   * and `embeddings`: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -48,7 +48,7 @@ object Dedup {
   private def shinglesRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("w", split(trim($"text"), "\\s+"))
+      .withColumn("w", split(trim($"text"), Tok.Ws))
       .filter(size($"w") >= 3)
       .select($"doc_id", $"source", explode(expr(
         """transform(sequence(1, size(w) - 2),
@@ -96,7 +96,7 @@ object Dedup {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, s${2 * b} * $MinhashP + s${2 * b + 1} AS band_key FROM sigs")
       .mkString("\n  UNION ALL ")
-    raw"""words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    raw"""words AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
          |shr AS (SELECT doc_id,
          |    unnest(list_transform(range(1, len(w) - 1),
          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -182,7 +182,7 @@ object Dedup {
     "d04_dedup_simhash" -> { (s, d) =>
       import s.implicits._
       val hx = Tables.documents(s, d)
-        .select($"doc_id", $"lang", explode(split(trim($"text"), "\\s+")).as("w"))
+        .select($"doc_id", $"lang", explode(split(trim($"text"), Tok.Ws)).as("w"))
         .withColumn("hx", substring(md5($"w".cast("binary")), 1, 16))
       val vAggs = (0 until 16).map(dd =>
         sum(when(substring($"hx", dd + 1, 1).isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$dd"))
@@ -252,7 +252,7 @@ object Dedup {
       import s.implicits._
       val pre = Tables.documents(s, d)
         .select($"doc_id", $"source",
-          element_at(split(trim($"text"), "\\s+"), 1).as("w1"),
+          element_at(split(trim($"text"), Tok.Ws), 1).as("w1"),
           substring($"text", 1, 40).as("p"))
       pre.as("a").join(pre.as("b"),
           col("a.source") === col("b.source") && col("a.w1") === col("b.w1")
@@ -270,7 +270,7 @@ object Dedup {
     // SimHash64Spec.
     "d08_simhash64_signatures" -> { (s, d) =>
       import s.implicits._
-      val sig = graft.functions.SimHash64(split(trim($"text"), "\\s+"))
+      val sig = graft.functions.SimHash64(split(trim($"text"), Tok.Ws))
       Tables.documents(s, d)
         .select($"doc_id", sig.as("simhash64"))
         .select($"doc_id", $"simhash64",
@@ -302,7 +302,7 @@ object Dedup {
 
   val oracle: Map[String, String] = {
     val shingleCte =
-      raw"""words AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      raw"""words AS (SELECT doc_id, source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
            |sh AS (SELECT DISTINCT doc_id, source,
            |    unnest(list_transform(range(1, len(w) - 1),
            |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -339,7 +339,7 @@ object Dedup {
           .mkString(",\n    ")
         val bits = (0 until 16).map(dd =>
           s"(CASE WHEN v$dd > 0 THEN CAST(${1L << dd} AS BIGINT) ELSE 0 END)").mkString(" + ")
-        raw"""WITH words AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        raw"""WITH words AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w FROM documents),
              |hx AS (SELECT doc_id, lang, substr(md5(w), 1, 16) AS hx FROM words),
              |v AS (SELECT doc_id, lang,
              |    $vCols
@@ -369,7 +369,7 @@ object Dedup {
 
       "d06_dedup_levenshtein" ->
         raw"""WITH pre AS (SELECT doc_id, source,
-             |    string_split_regex(trim(text), '\s+')[1] AS w1,
+             |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')[1] AS w1,
              |    substr(text, 1, 40) AS p FROM documents)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist

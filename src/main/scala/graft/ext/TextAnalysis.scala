@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, Tok}
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
   * the `documents` table: token counting, quality scoring, language ID,
@@ -30,14 +30,14 @@ object TextAnalysis {
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("w", split(trim($"text"), Tok.Ws))
         .select(
           $"doc_id",
           size($"w").as("n_tokens"),
           // BPE-ish pre-tokenization: letter runs, digit runs, and single
           // punctuation marks each count as a subtoken (the usual byte-pair
           // pre-split shape)
-          size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
             .as("n_subtokens"),
           length($"text").cast("long").as("n_chars"),
           expr("CAST(aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)")
@@ -50,7 +50,7 @@ object TextAnalysis {
     "t02_text_quality" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("w", split(trim($"text"), Tok.Ws))
         .withColumn("n_tokens", size($"w"))
         .withColumn("punct_cnt", size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0))))
         .withColumn("stop_cnt",
@@ -70,7 +70,7 @@ object TextAnalysis {
     "t03_text_langid" -> { (s, d) =>
       import s.implicits._
       val df = Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("w", split(trim($"text"), Tok.Ws))
       val withHits = Stop.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
         acc.withColumn(s"${lang}_hits",
           expr(s"size(filter(w, x -> x IN (${sqlList(Stop(lang))})))"))
@@ -90,7 +90,7 @@ object TextAnalysis {
     "t04_doc_fingerprint" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), "\\s+"))
+        .withColumn("w", split(trim($"text"), Tok.Ws))
         .filter(size($"w") >= 5)
         .withColumn("sh", expr(
           """transform(sequence(1, size(w) - 4),
@@ -107,10 +107,10 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t01_text_stats" ->
-      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
            |SELECT doc_id,
            |  CAST(len(w) AS INTEGER) AS n_tokens,
-           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subtokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_subtokens,
            |  CAST(length(text) AS BIGINT) AS n_chars,
            |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS INTEGER) AS avg_token_len,
            |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS INTEGER) AS ttr
@@ -118,7 +118,7 @@ object TextAnalysis {
 
     "t02_text_quality" ->
       raw"""WITH t AS (
-           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents
+           |  SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents
            |), c AS (
            |  SELECT doc_id, text,
            |    CAST(len(w) AS INTEGER) AS n_tokens,
@@ -136,7 +136,7 @@ object TextAnalysis {
     "t03_text_langid" -> {
       val hits = Stop.keys.toSeq.sorted.map(l =>
         s"CAST(len(list_filter(w, x -> x IN (${sqlList(Stop(l))}))) AS INTEGER) AS ${l}_hits").mkString(",\n    ")
-      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      raw"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
            |h AS (SELECT doc_id, lang,
            |    $hits
            |  FROM t)
@@ -149,7 +149,7 @@ object TextAnalysis {
     },
 
     "t04_doc_fingerprint" ->
-      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
            |s AS (SELECT doc_id, text,
            |    list_transform(range(1, len(w) - 3),
            |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS sh

@@ -58,27 +58,30 @@ object RelationalQueries {
   /** DuckDB twin of [[graft.functions.ToUpperCamelCase]] with the
     * reference's EXACT `charAt(0).toUpperCase() + slice(1)
     * .replace(/[-_ ]./g, up)` semantics: a left-to-right fold over the
-    * tail's characters (chr(1) marks a pending delimiter awaiting its
-    * follower, chr(2) is an end-of-string sentinel that flushes a trailing
-    * delimiter). Verified equivalent to the JS rule on randomized inputs;
-    * the one knowing divergence is DuckDB's `upper()` mapping `ß` to `ẞ`
-    * where JS/Java expand to `SS` — unreachable for these event codes. */
+    * tail's characters. Fold state is a STRUCT `{s: output, p: pending
+    * delimiter}` — out-of-band, so inputs containing ANY byte (including
+    * control chars) transform correctly; a trailing `{p: 'END'}` element
+    * flushes a pending delimiter ('END' can never collide with the
+    * single-char `p` states). Fuzz-verified against the JS rule incl.
+    * adversarial control-char inputs; the one knowing divergence is
+    * DuckDB's `upper()` mapping `ß` to `ẞ` where JS/Java expand to `SS` —
+    * unreachable for these event codes. */
   private def sqlUpperCamelFold(col: String): String =
     s"""CASE WHEN $col IS NULL OR $col = '' THEN $col ELSE
        | upper(substr($col, 1, 1)) ||
-       | list_reduce(
-       |   list_append(list_prepend('', string_split(substr($col, 2), '')), chr(2)),
-       |   (acc, c) -> CASE
-       |     WHEN c = chr(2) THEN
-       |       CASE WHEN length(acc) >= 2 AND substr(acc, length(acc)-1, 1) = chr(1)
-       |            THEN substr(acc, 1, length(acc)-2) || substr(acc, length(acc), 1)
-       |            ELSE acc END
-       |     WHEN length(acc) >= 2 AND substr(acc, length(acc)-1, 1) = chr(1) THEN
-       |       CASE WHEN c IN (chr(10), chr(13), chr(8232), chr(8233))
-       |            THEN substr(acc, 1, length(acc)-2) || substr(acc, length(acc), 1) || c
-       |            ELSE substr(acc, 1, length(acc)-2) || upper(c) END
-       |     WHEN c IN ('-', '_', ' ') THEN acc || chr(1) || c
-       |     ELSE acc || c END)
+       | (list_reduce(
+       |   list_append(
+       |     list_prepend({'s': '', 'p': ''},
+       |       list_transform(string_split(substr($col, 2), ''), c -> {'s': c, 'p': ''})),
+       |     {'s': '', 'p': 'END'}),
+       |   (acc, x) -> CASE
+       |     WHEN x.p = 'END' THEN {'s': acc.s || acc.p, 'p': ''}
+       |     WHEN acc.p <> '' THEN
+       |       CASE WHEN x.s IN (chr(10), chr(13), chr(8232), chr(8233))
+       |            THEN {'s': acc.s || acc.p || x.s, 'p': ''}
+       |            ELSE {'s': acc.s || upper(x.s), 'p': ''} END
+       |     WHEN x.s IN ('-', '_', ' ') THEN {'s': acc.s, 'p': x.s}
+       |     ELSE {'s': acc.s || x.s, 'p': ''} END)).s
        |END""".stripMargin.replace("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -569,13 +572,20 @@ object RelationalQueries {
     // tolerance maps to a post-pick filter: the as-of pick is the LATEST
     // candidate, so nullifying an out-of-window pick equals constraining
     // the join — every other candidate is older still).
+    //
+    // The right side is first collapsed to one row per (user, ts) —
+    // keeping max(click_id) — IN BOTH ENGINES: DuckDB's ASOF pick among
+    // equal-timestamp rows is unspecified, so the tie must not exist by
+    // the time either engine joins. (AsOfJoin's own rightTieBreak still
+    // guards the Spark side independently.)
     "q36_asof_attribution" -> { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id", $"ts")
       val clicks = ev.filter($"event_type" === "click")
-        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("click_ts"))
+        .groupBy($"user_id".as("c_user"), $"ts".as("click_ts"))
+        .agg(max($"event_id").as("click_id"))
       graft.operators.AsOfJoin.asOf(purchases, clicks,
         leftId = purchases("purchase_id"),
         key = (purchases("user_id"), clicks("c_user")),
@@ -975,12 +985,14 @@ object RelationalQueries {
 
     "q36_asof_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-        |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.event_id END AS click_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.click_id END AS click_id,
         |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY
         |       THEN CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS BIGINT)
         |  END AS mins_since_click
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY purchase_id""".stripMargin,
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
+import graft.core.Tok
 import graft.ext.Dedup
 
 /** Custom stateful streaming operators.
@@ -70,7 +71,7 @@ object StatefulOps {
         tsCol: String,
         textCol: String,
         watermark: String = "1 hour"): DataFrame =
-      df.withColumn("__w", split(trim(col(textCol)), "\\s+"))
+      df.withColumn("__w", split(trim(col(textCol)), Tok.Ws))
         .withColumn("minhash_sig",
           when(size(col("__w")) >= 3, signatureCol("__w"))
             .otherwise(concat(lit("exact:"), md5(col(textCol).cast("binary")))))

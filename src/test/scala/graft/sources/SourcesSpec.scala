@@ -55,6 +55,17 @@ class SourcesSpec extends SparkSuite {
       == Seq("a", "b"))
   }
 
+  test("orc sink + batch orc source round-trip (columnar alternative)") {
+    import spark.implicits._
+    val dir = tmp("graft-orc") + "/out"
+    val df = Seq((1L, """{"k":1}"""), (2L, """{"k":2}""")).toDF("id", "value")
+    df.write.mode("overwrite").orc(dir)
+    val env = EventSource.batchFiles(spark, "orc", dir, "t", valueCol = Some("value"))
+    assert(env.columns.toSeq == Seq("topic", "value"))
+    assert(env.count() == 2)
+    assert(spark.read.orc(dir).count() == 2)
+  }
+
   test("streaming file source tails a directory into the router") {
     import spark.implicits._
     val dir = tmp("graft-stream-src")
