@@ -566,12 +566,14 @@ object RelationalQueries {
         .orderBy($"c_custkey")
     },
 
-    // As-of join (graft.operators.AsOfJoin): last-click attribution — each
-    // purchase matched to the user's most recent click at-or-before it,
-    // within a 7-day window. Oracle = DuckDB's native ASOF LEFT JOIN (the
-    // tolerance maps to a post-pick filter: the as-of pick is the LATEST
-    // candidate, so nullifying an out-of-window pick equals constraining
-    // the join — every other candidate is older still).
+    // As-of join (graft.operators.AsOfJoin.asOfSorted — the fan-out-free
+    // union+sweep form; AsOfJoinSpec proves it result-identical to the
+    // join+rank form): last-click attribution — each purchase matched to
+    // the user's most recent click at-or-before it, within a 7-day
+    // window. Oracle = DuckDB's native ASOF LEFT JOIN (the tolerance maps
+    // to a post-pick filter: the as-of pick is the LATEST candidate, so
+    // nullifying an out-of-window pick equals constraining the join —
+    // every other candidate is older still).
     //
     // The right side is first collapsed to one row per (user, ts) —
     // keeping max(click_id) — IN BOTH ENGINES: DuckDB's ASOF pick among
@@ -586,8 +588,7 @@ object RelationalQueries {
       val clicks = ev.filter($"event_type" === "click")
         .groupBy($"user_id".as("c_user"), $"ts".as("click_ts"))
         .agg(max($"event_id").as("click_id"))
-      graft.operators.AsOfJoin.asOf(purchases, clicks,
-        leftId = purchases("purchase_id"),
+      graft.operators.AsOfJoin.asOfSorted(purchases, clicks,
         key = (purchases("user_id"), clicks("c_user")),
         time = (purchases("ts"), clicks("click_ts")),
         tolerance = Some(expr("INTERVAL 7 DAYS")),

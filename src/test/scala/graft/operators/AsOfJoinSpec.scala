@@ -54,6 +54,52 @@ class AsOfJoinSpec extends SparkSuite {
     assert(gotDefault == "beta")
   }
 
+  test("asOfSorted agrees with asOf on the harness attribution workload") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("click_ts"))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select($"purchase_id", $"click_id").orderBy($"purchase_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    for (tol <- Seq(None, Some(expr("INTERVAL 7 DAYS")), Some(expr("INTERVAL 1 HOUR")))) {
+      val a = run(AsOfJoin.asOf(purchases, clicks, purchases("purchase_id"),
+        (purchases("user_id"), clicks("c_user")), (purchases("ts"), clicks("click_ts")),
+        tolerance = tol, rightTieBreak = Seq(clicks("click_id"))))
+      val b = run(AsOfJoin.asOfSorted(purchases, clicks,
+        (purchases("user_id"), clicks("c_user")), (purchases("ts"), clicks("click_ts")),
+        tolerance = tol, rightTieBreak = Seq(clicks("click_id"))))
+      assert(a == b, s"tol=$tol: fan-out and sweep implementations must agree")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("asOfSorted handles no-match, ties, and exact-time matches") {
+    import spark.implicits._
+    val ev = Seq((1L, "K", t("12:00:00")), (2L, "Z", t("12:00:00"))).toDF("id", "k", "ts")
+    val dim = Seq(
+      ("K", t("11:00:00"), "alpha", 1L),
+      ("K", t("11:00:00"), "beta", 2L),     // tie on (key, time)
+      ("K", t("12:00:00"), "exact", 3L))    // exact-time match: rt <= lt includes it
+      .toDF("dk", "dts", "v", "rid")
+    val got = AsOfJoin.asOfSorted(ev, dim,
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("rid")))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains("exact"), "rt == lt must match (inclusive)")
+    assert(got(2L).isEmpty, "key with no right rows keeps nulls")
+    // drop the exact row: the tie resolves to the higher rid
+    val tied = AsOfJoin.asOfSorted(ev, dim.filter(dim("rid") =!= 3L),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("rid")))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tied(1L).contains("beta"))
+  }
+
   test("tolerance bounds how stale the matched row may be") {
     import spark.implicits._
     val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
