@@ -26,6 +26,24 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE vocabulary induction, step one: corpus-wide adjacent character
+    // pair counts within words — the statistic each byte-pair merge round
+    // maximizes. One explode + one groupBy (map-side combinable): at
+    // 100 TB the pair space is tiny (≤ alphabet²) so the shuffle moves
+    // partial counts, never text; further merge rounds re-run the same
+    // shape over re-segmented words.
+    "t05_bpe_pair_counts" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split(trim($"text"), Tok.Ws)).as("word"))
+        .filter(length($"word") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(20)
+    },
+
     // Token/char statistics per document.
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -106,6 +124,14 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t05_bpe_pair_counts" ->
+      raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
+           |  FROM documents),
+           |p AS (SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+           |  FROM words WHERE length(word) >= 2)
+           |SELECT pair, COUNT(*) AS cnt FROM p
+           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     "t01_text_stats" ->
       raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
            |SELECT doc_id,
