@@ -9,7 +9,8 @@ import graft.SparkEntry
   * engine's operators — the 100 TB shape in one runnable job:
   *
   *   documents → exact dedup → MinHash+LSH near-dup drop → quality filter
-  *   → tokenize/fingerprint → curated parquet
+  *   → benchmark decontamination → stratified sampling → train/val/test
+  *   split → tokenize/fingerprint → curated parquet
   *
   * `sbt "runMain graft.examples.PipelineDemo [sfDir] [outDir]"`.
   */
@@ -45,15 +46,31 @@ object PipelineDemo {
       .select($"doc_id", $"quality")
     val curated = deduped.join(quality, "doc_id").filter($"quality" >= 0.5)
 
-    // 4. enrich with token stats + fingerprints, write curated set
+    // 4. benchmark decontamination: drop training docs sharing 5-grams
+    //    with the held-out eval subset
+    val contaminated = SparkEntry.queries("c03_decontaminate")(spark, sfDir)
+      .select($"train_id".as("doc_id"))
+    val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. stratified downsampling (tame the dominant language), then
+    //    deterministic train/val/test assignment per surviving doc
+    val sampled = clean.join(
+      SparkEntry.queries("c01_stratified_sample")(spark, sfDir).select($"doc_id"),
+      "doc_id")
+    val u = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 7), 16, 10)
+      .cast("long") / 268435456.0
+    val withSplit = sampled.withColumn("split",
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+
+    // 6. enrich with token stats + fingerprints, write curated set
     val stats = SparkEntry.queries("t01_text_stats")(spark, sfDir)
       .select($"doc_id", $"n_tokens", $"n_subtokens")
     val fps = SparkEntry.queries("t04_doc_fingerprint")(spark, sfDir)
       .select($"doc_id", $"fp")
-    val out = curated.join(stats, "doc_id").join(fps, "doc_id")
-      .select($"doc_id", $"lang", $"source", $"quality",
+    val out = withSplit.join(stats, "doc_id").join(fps, "doc_id")
+      .select($"doc_id", $"lang", $"source", $"split", $"quality",
         $"n_tokens", $"n_subtokens", $"fp", $"text")
-    out.write.mode("overwrite").parquet(outDir)
+    out.write.mode("overwrite").partitionBy("split").parquet(outDir)
 
     val kept = spark.read.parquet(outDir).count()
     println(f"[pipeline] $total%d docs -> $kept%d curated " +
