@@ -9,9 +9,10 @@ package graft.core
   * it instead of `\s`.
   */
 object Tok {
-  /** Whitespace run — identical under java.util.regex and RE2. */
-  val Ws: String = raw"[ \t\n\x0B\f\r]+"
-
-  /** The same class, negatable form (no `+`), for embedding in classes. */
+  /** The class body (embeddable in larger/negated classes) — the single
+    * source of truth for what counts as whitespace. */
   val WsChars: String = raw" \t\n\x0B\f\r"
+
+  /** Whitespace run — identical under java.util.regex and RE2. */
+  val Ws: String = s"[$WsChars]+"
 }

@@ -46,21 +46,22 @@ object PipelineDemo {
       .select($"doc_id", $"quality")
     val curated = deduped.join(quality, "doc_id").filter($"quality" >= 0.5)
 
-    // 4. benchmark decontamination: drop training docs sharing 5-grams
-    //    with the held-out eval subset
+    // 4. benchmark decontamination: the eval subset itself (doc_id % 10
+    //    = 0) must never reach the training output, and neither may any
+    //    train doc sharing a 5-gram with it
     val contaminated = SparkEntry.queries("c03_decontaminate")(spark, sfDir)
       .select($"train_id".as("doc_id"))
-    val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = curated
+      .filter($"doc_id" % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. stratified downsampling (tame the dominant language), then
-    //    deterministic train/val/test assignment per surviving doc
+    // 5. stratified downsampling (tame the dominant language), then the
+    //    oracle-checked deterministic train/val/test assignment
     val sampled = clean.join(
       SparkEntry.queries("c01_stratified_sample")(spark, sfDir).select($"doc_id"),
       "doc_id")
-    val u = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 7), 16, 10)
-      .cast("long") / 268435456.0
     val withSplit = sampled.withColumn("split",
-      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      graft.ext.Curation.splitCol($"doc_id"))
 
     // 6. enrich with token stats + fingerprints, write curated set
     val stats = SparkEntry.queries("t01_text_stats")(spark, sfDir)

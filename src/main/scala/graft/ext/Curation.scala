@@ -30,6 +30,17 @@ object Curation {
     * engines. */
   private val Unit28 = 268435456.0
 
+  /** Content-stable uniform in [0, 1) from an id column — the single
+    * source of truth for every hash gate (c01/c02 and pipeline reuse). */
+  def unitHash(id: Column): Column = u28(id) / Unit28
+
+  /** The c02 80/10/10 split label, exposed so pipelines reuse the
+    * oracle-checked assignment instead of re-deriving it. */
+  def splitCol(id: Column): Column = {
+    val u = unitHash(id)
+    when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
@@ -74,10 +85,8 @@ object Curation {
     // is content-stable.
     "c02_hash_split" -> { (s, d) =>
       import s.implicits._
-      val u = u28($"doc_id") / Unit28
-      val split = when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
       Tables.documents(s, d)
-        .withColumn("split", split)
+        .withColumn("split", splitCol($"doc_id"))
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))

@@ -55,7 +55,7 @@ object TextAnalysis {
           // BPE-ish pre-tokenization: letter runs, digit runs, and single
           // punctuation marks each count as a subtoken (the usual byte-pair
           // pre-split shape)
-          size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
+          size(regexp_extract_all($"text", lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9${Tok.WsChars}]"), lit(0)))
             .as("n_subtokens"),
           length($"text").cast("long").as("n_chars"),
           expr("CAST(aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)")
@@ -136,7 +136,7 @@ object TextAnalysis {
       raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
            |SELECT doc_id,
            |  CAST(len(w) AS INTEGER) AS n_tokens,
-           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_subtokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${Tok.WsChars}]')) AS INTEGER) AS n_subtokens,
            |  CAST(length(text) AS BIGINT) AS n_chars,
            |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS INTEGER) AS avg_token_len,
            |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS INTEGER) AS ttr

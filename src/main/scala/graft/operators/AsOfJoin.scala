@@ -65,7 +65,15 @@ object AsOfJoin {
 
   /** Fan-out-free as-of join (see object Scaladoc). Requires disjoint
     * column names between `left` and `right`. No `leftId` needed — rows
-    * are never multiplied, so there is nothing to rank. */
+    * are never multiplied, so there is nothing to rank.
+    *
+    * Match semantics are identical to [[asOf]] in the corners too: the
+    * whole matched right row travels as ONE struct (`last(ignoreNulls)`
+    * per-column would stitch together values from different right rows
+    * whenever the true match holds a null), rows with a null join key or
+    * null right time never match (like `lk === rk` / `rt <= lt` under SQL
+    * null semantics), and tie-break expressions are pre-projected so any
+    * Column of `right` works. */
   def asOfSorted(
       left: DataFrame,
       right: DataFrame,
@@ -79,42 +87,50 @@ object AsOfJoin {
       s"asOfSorted needs disjoint column names; clashes: ${lCols.intersect(rCols).mkString(",")}")
     val (lk, rk) = key
     val (lt, rt) = time
-    // Tag + align both sides: left rows carry null right columns and vice
-    // versa; __t is each row's own event time, __rt additionally carries
-    // the right time so the picked match's time is available for the
-    // tolerance check without name plumbing.
-    val rtType = right.select(rt).schema.head.dataType
+    val tieBreak = if (rightTieBreak.nonEmpty) rightTieBreak else rCols.sorted.map(right(_))
+    // The matched right row travels as one struct (atomic pick); __rt
+    // rides inside it for the tolerance check. Left rows carry a NULL
+    // struct — not a struct of nulls — so last(ignoreNulls) skips them.
+    val rStruct = struct(rCols.map(col) :+ rt.as("__rt"): _*)
+    val rStructType = right.select(rStruct.as("__r")).schema.head.dataType
+    // Tie-break expressions are materialized as __tb columns on the right
+    // side (the right plan's attribute ids don't survive the union, and
+    // name-based re-resolution would reject computed Columns).
+    val tbNames = tieBreak.indices.map(i => s"__tb$i")
+    val tbTypes = right.select(tieBreak: _*).schema.map(_.dataType)
     val leftTagged = left.select(
       lCols.map(col) ++
-        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         Seq(lit(1).as("__side"), lk.as("__k"), lt.as("__t"),
-          lit(null).cast(rtType).as("__rt")): _*)
-    val rightTagged = right.select(
-      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rCols.map(col) ++
-        Seq(lit(0).as("__side"), rk.as("__k"), rt.as("__t"), rt.as("__rt")): _*)
-    // tie-break columns re-resolved BY NAME against the union (the right
-    // side's original attribute ids don't survive the union's output)
-    val tieBreak =
-      if (rightTieBreak.nonEmpty)
-        rightTieBreak.map(c => col(right.select(c).schema.head.name))
-      else rCols.sorted.map(col)
+          lit(null).cast(rStructType).as("__r")) ++
+        tbNames.zip(tbTypes).map { case (n, t) => lit(null).cast(t).as(n) }: _*)
+    val rightTagged = right
+      // a null key or null time can never match (SQL comparison semantics
+      // in asOf); dropping the rows also keeps them out of the null-key
+      // window partition, which would otherwise pair null with null
+      .filter(rk.isNotNull && rt.isNotNull)
+      .select(
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(lit(0).as("__side"), rk.as("__k"), rt.as("__t"), rStruct.as("__r")) ++
+          tieBreak.zip(tbNames).map { case (c, n) => c.as(n) }: _*)
     // Sort: right rows precede a left row at the same time (<= semantics),
     // and among tied right rows the best tie-break sorts LAST so the
     // running last() picks it.
-    val order = (col("__t").asc +: col("__side").asc +: tieBreak.map(_.asc_nulls_first))
+    val order = col("__t").asc +: col("__side").asc +: tbNames.map(col(_).asc_nulls_first)
     val w = Window.partitionBy(col("__k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = leftTagged.unionByName(rightTagged)
       .select(
-        (lCols.map(col) :+ col("__side") :+ col("__t")) ++
-          (rCols :+ "__rt").map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        lCols.map(col) ++ Seq(col("__side"), col("__k"), col("__t"),
+          last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__side") === 1)
+    // a left row with a null key or null time matches nothing (asOf's
+    // join condition is null-rejecting on both)
+    val matched = col("__r").isNotNull && col("__k").isNotNull && col("__t").isNotNull
     val inTol = tolerance match {
-      case Some(tol) => col("__rt").isNotNull && col("__rt") >= col("__t") - tol
-      case None => col("__rt").isNotNull
+      case Some(tol) => matched && col("__r.__rt") >= col("__t") - tol
+      case None => matched
     }
     swept.select(
-      lCols.map(col) ++ rCols.map(c => when(inTol, col(c)).as(c)): _*)
+      lCols.map(col) ++ rCols.map(c => when(inTol, col(s"__r.$c")).as(c)): _*)
   }
 }

@@ -100,6 +100,63 @@ class AsOfJoinSpec extends SparkSuite {
     assert(tied(1L).contains("beta"))
   }
 
+  test("asOfSorted picks whole rows: a null in the matched row stays null") {
+    import spark.implicits._
+    // latest match has price=null — per-column sweeping would backfill
+    // 5.0 from the older row, fabricating a row that never existed
+    val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
+    val dim = Seq(
+      ("K", t("10:00:00"), Some(5.0), None: Option[String]),
+      ("K", t("11:00:00"), None: Option[Double], Some("y")))
+      .toDF("dk", "dts", "price", "note")
+    val got = AsOfJoin.asOfSorted(ev, dim,
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("dts")))
+      .select("price", "note").head()
+    assert(got.isNullAt(0), "matched row's own null must survive")
+    assert(got.getString(1) == "y")
+    // same shape through asOf agrees
+    val viaAsOf = AsOfJoin.asOf(ev, dim, ev("id"),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("dts")))
+      .select("price", "note").head()
+    assert(viaAsOf.isNullAt(0) && viaAsOf.getString(1) == "y")
+  }
+
+  test("asOfSorted: null join keys and null times never match (SQL semantics)") {
+    import spark.implicits._
+    val ev = Seq((1L, Option.empty[String], Option(t("12:00:00"))),
+      (2L, Option("K"), Option.empty[java.sql.Timestamp]))
+      .toDF("id", "k", "ts")
+    val dim = Seq(
+      (Option.empty[String], Option(t("11:00:00")), "nullkey"),
+      (Option("K"), Option.empty[java.sql.Timestamp], "nullts"),
+      (Option("K"), Option(t("11:00:00")), "real"))
+      .toDF("dk", "dts", "v")
+    val got = AsOfJoin.asOfSorted(ev, dim,
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("v")))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty, "null left key matches nothing, row survives")
+    assert(got(2L).isEmpty, "null left time matches nothing, row survives")
+  }
+
+  test("asOfSorted accepts computed tie-break expressions like asOf") {
+    import spark.implicits._
+    val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
+    val dim = Seq(
+      ("K", t("11:00:00"), "alpha", 1L),
+      ("K", t("11:00:00"), "beta", 2L)).toDF("dk", "dts", "v", "rid")
+    // negated rid: LOWEST rid should win now, in both implementations
+    val a = AsOfJoin.asOf(ev, dim, ev("id"),
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("rid") * -1)).select("v").head().getString(0)
+    val b = AsOfJoin.asOfSorted(ev, dim,
+      (ev("k"), dim("dk")), (ev("ts"), dim("dts")),
+      rightTieBreak = Seq(dim("rid") * -1)).select("v").head().getString(0)
+    assert(a == "alpha" && b == "alpha")
+  }
+
   test("tolerance bounds how stale the matched row may be") {
     import spark.implicits._
     val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
