@@ -619,6 +619,21 @@ object RelationalQueries {
         .orderBy($"bracket")
     },
 
+    // Sliding event-time windows (1 h width, 15 min slide) — the overlap
+    // twin of q17's tumbling window; every event lands in exactly 4
+    // windows. Spark's window() expands via a generator before the hash
+    // agg, so the shuffle carries partial aggregates, not 4x events.
+    "q41_sliding_windows" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2($"value")), 2).cast("double").as("total_value"))
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1006,6 +1021,15 @@ object RelationalQueries {
          |  ${sDSum(sDec2("c_acctbal"))} AS total_bal
          |FROM customer JOIN brackets ON c_acctbal >= lo AND c_acctbal < hi
          |GROUP BY bracket ORDER BY bracket""".stripMargin,
+
+    "q41_sliding_windows" ->
+      s"""WITH w AS (
+         |  SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * j) AS window_start,
+         |    event_type, value
+         |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+         |SELECT window_start, event_type, COUNT(*) AS n,
+         |  ${sDSum(sDec2("value"))} AS total_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

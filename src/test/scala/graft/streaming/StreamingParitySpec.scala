@@ -70,4 +70,29 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed == batch,
       s"streaming sessions ${streamed.size} vs batch sessions ${batch.size}")
   }
+
+  test("curation hash gates are streaming-safe: c01 selection equals batch") {
+    // narrow per-row hash gates (sampling, split assignment) run unchanged
+    // on a stream — no state, no watermark, selection identical to batch
+    val batch = graft.ext.Curation.queries("c01_stratified_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-staged").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val gated = spark.readStream.schema(schema).parquet(docsDir)
+      .filter(graft.ext.Curation.unitHash(col("doc_id")) <
+        when(col("lang") === "en", 0.25).otherwise(0.75))
+      .select(col("doc_id"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("parity_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("parity_gate").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"streaming gate selected ${streamed.size} vs batch ${batch.size}")
+  }
 }
