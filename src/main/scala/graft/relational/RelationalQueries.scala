@@ -490,9 +490,16 @@ object RelationalQueries {
       def supps(lo: String, hi: String) = Tables.lineitem(s, d)
         .filter($"l_shipdate" >= ts(lo) && $"l_shipdate" < ts(hi))
         .select($"l_suppkey".as("suppkey"))
-      supps("1996-01-01", "1997-01-01")
-        .exceptAll(supps("1997-01-01", "1998-01-01"))
+      val a = supps("1996-01-01", "1997-01-01")
+      val b = supps("1997-01-01", "1998-01-01")
+      val surplus = a.exceptAll(b)
         .groupBy($"suppkey").agg(count(lit(1)).as("surplus"))
+      val overlap = a.intersectAll(b)
+        .groupBy($"suppkey").agg(count(lit(1)).as("overlap"))
+      surplus.join(overlap, Seq("suppkey"), "full_outer")
+        .select($"suppkey",
+          coalesce($"surplus", lit(0L)).as("surplus"),
+          coalesce($"overlap", lit(0L)).as("overlap"))
         .orderBy($"suppkey")
     },
 
@@ -538,6 +545,8 @@ object RelationalQueries {
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
         .orderBy($"c_mktsegment", $"c_custkey")
     },
 
@@ -951,9 +960,14 @@ object RelationalQueries {
         |b AS (SELECT l_suppkey AS suppkey FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
-        |e AS (SELECT suppkey FROM a EXCEPT ALL SELECT suppkey FROM b)
-        |SELECT suppkey, COUNT(*) AS surplus FROM e
-        |GROUP BY suppkey ORDER BY suppkey""".stripMargin,
+        |e AS (SELECT suppkey FROM a EXCEPT ALL SELECT suppkey FROM b),
+        |i AS (SELECT suppkey FROM a INTERSECT ALL SELECT suppkey FROM b),
+        |se AS (SELECT suppkey, COUNT(*) AS surplus FROM e GROUP BY suppkey),
+        |si AS (SELECT suppkey, COUNT(*) AS overlap FROM i GROUP BY suppkey)
+        |SELECT COALESCE(se.suppkey, si.suppkey) AS suppkey,
+        |  COALESCE(surplus, 0) AS surplus, COALESCE(overlap, 0) AS overlap
+        |FROM se FULL OUTER JOIN si ON se.suppkey = si.suppkey
+        |ORDER BY suppkey""".stripMargin,
 
     "q32_string_kitchen" ->
       """SELECT p_partkey,
@@ -979,7 +993,9 @@ object RelationalQueries {
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pct_rank,
-        |  cume_dist() OVER w AS cume
+        |  cume_dist() OVER w AS cume,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
