@@ -157,6 +157,41 @@ class AsOfJoinSpec extends SparkSuite {
     assert(a == "alpha" && b == "alpha")
   }
 
+  test("randomized equivalence: asOf == asOfSorted over adversarial data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    def maybe[A](a: => A): Option[A] = if (rnd.nextInt(10) == 0) None else Some(a)
+    for (round <- 1 to 6) {
+      val nL = 30 + rnd.nextInt(40)
+      val nR = 30 + rnd.nextInt(40)
+      // small key/time domains force collisions, ties, and empty keys;
+      // 10% nulls everywhere
+      val left = (1 to nL).map { i =>
+        (i.toLong, maybe(s"k${rnd.nextInt(5)}"), maybe(t(f"10:${rnd.nextInt(50)}%02d:00")))
+      }.toDF("lid", "lk", "lt")
+      val right = (1 to nR).map { i =>
+        (i.toLong, maybe(s"k${rnd.nextInt(5)}"), maybe(t(f"10:${rnd.nextInt(50)}%02d:00")),
+          maybe(rnd.nextInt(100)))
+      }.toDF("rid", "rk", "rt", "rv")
+      val tol = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(expr("INTERVAL 10 MINUTES"))
+        case _ => Some(expr("INTERVAL 25 MINUTES"))
+      }
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("lid", "rid", "rt", "rv")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val a = norm(AsOfJoin.asOf(left, right, left("lid"),
+        (left("lk"), right("rk")), (left("lt"), right("rt")),
+        tolerance = tol, rightTieBreak = Seq(right("rid"))))
+      val b = norm(AsOfJoin.asOfSorted(left, right,
+        (left("lk"), right("rk")), (left("lt"), right("rt")),
+        tolerance = tol, rightTieBreak = Seq(right("rid"))))
+      assert(a == b, s"round $round (nL=$nL nR=$nR tol=$tol) diverged")
+    }
+  }
+
   test("tolerance bounds how stale the matched row may be") {
     import spark.implicits._
     val ev = Seq((1L, "K", t("12:00:00"))).toDF("id", "k", "ts")
