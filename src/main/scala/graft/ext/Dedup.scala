@@ -191,7 +191,6 @@ object Dedup {
         .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sh = v.select($"doc_id", $"lang", simhash.as("simhash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Value-space Hamming search: a 16-bit simhash has at most 2^16
       // distinct values, and in practice far fewer than there are docs —
       // so pair up the distinct (lang, value)s first (tiny quadratic,
