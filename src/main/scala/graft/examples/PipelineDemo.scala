@@ -52,16 +52,19 @@ object PipelineDemo {
     val contaminated = SparkEntry.queries("c03_decontaminate")(spark, sfDir)
       .select($"train_id".as("doc_id"))
     val clean = curated
-      .filter($"doc_id" % 10 =!= 0)
+      .filter(!graft.ext.Curation.isEvalDoc($"doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. stratified downsampling (tame the dominant language), then the
-    //    oracle-checked deterministic train/val/test assignment
+    //    deterministic train/val/test assignment — SALTED, because the
+    //    sampling stage already consumed the unsalted hash (survivors all
+    //    have u < 0.75, which an unsalted 0.8/0.9 split would map 100%
+    //    to 'train')
     val sampled = clean.join(
       SparkEntry.queries("c01_stratified_sample")(spark, sfDir).select($"doc_id"),
       "doc_id")
     val withSplit = sampled.withColumn("split",
-      graft.ext.Curation.splitCol($"doc_id"))
+      graft.ext.Curation.splitCol($"doc_id", salt = "split"))
 
     // 6. enrich with token stats + fingerprints, write curated set
     val stats = SparkEntry.queries("t01_text_stats")(spark, sfDir)
@@ -73,9 +76,12 @@ object PipelineDemo {
         $"n_tokens", $"n_subtokens", $"fp", $"text")
     out.write.mode("overwrite").partitionBy("split").parquet(outDir)
 
-    val kept = spark.read.parquet(outDir).count()
+    val outDf = spark.read.parquet(outDir)
+    val kept = outDf.count()
+    val bySplit = outDf.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
     println(f"[pipeline] $total%d docs -> $kept%d curated " +
-      f"(${100.0 * kept / total}%.1f%% kept) at $outDir")
+      f"(${100.0 * kept / total}%.1f%% kept; $bySplit) at $outDir")
     spark.stop()
   }
 }

@@ -18,10 +18,6 @@ import graft.core.{Tables, Tok}
   */
 object Curation {
 
-  /** 28-bit md5 prefix of the stringified id — uniform in [0, 2^28). */
-  private def u28(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 7), 16, 10).cast("long")
-
   private def sqlU28(id: String): String =
     s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 7))::BIGINT"
 
@@ -31,24 +27,42 @@ object Curation {
   private val Unit28 = 268435456.0
 
   /** Content-stable uniform in [0, 1) from an id column — the single
-    * source of truth for every hash gate (c01/c02 and pipeline reuse). */
-  def unitHash(id: Column): Column = u28(id) / Unit28
+    * source of truth for every hash gate (c01/c02 and pipeline reuse).
+    *
+    * `salt` decorrelates gates that stack in one pipeline: two gates on
+    * the SAME hash are perfectly correlated (e.g. rows surviving a
+    * `u < 0.75` sample all land in a `u < 0.8` train split, leaving
+    * val/test empty). Salt every gate after the first. */
+  def unitHash(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 7), 16, 10)
+      .cast("long") / Unit28
 
   /** The c02 80/10/10 split label, exposed so pipelines reuse the
-    * oracle-checked assignment instead of re-deriving it. */
-  def splitCol(id: Column): Column = {
-    val u = unitHash(id)
+    * oracle-checked assignment instead of re-deriving it. Pass a salt
+    * when the pipeline already gated on the unsalted hash. */
+  def splitCol(id: Column, salt: String = ""): Column = {
+    val u = unitHash(id, salt)
     when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
   }
+
+  /** The c01 sampling gate (keep 25% of the dominant language, 75% of
+    * the rest) — exposed so stream/batch/pipeline callers run the exact
+    * production expression. */
+  def sampleGate(id: Column, lang: Column): Column =
+    unitHash(id) < when(lang === "en", lit(0.25)).otherwise(lit(0.75))
+
+  /** The stand-in benchmark/eval-set membership used by c03 — one
+    * definition for the query, the pipeline's exclusion filter, and any
+    * future explicit eval table swap. */
+  def isEvalDoc(id: Column): Column = id % 10 === 0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
     "c01_stratified_sample" -> { (s, d) =>
       import s.implicits._
-      val keepBound = when($"lang" === "en", lit(0.25)).otherwise(lit(0.75))
       Tables.documents(s, d)
-        .filter((u28($"doc_id") / Unit28) < keepBound)
+        .filter(sampleGate($"doc_id", $"lang"))
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
     },
@@ -71,8 +85,8 @@ object Curation {
             .stripMargin)).as("s"))
         .distinct()
       val docs = Tables.documents(s, d)
-      val evalSh = sh5(docs.filter($"doc_id" % 10 === 0), "eval_id")
-      val trainSh = sh5(docs.filter($"doc_id" % 10 =!= 0), "train_id")
+      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id")
+      val trainSh = sh5(docs.filter(!isEvalDoc($"doc_id")), "train_id")
       trainSh.join(broadcast(evalSh), "s")
         .groupBy($"train_id")
         .agg(countDistinct($"eval_id").as("n_eval_hits"),

@@ -89,20 +89,19 @@ object AsOfJoin {
     val (lt, rt) = time
     val tieBreak = if (rightTieBreak.nonEmpty) rightTieBreak else rCols.sorted.map(right(_))
     // The matched right row travels as one struct (atomic pick); __rt
-    // rides inside it for the tolerance check. Left rows carry a NULL
-    // struct — not a struct of nulls — so last(ignoreNulls) skips them.
-    val rStruct = struct(rCols.map(col) :+ rt.as("__rt"): _*)
-    val rStructType = right.select(rStruct.as("__r")).schema.head.dataType
-    // Tie-break expressions are materialized as __tb columns on the right
-    // side (the right plan's attribute ids don't survive the union, and
-    // name-based re-resolution would reject computed Columns).
+    // rides inside it for the tolerance check and the tie-break
+    // expressions ride inside as __tbN — each value crosses the operator's
+    // single shuffle exactly once. Left rows carry a NULL struct — not a
+    // struct of nulls — so last(ignoreNulls) skips them, and their null
+    // __r.__tbN fields order harmlessly (side already separates them).
     val tbNames = tieBreak.indices.map(i => s"__tb$i")
-    val tbTypes = right.select(tieBreak: _*).schema.map(_.dataType)
+    val rStruct = struct(rCols.map(col) ++ Seq(rt.as("__rt")) ++
+      tieBreak.zip(tbNames).map { case (c, n) => c.as(n) }: _*)
+    val rStructType = right.select(rStruct.as("__r")).schema.head.dataType
     val leftTagged = left.select(
       lCols.map(col) ++
         Seq(lit(1).as("__side"), lk.as("__k"), lt.as("__t"),
-          lit(null).cast(rStructType).as("__r")) ++
-        tbNames.zip(tbTypes).map { case (n, t) => lit(null).cast(t).as(n) }: _*)
+          lit(null).cast(rStructType).as("__r")): _*)
     val rightTagged = right
       // a null key or null time can never match (SQL comparison semantics
       // in asOf); dropping the rows also keeps them out of the null-key
@@ -110,12 +109,12 @@ object AsOfJoin {
       .filter(rk.isNotNull && rt.isNotNull)
       .select(
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          Seq(lit(0).as("__side"), rk.as("__k"), rt.as("__t"), rStruct.as("__r")) ++
-          tieBreak.zip(tbNames).map { case (c, n) => c.as(n) }: _*)
+          Seq(lit(0).as("__side"), rk.as("__k"), rt.as("__t"), rStruct.as("__r")): _*)
     // Sort: right rows precede a left row at the same time (<= semantics),
     // and among tied right rows the best tie-break sorts LAST so the
     // running last() picks it.
-    val order = col("__t").asc +: col("__side").asc +: tbNames.map(col(_).asc_nulls_first)
+    val order = col("__t").asc +: col("__side").asc +:
+      tbNames.map(n => col(s"__r.$n").asc_nulls_first)
     val w = Window.partitionBy(col("__k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = leftTagged.unionByName(rightTagged)

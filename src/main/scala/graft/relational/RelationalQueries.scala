@@ -540,13 +540,18 @@ object RelationalQueries {
     "q34_window_distribution" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      val wTies = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
       Tables.customer(s, d)
         .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
-        .withColumn("rnk", rank().over(w))
-        .withColumn("drnk", dense_rank().over(w))
+        // tie-bearing window (acctbal alone): rank/dense_rank are only
+        // distinguishable from row_number when ties exist, and they stay
+        // deterministic under ties (unlike ntile, which needs w's total
+        // order)
+        .withColumn("rnk", rank().over(wTies))
+        .withColumn("drnk", dense_rank().over(wTies))
         .orderBy($"c_mktsegment", $"c_custkey")
     },
 
@@ -994,10 +999,11 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pct_rank,
         |  cume_dist() OVER w AS cume,
-        |  CAST(rank() OVER w AS INTEGER) AS rnk,
-        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk
+        |  CAST(rank() OVER wt AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER wt AS INTEGER) AS drnk
         |FROM customer
-        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+        |  wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q35_percentiles" ->

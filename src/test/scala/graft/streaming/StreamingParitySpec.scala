@@ -84,8 +84,7 @@ class StreamingParitySpec extends SparkSuite {
     }
     val schema = spark.read.parquet(docsDir).schema
     val gated = spark.readStream.schema(schema).parquet(docsDir)
-      .filter(graft.ext.Curation.unitHash(col("doc_id")) <
-        when(col("lang") === "en", 0.25).otherwise(0.75))
+      .filter(graft.ext.Curation.sampleGate(col("doc_id"), col("lang")))
       .select(col("doc_id"))
     val q = gated.writeStream.outputMode("append")
       .format("memory").queryName("parity_gate")
