@@ -138,7 +138,6 @@ object Dedup {
       val sh = shingles(s, d)
         .withColumn("k", xxhash64($"source", $"s"))
         .select($"doc_id", $"k")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val com = sh.as("a").join(sh.as("b"),
           col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
