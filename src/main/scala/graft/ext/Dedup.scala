@@ -241,6 +241,46 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Dedup cluster formation — the step after pair discovery: connected
+    // components over the verified near-dup pairs (d07), each doc labeled
+    // with its component's minimum doc_id as the kept representative.
+    // Distributed min-label propagation: every iteration is one
+    // edges⋈labels join + min-aggregate (all distributed); only the
+    // convergence CHECK runs on the driver, and the iteration count is
+    // the graph diameter (near-dup clusters are shallow — a handful of
+    // rounds). This is exactly large-scale connected components; at
+    // trillion-edge scale you'd switch to the alternating star-contraction
+    // variant, same join primitives. Oracle = DuckDB recursive CTE
+    // transitive closure (min reachable id).
+    "d09_dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val pairs = queries("d07_dedup_pipeline")(s, d).select($"doc_a", $"doc_b")
+      val edges = pairs.select($"doc_a".as("ea"), $"doc_b".as("eb"))
+        .union(pairs.select($"doc_b".as("ea"), $"doc_a".as("eb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select($"ea".as("node")).distinct()
+        .withColumn("lbl", $"node")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val nbrMin = edges.join(labels, $"eb" === $"node")
+          .groupBy($"ea").agg(min($"lbl").as("nbr_lbl"))
+        val next = labels.join(nbrMin, $"node" === $"ea", "left")
+          .select($"node", $"lbl", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.filter($"lbl2" < $"lbl").count()
+        val prev = labels
+        labels = next.select($"node", $"lbl2".as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev.unpersist()
+        next.unpersist()
+        iters += 1
+      }
+      labels.select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
+        .orderBy($"doc_id")
+    },
+
     // Edit-distance near-dup: Levenshtein over document prefixes, blocked
     // on (source, first word). Edit distance is O(m*n) per pair — at scale
     // it's strictly a verifier over blocked/LSH candidates, never a primary
@@ -363,6 +403,28 @@ object Dedup {
              |FROM common JOIN cnt cx ON doc_a = cx.doc_id JOIN cnt cy ON doc_b = cy.doc_id
              |WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2
              |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "d09_dedup_clusters" -> {
+        raw"""WITH RECURSIVE $sqlMinhashCtes,
+             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
+             |cntd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+             |  FROM cand
+             |  JOIN shd x ON doc_a = x.doc_id
+             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
+             |  GROUP BY doc_a, doc_b),
+             |verified AS (SELECT doc_a, doc_b
+             |  FROM common JOIN cntd cx ON doc_a = cx.doc_id JOIN cntd cy ON doc_b = cy.doc_id
+             |  WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+             |  UNION ALL SELECT doc_b, doc_a FROM verified),
+             |reach(node, root) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+             |SELECT node AS doc_id, min(root) AS cluster_rep
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
       },
 
       "d06_dedup_levenshtein" ->
