@@ -35,10 +35,12 @@ object PipelineDemo {
       .select($"rep_id".as("doc_id"))
     val exact = docs.join(reps, "doc_id")
 
-    // 2. near-dup drop: LSH candidates verified by Jaccard >= 0.2 — drop
-    //    the higher doc_id of each verified pair (keep-first policy)
-    val nearDupLosers = SparkEntry.queries("d07_dedup_pipeline")(spark, sfDir)
-      .select($"doc_b".as("doc_id")).distinct()
+    // 2. near-dup drop: cluster the verified pairs into connected
+    //    components and keep only each component's representative —
+    //    transitively consistent (A~B, B~C keeps exactly one of {A,B,C}
+    //    even when A!~C, which per-pair dropping can't guarantee)
+    val nearDupLosers = SparkEntry.queries("d09_dedup_clusters")(spark, sfDir)
+      .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
     // 3. quality floor

@@ -254,31 +254,62 @@ object Dedup {
     // transitive closure (min reachable id).
     "d09_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val pairs = queries("d07_dedup_pipeline")(s, d).select($"doc_a", $"doc_b")
-      val edges = pairs.select($"doc_a".as("ea"), $"doc_b".as("eb"))
-        .union(pairs.select($"doc_b".as("ea"), $"doc_a".as("eb")))
+      // Materialize the verified pairs ONCE and cut their lineage: the
+      // iterative phase must not re-run (or re-cache) the whole MinHash
+      // pipeline per round, and the pair set is tiny by construction —
+      // the analog of staging phase output to parquet between pipeline
+      // stages at 100 TB.
+      val pairs = queries("d07_dedup_pipeline")(s, d)
+        .select($"doc_a", $"doc_b").localCheckpoint()
+      // both edge orientations from ONE pass; the pair graph is orders of
+      // magnitude smaller than the corpus, so the propagation runs on a
+      // handful of partitions — at trillion-edge scale size this to the
+      // edge count instead
+      val edges = pairs.select(explode(array(
+          struct($"doc_a".as("ea"), $"doc_b".as("eb")),
+          struct($"doc_b".as("ea"), $"doc_a".as("eb")))).as("e"))
+        .select($"e.ea".as("ea"), $"e.eb".as("eb"))
+        .repartition(8, $"eb")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select($"ea".as("node")).distinct()
         .withColumn("lbl", $"node")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the cached plan physically backing `labels` (labels itself may be
+      // a narrow select over it) — unpersisted once the round is done
+      var backing = labels
       var changed = 1L
       var iters = 0
       while (changed > 0 && iters < 50) {
+        // neighbor propagation (hash-to-min) PLUS pointer doubling (take
+        // the label of your label): diameter halves per round, so chains
+        // of near-identical docs converge in O(log d) driver-synchronized
+        // rounds instead of O(d)
         val nbrMin = edges.join(labels, $"eb" === $"node")
           .groupBy($"ea").agg(min($"lbl").as("nbr_lbl"))
-        val next = labels.join(nbrMin, $"node" === $"ea", "left")
-          .select($"node", $"lbl", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl2"))
+        val lblOfLbl = labels.select($"node".as("n2"), $"lbl".as("ll"))
+        val next = labels
+          .join(nbrMin, $"node" === $"ea", "left")
+          .join(lblOfLbl, $"lbl" === $"n2", "left")
+          .select($"node", $"lbl",
+            least($"lbl", coalesce($"nbr_lbl", $"lbl"), coalesce($"ll", $"lbl"))
+              .as("lbl2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         changed = next.filter($"lbl2" < $"lbl").count()
-        val prev = labels
+        // `next` is materialized (the count above) and physically backs
+        // the new `labels` (narrow select) — unpersist only the PREVIOUS
+        // backing plan, or the next round recomputes the whole lineage
         labels = next.select($"node", $"lbl2".as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prev.unpersist()
-        next.unpersist()
+        backing.unpersist()
+        backing = next
         iters += 1
       }
-      labels.select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
-        .orderBy($"doc_id")
+      // checkpoint the (tiny) result and release every loop cache — the
+      // caller's action must not depend on the iteration lineage
+      val out = labels.select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
+        .localCheckpoint()
+      backing.unpersist()
+      edges.unpersist()
+      out.orderBy($"doc_id")
     },
 
     // Edit-distance near-dup: Levenshtein over document prefixes, blocked
