@@ -18,8 +18,8 @@ import graft.core.{Tables, Tok}
   */
 object Curation {
 
-  private def sqlU28(id: String): String =
-    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 7))::BIGINT"
+  private def sqlU28(id: String, salt: String = ""): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR) || '$salt'), 1, 7))::BIGINT"
 
   /** 2^28 as a double — `u28 / Unit28` is exact (28-bit numerator fits a
     * double mantissa), so threshold compares agree bit-for-bit across
@@ -94,6 +94,52 @@ object Curation {
         .orderBy($"train_id")
     },
 
+    // Data mixing with a token budget: derive per-source sampling rates
+    // from corpus statistics (equal token share per source within a 50%
+    // global budget, capped at 1), then apply them with a SALTED hash
+    // gate. Rates come from exact integer token counts and one identical
+    // double formula, so both engines gate identically. Two scans total
+    // (stats, then gate) — the 100 TB mixing recipe.
+    "c04_token_budget_mix" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"source", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+      val stats = toks.groupBy($"source").agg(sum($"tk").as("src_toks"))
+      val totals = stats.agg(sum($"src_toks").as("all_toks"),
+        count(lit(1)).as("n_sources"))
+      val rates = stats.crossJoin(broadcast(totals))
+        .select($"source".as("rsrc"),
+          least(lit(1.0),
+            ($"all_toks".cast("double") * 0.5 / $"n_sources") / $"src_toks".cast("double"))
+            .as("rate"))
+      toks.join(broadcast(rates), $"source" === $"rsrc")
+        .filter(unitHash($"doc_id", salt = "mix") < $"rate")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_kept"), sum($"tk").as("toks_kept"),
+          round(max($"rate"), 6).as("rate"))
+        .orderBy($"source")
+    },
+
+    // Token-packed training shards: deterministic doc order (doc_id),
+    // running token sum, shard = exclusive-prefix-sum DIV capacity — the
+    // greedy packing every sequence-packing loader runs, as ONE window
+    // pass. At 100 TB pack per partition-range instead of one global
+    // order (ranges are contiguous doc_id slices, so shard boundaries
+    // stay deterministic).
+    "c05_token_shards" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+        .withColumn("shard", ((sum($"tk").over(w) - $"tk") / 2000L).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard")
+    },
+
     // Deterministic 80/10/10 train/val/test assignment; output is the
     // per-(lang, split) census plus the id-range evidence that assignment
     // is content-stable.
@@ -128,6 +174,33 @@ object Curation {
            |  min(eval_id) AS first_eval_hit
            |FROM tr JOIN ev USING (s)
            |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "c04_token_budget_mix" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |stats AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS src_toks FROM toks GROUP BY source),
+           |tot AS (SELECT CAST(SUM(src_toks) AS BIGINT) AS all_toks, COUNT(*) AS n_sources FROM stats),
+           |rates AS (SELECT source AS rsrc,
+           |    least(1.0, (CAST(all_toks AS DOUBLE) * 0.5 / n_sources) / CAST(src_toks AS DOUBLE)) AS rate
+           |  FROM stats CROSS JOIN tot)
+           |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(tk) AS BIGINT) AS toks_kept,
+           |  round(max(rate), 6) AS rate
+           |FROM toks JOIN rates ON source = rsrc
+           |WHERE (${sqlU28("doc_id", "mix")} / 268435456.0) < rate
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+    "c05_token_shards" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |c AS (SELECT doc_id, tk,
+           |    SUM(tk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS cum0
+           |  FROM t)
+           |SELECT CAST(cum0 // 2000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "c02_hash_split" ->
       s"""WITH t AS (SELECT doc_id, lang,
