@@ -121,19 +121,30 @@ object Curation {
     },
 
     // Token-packed training shards: deterministic doc order (doc_id),
-    // running token sum, shard = exclusive-prefix-sum DIV capacity — the
-    // greedy packing every sequence-packing loader runs, as ONE window
-    // pass. At 100 TB pack per partition-range instead of one global
-    // order (ranges are contiguous doc_id slices, so shard boundaries
-    // stay deterministic).
+    // exclusive running token sum, shard = prefix DIV capacity — the
+    // greedy packing every sequence-packing loader runs. The prefix sum
+    // is computed with the TWO-LEVEL distributed scan (a global
+    // no-partition window would funnel all rows through one task):
+    // contiguous doc_id buckets get local prefix sums in parallel, the
+    // per-bucket totals (one tiny row each) get a cumulative offset, and
+    // offsets broadcast back. Identical value to the naive global
+    // window, scalable to any row count.
     "c05_token_shards" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
-        .withColumn("shard", ((sum($"tk").over(w) - $"tk") / 2000L).cast("long"))
+        .withColumn("bucket", ($"doc_id" / 100L).cast("long"))
+      val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBuckets = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy($"bucket").agg(sum($"tk").as("btk"))
+        .select($"bucket".as("obucket"),
+          coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
+      toks.join(broadcast(offsets), $"bucket" === $"obucket")
+        .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
+        .withColumn("shard", ($"cum0" / 2000L).cast("long"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
