@@ -134,7 +134,9 @@ object Curation {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
-        .withColumn("bucket", ($"doc_id" / 100L).cast("long"))
+        // integer DIV throughout: double division + cast would round at
+        // ~2^42 quotients and drift from the oracle's exact `//`
+        .withColumn("bucket", expr("doc_id div 100"))
       val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBuckets = Window.orderBy($"bucket")
@@ -144,7 +146,7 @@ object Curation {
           coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
       toks.join(broadcast(offsets), $"bucket" === $"obucket")
         .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
-        .withColumn("shard", ($"cum0" / 2000L).cast("long"))
+        .withColumn("shard", expr("cum0 div 2000"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))

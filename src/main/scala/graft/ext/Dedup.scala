@@ -72,6 +72,29 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Jaccard-verified near-dup pairs (doc_a, doc_b, jaccard >= 0.2),
+    * UNSORTED — shared by d07 (which adds the output ORDER BY) and d09
+    * (which only needs the pair set, so it must not pay a discarded
+    * global sort). */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = lshCandidates(minhashSigs(s, d))
+    // exact verification over candidates only
+    val shd = shingles(s, d).select($"doc_id", $"s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shd.as("x"), $"doc_a" === col("x.doc_id"))
+      .join(shd.as("y"), $"doc_b" === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.as("cx"), $"doc_a" === col("cx.doc_id"))
+      .join(cnt.as("cy"), $"doc_b" === col("cy.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / (col("cx.n") + col("cy.n") - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+  }
+
   /** LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
     * 4 bands × 2 rows, integer band keys, equi-join. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
@@ -111,6 +134,23 @@ object Dedup {
          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** SQL twin of [[verifiedPairs]] — the ONE definition of the Jaccard
+    * verification (threshold included) shared by the d07 and d09 oracles,
+    * so the two can never drift apart. */
+  private def sqlVerifiedCtes: String =
+    raw"""$sqlMinhashCtes,
+         |shd AS (SELECT DISTINCT doc_id, s FROM shr),
+         |cntd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+         |  FROM cand
+         |  JOIN shd x ON doc_a = x.doc_id
+         |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
+         |  GROUP BY doc_a, doc_b),
+         |verified AS (SELECT doc_a, doc_b,
+         |    CAST(c AS DOUBLE) / (cx.n + cy.n - c) AS jaccard
+         |  FROM common JOIN cntd cx ON doc_a = cx.doc_id JOIN cntd cy ON doc_b = cy.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: representative id + copy count per distinct text.
     "d01_dedup_exact" -> { (s, d) =>
@@ -125,11 +165,11 @@ object Dedup {
     // Exact n-gram Jaccard near-dup pairs (same-source blocking).
     "d02_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      // persisted: both sides of the self-join and the per-doc counts read
-      // it — 3 uses, one computation (at 100 TB: MEMORY_AND_DISK, or a
-      // staged parquet materialization between pipeline phases). Not
-      // explicitly unpersisted — the blocks are small, LRU-evictable, and
-      // spill-backed, so they yield under memory pressure.
+      // NOT persisted: the self-join's two sides shuffle on the same key
+      // with an identical subplan, so Spark's ReusedExchange serves the
+      // second side from the first shuffle's files — cheaper than a cache
+      // materialization barrier (measured). The per-doc count branch
+      // recomputes the narrow scan, also cheaper than caching here.
       // join key: one 64-bit xxhash of (source, shingle) instead of the
       // two-column string key — narrower shuffle rows, long-vs-long
       // equality. Internal only (outputs never see it); a collision would
@@ -222,23 +262,7 @@ object Dedup {
     // restricted to candidates. This is the production shape at 100 TB:
     // the O(n²) verifier only ever sees the (tiny) candidate set.
     "d07_dedup_pipeline" -> { (s, d) =>
-      import s.implicits._
-      val cand = lshCandidates(minhashSigs(s, d))
-      // exact verification over candidates only
-      val shd = shingles(s, d).select($"doc_id", $"s")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnt = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = cand
-        .join(shd.as("x"), $"doc_a" === col("x.doc_id"))
-        .join(shd.as("y"), $"doc_b" === col("y.doc_id") && col("x.s") === col("y.s"))
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-      common
-        .join(cnt.as("cx"), $"doc_a" === col("cx.doc_id"))
-        .join(cnt.as("cy"), $"doc_b" === col("cy.doc_id"))
-        .select($"doc_a", $"doc_b",
-          ($"c".cast("double") / (col("cx.n") + col("cy.n") - $"c")).as("jaccard"))
-        .filter($"jaccard" >= 0.2)
-        .orderBy($"doc_a", $"doc_b")
+      verifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // Dedup cluster formation — the step after pair discovery: connected
@@ -259,7 +283,7 @@ object Dedup {
       // pipeline per round, and the pair set is tiny by construction —
       // the analog of staging phase output to parquet between pipeline
       // stages at 100 TB.
-      val pairs = queries("d07_dedup_pipeline")(s, d)
+      val pairs = verifiedPairs(s, d)
         .select($"doc_a", $"doc_b").localCheckpoint()
       // both edge orientations from ONE pass; the pair graph is orders of
       // magnitude smaller than the corpus, so the propagation runs on a
@@ -421,33 +445,13 @@ object Dedup {
              |ORDER BY doc_a, doc_b""".stripMargin
       },
 
-      "d07_dedup_pipeline" -> {
-        raw"""WITH $sqlMinhashCtes,
-             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
-             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
-             |  FROM cand
-             |  JOIN shd x ON doc_a = x.doc_id
-             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
-             |  GROUP BY doc_a, doc_b)
-             |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (cx.n + cy.n - c) AS jaccard
-             |FROM common JOIN cnt cx ON doc_a = cx.doc_id JOIN cnt cy ON doc_b = cy.doc_id
-             |WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2
-             |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      "d07_dedup_pipeline" ->
+        raw"""WITH $sqlVerifiedCtes
+             |SELECT doc_a, doc_b, jaccard FROM verified
+             |ORDER BY doc_a, doc_b""".stripMargin,
 
-      "d09_dedup_clusters" -> {
-        raw"""WITH RECURSIVE $sqlMinhashCtes,
-             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
-             |cntd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
-             |  FROM cand
-             |  JOIN shd x ON doc_a = x.doc_id
-             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
-             |  GROUP BY doc_a, doc_b),
-             |verified AS (SELECT doc_a, doc_b
-             |  FROM common JOIN cntd cx ON doc_a = cx.doc_id JOIN cntd cy ON doc_b = cy.doc_id
-             |  WHERE CAST(c AS DOUBLE) / (cx.n + cy.n - c) >= 0.2),
+      "d09_dedup_clusters" ->
+        raw"""WITH RECURSIVE $sqlVerifiedCtes,
              |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
              |  UNION ALL SELECT doc_b, doc_a FROM verified),
              |reach(node, root) AS (
@@ -455,8 +459,7 @@ object Dedup {
              |  UNION
              |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
              |SELECT node AS doc_id, min(root) AS cluster_rep
-             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-      },
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
       "d06_dedup_levenshtein" ->
         raw"""WITH pre AS (SELECT doc_id, source,

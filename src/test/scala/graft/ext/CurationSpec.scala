@@ -49,6 +49,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c05: two-level prefix sum equals the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the scalable bucketed scan must assign the identical shard to
+    // every doc as a single global running sum would
+    val sfd = "/root/testdata/sf0.01"
+    val twoLevel = Curation.queries("c05_token_shards")(spark, sfd)
+      .collect().map(_.toSeq).toSeq
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = graft.core.Tables.documents(spark, sfd)
+      .select($"doc_id", size(split(trim($"text"), graft.core.Tok.Ws)).cast("long").as("tk"))
+      .withColumn("cum0", sum($"tk").over(w) - $"tk")
+      .withColumn("shard", expr("cum0 div 2000"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard")
+      .collect().map(_.toSeq).toSeq
+    assert(twoLevel == naive)
+  }
+
   test("m02: frame summaries agree with a direct stub computation") {
     import spark.implicits._
     val media = Seq((1L, "k", "abcdefgh" * 10), (2L, "k", "xy"))
