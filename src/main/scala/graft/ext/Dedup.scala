@@ -268,72 +268,22 @@ object Dedup {
     // Dedup cluster formation — the step after pair discovery: connected
     // components over the verified near-dup pairs (d07), each doc labeled
     // with its component's minimum doc_id as the kept representative.
-    // Distributed min-label propagation: every iteration is one
-    // edges⋈labels join + min-aggregate (all distributed); only the
-    // convergence CHECK runs on the driver, and the iteration count is
-    // the graph diameter (near-dup clusters are shallow — a handful of
-    // rounds). This is exactly large-scale connected components; at
-    // trillion-edge scale you'd switch to the alternating star-contraction
-    // variant, same join primitives. Oracle = DuckDB recursive CTE
-    // transitive closure (min reachable id).
+    // Multi-level local contraction (graft.operators.ConnectedComponents):
+    // partition-local union-find passes, single-task finish once the
+    // contracted star set fits one executor — log_fanIn(P) narrow passes
+    // instead of O(diameter) join+aggregate shuffle rounds. Oracle =
+    // DuckDB recursive CTE transitive closure (min reachable id).
     "d09_dedup_clusters" -> { (s, d) =>
       import s.implicits._
       // Materialize the verified pairs ONCE and cut their lineage: the
-      // iterative phase must not re-run (or re-cache) the whole MinHash
-      // pipeline per round, and the pair set is tiny by construction —
-      // the analog of staging phase output to parquet between pipeline
-      // stages at 100 TB.
+      // contraction must not re-run the whole MinHash pipeline per level,
+      // and the pair set is tiny by construction — the analog of staging
+      // phase output to parquet between pipeline stages at 100 TB.
       val pairs = verifiedPairs(s, d)
         .select($"doc_a", $"doc_b").localCheckpoint()
-      // both edge orientations from ONE pass; the pair graph is orders of
-      // magnitude smaller than the corpus, so the propagation runs on a
-      // handful of partitions — at trillion-edge scale size this to the
-      // edge count instead
-      val edges = pairs.select(explode(array(
-          struct($"doc_a".as("ea"), $"doc_b".as("eb")),
-          struct($"doc_b".as("ea"), $"doc_a".as("eb")))).as("e"))
-        .select($"e.ea".as("ea"), $"e.eb".as("eb"))
-        .repartition(8, $"eb")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select($"ea".as("node")).distinct()
-        .withColumn("lbl", $"node")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the cached plan physically backing `labels` (labels itself may be
-      // a narrow select over it) — unpersisted once the round is done
-      var backing = labels
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 50) {
-        // neighbor propagation (hash-to-min) PLUS pointer doubling (take
-        // the label of your label): diameter halves per round, so chains
-        // of near-identical docs converge in O(log d) driver-synchronized
-        // rounds instead of O(d)
-        val nbrMin = edges.join(labels, $"eb" === $"node")
-          .groupBy($"ea").agg(min($"lbl").as("nbr_lbl"))
-        val lblOfLbl = labels.select($"node".as("n2"), $"lbl".as("ll"))
-        val next = labels
-          .join(nbrMin, $"node" === $"ea", "left")
-          .join(lblOfLbl, $"lbl" === $"n2", "left")
-          .select($"node", $"lbl",
-            least($"lbl", coalesce($"nbr_lbl", $"lbl"), coalesce($"ll", $"lbl"))
-              .as("lbl2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.filter($"lbl2" < $"lbl").count()
-        // `next` is materialized (the count above) and physically backs
-        // the new `labels` (narrow select) — unpersist only the PREVIOUS
-        // backing plan, or the next round recomputes the whole lineage
-        labels = next.select($"node", $"lbl2".as("lbl"))
-        backing.unpersist()
-        backing = next
-        iters += 1
-      }
-      // checkpoint the (tiny) result and release every loop cache — the
-      // caller's action must not depend on the iteration lineage
-      val out = labels.select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
-        .localCheckpoint()
-      backing.unpersist()
-      edges.unpersist()
-      out.orderBy($"doc_id")
+      graft.operators.ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+        .select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
+        .orderBy($"doc_id")
     },
 
     // Edit-distance near-dup: Levenshtein over document prefixes, blocked
