@@ -164,6 +164,47 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"lang", $"split")
+    },
+
+    // Curation funnel: per-gate survival census (docs + tokens after each
+    // stacked filter). Every gate — length, token count, duplicate-bigram
+    // fraction, salted hash sample — is per-row algebra, so the WHOLE
+    // funnel is ONE scan + one 5-row conditional aggregation: selectivity
+    // reporting over 100 TB without re-running the pipeline per stage.
+    // The repetition gate's per-row `array_distinct` replaces a
+    // shuffle-heavy explode+groupBy — document-local dedup needs no
+    // cross-row state.
+    "c06_curation_funnel" -> { (s, d) =>
+      import s.implicits._
+      val dup2 = when(size($"w") >= 2,
+        lit(1.0) - size(array_distinct(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")))
+          .cast("double") / (size($"w") - 1))
+        .otherwise(lit(1.0))
+      val base = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .select($"n_chars", size($"w").as("n_tok"), dup2.as("dup2"),
+          unitHash($"doc_id", salt = "gate").as("u"),
+          size($"w").cast("long").as("tk"))
+        .withColumn("g1", $"n_chars" >= 100)
+        .withColumn("g2", $"g1" && $"n_tok" >= 40)
+        .withColumn("g3", $"g2" && $"dup2" <= 0.02)
+        .withColumn("g4", $"g3" && $"u" < 0.75)
+      def kept(g: Column) = (count(when(g, 1)), sum(when(g, $"tk")))
+      val (c1, t1) = kept($"g1"); val (c2, t2) = kept($"g2")
+      val (c3, t3) = kept($"g3"); val (c4, t4) = kept($"g4")
+      base.agg(
+          count(lit(1)).as("c0"), sum($"tk").as("t0"),
+          c1.as("c1"), t1.as("t1"), c2.as("c2"), t2.as("t2"),
+          c3.as("c3"), t3.as("t3"), c4.as("c4"), t4.as("t4"))
+        .selectExpr(
+          """stack(5,
+            |  0, 'total',       c0, t0,
+            |  1, 'len>=100',    c1, t1,
+            |  2, '+tok>=40',    c2, t2,
+            |  3, '+dup2<=0.02', c3, t3,
+            |  4, '+hash<0.75',  c4, t4) AS (stage, gate, docs_kept, toks_kept)""".stripMargin)
+        .orderBy(col("stage"))
     }
   )
 
@@ -221,6 +262,31 @@ object Curation {
          |SELECT lang,
          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+         |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "c06_curation_funnel" ->
+      raw"""WITH t AS (SELECT doc_id, n_chars,
+           |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |g AS (SELECT n_chars, len(w) AS n_tok,
+           |    CASE WHEN len(w) >= 2
+           |         THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+           |              i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w) - 1)
+           |         ELSE 1.0 END AS dup2,
+           |    ${sqlU28("doc_id", "gate")} / 268435456.0 AS u,
+           |    CAST(len(w) AS BIGINT) AS tk
+           |  FROM t),
+           |f AS (SELECT *,
+           |    (n_chars >= 100) AS g1,
+           |    (n_chars >= 100 AND n_tok >= 40) AS g2,
+           |    (n_chars >= 100 AND n_tok >= 40 AND dup2 <= 0.02) AS g3,
+           |    (n_chars >= 100 AND n_tok >= 40 AND dup2 <= 0.02 AND u < 0.75) AS g4
+           |  FROM g)
+           |SELECT 0 AS stage, 'total' AS gate, COUNT(*) AS docs_kept,
+           |  CAST(SUM(tk) AS BIGINT) AS toks_kept FROM f
+           |UNION ALL SELECT 1, 'len>=100', COUNT(*) FILTER (g1), CAST(SUM(tk) FILTER (g1) AS BIGINT) FROM f
+           |UNION ALL SELECT 2, '+tok>=40', COUNT(*) FILTER (g2), CAST(SUM(tk) FILTER (g2) AS BIGINT) FROM f
+           |UNION ALL SELECT 3, '+dup2<=0.02', COUNT(*) FILTER (g3), CAST(SUM(tk) FILTER (g3) AS BIGINT) FROM f
+           |UNION ALL SELECT 4, '+hash<0.75', COUNT(*) FILTER (g4), CAST(SUM(tk) FILTER (g4) AS BIGINT) FROM f
+           |ORDER BY stage""".stripMargin
   )
 }

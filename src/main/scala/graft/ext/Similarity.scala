@@ -158,6 +158,30 @@ object Similarity {
         .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
           round($"cos", 6).as("cos_sim"), $"rn")
         .orderBy($"query_id", $"rn")
+    },
+
+    // Per-vector absmax int8 scalar quantization — the embedding
+    // compression step of a vector store build (4x smaller than float32,
+    // 8x than the double working type). Narrow per-row map, no shuffle:
+    // quantize 100 TB of vectors in a single scan-bound pass. The mean
+    // absolute reconstruction error rides along as the quality metric;
+    // its sum is an IN-ORDER fold (engine parity like every dot product
+    // here), exposed rounded to 6 dp.
+    "s05_quantize_int8" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+        .withColumn("absmax", array_max(transform($"v", x => abs(x))))
+      e.withColumn("qvec",
+          when($"absmax" === 0.0, transform($"v", _ => lit(0).cast("tinyint")))
+            .otherwise(transform($"v", x => round(x * lit(127.0) / $"absmax").cast("tinyint"))))
+        .select($"vec_id", $"qvec",
+          round($"absmax" / lit(127.0), 6).as("scale"),
+          round(
+            aggregate(
+              zip_with($"v", $"qvec", (x, q) =>
+                abs(x - q.cast("double") * $"absmax" / lit(127.0))),
+              lit(0.0), _ + _) / size($"v"), 6).as("mae"))
+        .orderBy($"vec_id")
     }
   )
 
@@ -225,6 +249,19 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, bucket, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-    }
+    },
+
+    "s05_quantize_int8" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |s AS (SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(x))) AS absmax FROM e),
+           |q AS (SELECT vec_id, v, absmax,
+           |    CASE WHEN absmax = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+           |         ELSE list_transform(v, x -> CAST(round(x * 127.0 / absmax) AS TINYINT)) END AS qvec
+           |  FROM s)
+           |SELECT vec_id, qvec, round(absmax / 127.0, 6) AS scale,
+           |  round(list_sum(list_transform(range(1, len(v) + 1),
+           |      i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * absmax / 127.0))) / len(v), 6) AS mae
+           |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -120,6 +120,36 @@ object TextAnalysis {
           expr("array_min(transform(sh, x -> substr(md5(CAST(x AS BINARY)), 1, 16)))")
             .as("min_shingle_fp"))
         .orderBy($"doc_id")
+    },
+
+    // Gopher-style repetition filters: top-unigram mass fraction (needs
+    // the per-(doc, word) count — one shuffle, map-side combined) and
+    // duplicate-trigram fraction (pure per-row array algebra — no shuffle
+    // at all). Integer counts + one final division keep both metrics
+    // bit-identical across engines.
+    "t06_repetition_quality" -> { (s, d) =>
+      import s.implicits._
+      val w = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+      val ustat = w.select($"doc_id", explode($"w").as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_words"), max($"c").as("top_word"))
+      val tri = w.select($"doc_id",
+        when(size($"w") >= 3, expr(
+          """transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |    element_at(w, i + 2)))""".stripMargin))
+          .otherwise(array().cast("array<string>")).as("t"))
+      ustat.join(tri, "doc_id")
+        .select($"doc_id", $"n_words", $"top_word",
+          round($"top_word".cast("double") / $"n_words", 6).as("top_unigram_frac"),
+          size($"t").cast("long").as("n_trigrams"),
+          when(size($"t") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              lit(1.0) - size(array_distinct($"t")).cast("double") / size($"t"), 6))
+            .as("dup_trigram_frac"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -183,6 +213,25 @@ object TextAnalysis {
            |SELECT doc_id,
            |  substr(md5(text), 1, 16) AS fp,
            |  list_min(list_transform(sh, x -> substr(md5(x), 1, 16))) AS min_shingle_fp
-           |FROM s ORDER BY doc_id""".stripMargin
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t06_repetition_quality" ->
+      raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |uni AS (SELECT doc_id, unnest(w) AS word FROM words),
+           |ucnt AS (SELECT doc_id, word, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+           |ustat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+           |    CAST(MAX(c) AS BIGINT) AS top_word FROM ucnt GROUP BY 1),
+           |tri AS (SELECT doc_id,
+           |    CASE WHEN len(w) >= 3
+           |         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           |         ELSE CAST([] AS VARCHAR[]) END AS t
+           |  FROM words)
+           |SELECT u.doc_id, n_words, top_word,
+           |  round(CAST(top_word AS DOUBLE) / n_words, 6) AS top_unigram_frac,
+           |  CAST(len(t.t) AS BIGINT) AS n_trigrams,
+           |  CASE WHEN len(t.t) = 0 THEN NULL
+           |       ELSE round(1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t), 6) END AS dup_trigram_frac
+           |FROM ustat u JOIN tri t ON u.doc_id = t.doc_id
+           |ORDER BY u.doc_id""".stripMargin
   )
 }
