@@ -39,6 +39,24 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / sqrt(na * nb)
 
+  /** Per-vector absmax for int8 quantization. */
+  def absmax(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  /** Symmetric absmax int8 quantization of an `array<double>` column:
+    * `q_i = round(v_i * 127 / absmax)` (half-away-from-zero in Spark AND
+    * DuckDB), all-zero vectors quantize to zeros. Narrow expression —
+    * safe in any scan-bound pass. */
+  def quantizeInt8(v: Column, am: Column): Column =
+    when(am === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v, x => round(x * lit(127.0) / am).cast("tinyint")))
+
+  /** Mean absolute reconstruction error of [[quantizeInt8]] — an IN-ORDER
+    * fold (cross-engine bit parity like every dot product here). */
+  def dequantMae(v: Column, qv: Column, am: Column): Column =
+    aggregate(
+      zip_with(v, qv, (x, q) => abs(x - q.cast("double") * am / lit(127.0))),
+      lit(0.0), _ + _) / size(v)
+
   /** DuckDB twin of [[cosine]]. */
   def sqlCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
@@ -169,18 +187,12 @@ object Similarity {
     // here), exposed rounded to 6 dp.
     "s05_quantize_int8" -> { (s, d) =>
       import s.implicits._
-      val e = vectors(s, d)
-        .withColumn("absmax", array_max(transform($"v", x => abs(x))))
-      e.withColumn("qvec",
-          when($"absmax" === 0.0, transform($"v", _ => lit(0).cast("tinyint")))
-            .otherwise(transform($"v", x => round(x * lit(127.0) / $"absmax").cast("tinyint"))))
+      vectors(s, d)
+        .withColumn("absmax", absmax($"v"))
+        .withColumn("qvec", quantizeInt8($"v", $"absmax"))
         .select($"vec_id", $"qvec",
           round($"absmax" / lit(127.0), 6).as("scale"),
-          round(
-            aggregate(
-              zip_with($"v", $"qvec", (x, q) =>
-                abs(x - q.cast("double") * $"absmax" / lit(127.0))),
-              lit(0.0), _ + _) / size($"v"), 6).as("mae"))
+          round(dequantMae($"v", $"qvec", $"absmax"), 6).as("mae"))
         .orderBy($"vec_id")
     }
   )

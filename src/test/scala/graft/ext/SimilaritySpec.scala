@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+
+  test("quantizeInt8: values land in [-127, 127], extremes map to ±127") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5, -0.25, 0.125, -0.5)),
+      (2L, Array(3.0, -1.5, 0.0, 1.5))).toDF("id", "v")
+      .withColumn("am", Similarity.absmax($"v"))
+      .withColumn("q", Similarity.quantizeInt8($"v", $"am"))
+    val rows = df.select($"id", $"q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(rows(1L) === Seq[Byte](127, -64, 32, -127))
+    assert(rows(2L) === Seq[Byte](127, -64, 0, 64))
+  }
+
+  test("quantizeInt8: all-zero vector quantizes to zeros with zero error") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0, 0.0, 0.0))).toDF("id", "v")
+      .withColumn("am", Similarity.absmax($"v"))
+      .withColumn("q", Similarity.quantizeInt8($"v", $"am"))
+      .withColumn("mae", Similarity.dequantMae($"v", $"q", $"am"))
+    val r = df.select($"q", $"mae").head()
+    assert(r.getSeq[Byte](0) === Seq[Byte](0, 0, 0))
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("dequantMae is bounded by half a quantization step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val rows = vecs.toDF("id", "v")
+      .withColumn("am", Similarity.absmax($"v"))
+      .withColumn("q", Similarity.quantizeInt8($"v", $"am"))
+      .select($"am", Similarity.dequantMae($"v", $"q", $"am").as("mae"))
+      .collect()
+    rows.foreach { r =>
+      val step = r.getDouble(0) / 127.0
+      assert(r.getDouble(1) <= step / 2 + 1e-12,
+        s"mae ${r.getDouble(1)} exceeds half-step ${step / 2}")
+    }
+  }
+}
