@@ -13,8 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed-DataFrame cache per (session, path): the local analog of a
+    * catalog/metastore caching file indexes and schemas. Without it every
+    * query re-lists the directory and re-reads parquet footers — tens of
+    * redundant driver round-trips per Bench/Verify sweep, and at scale a
+    * listing storm against the object store. DataFrames are immutable, so
+    * reuse within a session is safe; keying on the session keeps separate
+    * sessions (tests) isolated. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
