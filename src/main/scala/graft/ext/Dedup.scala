@@ -275,12 +275,11 @@ object Dedup {
     // DuckDB recursive CTE transitive closure (min reachable id).
     "d09_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      // Materialize the verified pairs ONCE and cut their lineage: the
-      // contraction must not re-run the whole MinHash pipeline per level,
-      // and the pair set is tiny by construction — the analog of staging
-      // phase output to parquet between pipeline stages at 100 TB.
-      val pairs = verifiedPairs(s, d)
-        .select($"doc_a", $"doc_b").localCheckpoint()
+      // No staging needed before the contraction: ConnectedComponents
+      // persists its first level's star output, so the MinHash pipeline
+      // runs exactly once (the level-1 mapPartitions fuses into the
+      // pipeline's final stage) and later levels never re-touch it.
+      val pairs = verifiedPairs(s, d).select($"doc_a", $"doc_b")
       graft.operators.ConnectedComponents.labels(pairs, "doc_a", "doc_b")
         .select($"node".as("doc_id"), $"lbl".as("cluster_rep"))
         .orderBy($"doc_id")

@@ -93,26 +93,31 @@ object ConnectedComponents {
 
     var cur = edges.select(edges(src).cast("long"), edges(dst).cast("long"))
       .as[(Long, Long)]
-    var parts = math.max(cur.rdd.getNumPartitions, 1)
+    // Loop countdown only — level 1 runs at the INPUT's own parallelism
+    // (mapPartitions fuses into the producing stage; no .rdd probe, which
+    // under AQE would execute the plan's stages just to count partitions).
+    // Later levels' partition counts are exact: we set them by repartition.
+    var parts = math.max(spark.sparkContext.defaultParallelism, 2)
     var prev: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None
     var done: org.apache.spark.sql.Dataset[(Long, Long)] = null
     while (done == null) {
+      val stars = cur.mapPartitions(contract)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = stars.count() // materializes the level; the only driver sync
       if (parts <= 1) {
-        // one partition sees every remaining star edge → global labels
-        done = cur.coalesce(1).mapPartitions(contract).localCheckpoint()
+        // cur had exactly one partition, so its contraction IS the global
+        // labeling (each node once). Reaching here with n above the
+        // threshold means the graph refused to shrink — the single task
+        // was unavoidable; the threshold merely takes this exit earlier.
+        done = stars.localCheckpoint()
+      } else if (n <= singleTaskThreshold) {
+        done = stars.repartition(1).mapPartitions(contract).localCheckpoint()
       } else {
-        val stars = cur.mapPartitions(contract)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val n = stars.count() // materializes the level; the only driver sync
-        if (n <= singleTaskThreshold) {
-          done = stars.repartition(1).mapPartitions(contract).localCheckpoint()
-        } else {
-          parts = math.max(1, parts / fanIn)
-          cur = stars.repartition(parts)
-        }
-        prev.foreach(_.unpersist())
-        prev = Some(stars)
+        parts = math.max(1, parts / fanIn)
+        cur = stars.repartition(parts)
       }
+      prev.foreach(_.unpersist())
+      prev = Some(stars)
     }
     prev.foreach(_.unpersist())
     done.toDF("node", "lbl")
