@@ -76,4 +76,17 @@ class EdgeCaseSpec extends SparkSuite {
     assert(global == 0)
     assert(h.emitter.getEmittedEvents.count(_.topic == "dlq") > 0)
   }
+
+  test("null values (Kafka tombstones) and empty values reach the DLQ, not handlers") {
+    val h = new TestHarness(spark, EngineConfig(dlqTopic = Some("dlq")))
+    var global = 0L
+    h.consumer.add("t", (df, _) => { global += df.count() })
+    h.inputRaw("t", null)   // tombstone
+    h.inputRaw("t", "")     // empty value
+    h.inputRaw("t", "   ")  // whitespace-only value
+    assert(global == 0)
+    // the DLQ contract: every unparseable value is emitted for replay —
+    // including tombstones, which must not be silently skipped
+    assert(h.emitter.getEmittedEvents.count(_.topic == "dlq") == 3)
+  }
 }
