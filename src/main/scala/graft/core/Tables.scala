@@ -18,14 +18,27 @@ object Tables {
     * query re-lists the directory and re-reads parquet footers — tens of
     * redundant driver round-trips per Bench/Verify sweep, and at scale a
     * listing storm against the object store. DataFrames are immutable, so
-    * reuse within a session is safe; keying on the session keeps separate
-    * sessions (tests) isolated. */
+    * reuse within a session is safe; the WEAK session key lets a stopped
+    * session's entries (analyzed plans, file indexes) be GC'd instead of
+    * pinning them for the driver's lifetime. Harness tables are static;
+    * callers that rewrite a table path mid-session must [[invalidate]]. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(s"$sfDir/$name.parquet",
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Drop a session's cached table handles (e.g. after overwriting files
+    * under a previously-read path). */
+  def invalidate(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")

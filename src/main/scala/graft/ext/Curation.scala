@@ -184,8 +184,8 @@ object Curation {
       val base = Tables.documents(s, d)
         .withColumn("w", split(trim($"text"), Tok.Ws))
         .select($"n_chars", size($"w").as("n_tok"), dup2.as("dup2"),
-          unitHash($"doc_id", salt = "gate").as("u"),
-          size($"w").cast("long").as("tk"))
+          unitHash($"doc_id", salt = "gate").as("u"))
+        .withColumn("tk", $"n_tok".cast("long"))
         .withColumn("g1", $"n_chars" >= 100)
         .withColumn("g2", $"g1" && $"n_tok" >= 40)
         .withColumn("g3", $"g2" && $"dup2" <= 0.02)

@@ -93,28 +93,28 @@ object ConnectedComponents {
 
     var cur = edges.select(edges(src).cast("long"), edges(dst).cast("long"))
       .as[(Long, Long)]
-    // Loop countdown only — level 1 runs at the INPUT's own parallelism
-    // (mapPartitions fuses into the producing stage; no .rdd probe, which
-    // under AQE would execute the plan's stages just to count partitions).
-    // Later levels' partition counts are exact: we set them by repartition.
-    var parts = math.max(spark.sparkContext.defaultParallelism, 2)
     var prev: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None
     var done: org.apache.spark.sql.Dataset[(Long, Long)] = null
     while (done == null) {
+      // level 1 runs at the input's own parallelism: mapPartitions fuses
+      // into the producing stage, no pre-probe of the raw plan (which
+      // under AQE would execute its stages just to count partitions)
       val stars = cur.mapPartitions(contract)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = stars.count() // materializes the level; the only driver sync
+      // exact post-materialization partition count (cheap on the cached
+      // plan) — drives the fan-in schedule instead of a parallelism guess
+      val parts = stars.rdd.getNumPartitions
       if (parts <= 1) {
-        // cur had exactly one partition, so its contraction IS the global
-        // labeling (each node once). Reaching here with n above the
-        // threshold means the graph refused to shrink — the single task
-        // was unavoidable; the threshold merely takes this exit earlier.
+        // a single partition saw every star edge, so this contraction IS
+        // the global labeling (each node exactly once). Reaching here with
+        // n above the threshold means the graph refused to shrink — the
+        // single task was unavoidable; the threshold merely exits earlier.
         done = stars.localCheckpoint()
       } else if (n <= singleTaskThreshold) {
         done = stars.repartition(1).mapPartitions(contract).localCheckpoint()
       } else {
-        parts = math.max(1, parts / fanIn)
-        cur = stars.repartition(parts)
+        cur = stars.repartition(math.max(1, parts / fanIn))
       }
       prev.foreach(_.unpersist())
       prev = Some(stars)
