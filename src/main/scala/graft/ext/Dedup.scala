@@ -60,15 +60,20 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesRaw(s, d).distinct()
 
-  /** MinHash signatures per doc (one groupBy pass, map-side combinable):
-    * (doc_id, s0..s7). Persisted — every consumer joins it at least twice. */
+  /** MinHash signatures per doc: (doc_id, s0..s7) — computed by the
+    * codegen'd [[graft.functions.MinHashSigs]] expression in ONE narrow
+    * per-row pass (no shingle explode, no groupBy shuffle; value-identical
+    * to the relational form, see its Scaladoc). Persisted — every consumer
+    * joins it at least twice, and nothing upstream is cacheable since the
+    * whole computation fused into the scan. */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h = conv(substring(md5($"s".cast("binary")), 1, 7), 16, 10).cast("long")
-    val hs = shinglesRaw(s, d).withColumn("h", h)
-    val sigCols = (0 until 8).map(j =>
-      min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % MinhashP).as(s"s$j"))
-    hs.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = Tables.documents(s, d)
+      .select($"doc_id", split(trim($"text"), Tok.Ws).as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", graft.functions.MinHashSigs($"w").as("sig"))
+    sig.select(($"doc_id" +:
+        (0 until 8).map(j => element_at($"sig", j + 1).as(s"s$j"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -100,5 +100,7 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigs(exprs.head), "scala_udf")
   }
 }
