@@ -31,8 +31,6 @@ import graft.core.{Tables, Tok}
   */
 object Dedup {
 
-  private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-
   /** MinHash permutation constants: `perm_j(h) = (A_j*h + B_j) mod P` over
     * the 28-bit md5-prefix shingle hash. Products stay < 2^55 — exact in
     * 64-bit integers in both engines. */
@@ -225,11 +223,19 @@ object Dedup {
     // blocked by lang.
     "d04_dedup_simhash" -> { (s, d) =>
       import s.implicits._
+      // the 16 per-digit tests read NIBBLES of two conv()'d longs instead
+      // of doing 16 substring+isin string probes per word — same predicate
+      // (hex digit >= 8 ⇔ bit 3 of its nibble), 2 string ops per word
       val hx = Tables.documents(s, d)
         .select($"doc_id", $"lang", explode(split(trim($"text"), Tok.Ws)).as("w"))
         .withColumn("hx", substring(md5($"w".cast("binary")), 1, 16))
+        .withColumn("hi", conv(substring($"hx", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", conv(substring($"hx", 9, 8), 16, 10).cast("long"))
+      def highBit(dd: Int): Column =
+        if (dd < 8) shiftright($"hi", (7 - dd) * 4).bitwiseAND(8)
+        else shiftright($"lo", (15 - dd) * 4).bitwiseAND(8)
       val vAggs = (0 until 16).map(dd =>
-        sum(when(substring($"hx", dd + 1, 1).isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$dd"))
+        sum(when(highBit(dd) =!= 0, 1).otherwise(-1)).as(s"v$dd"))
       val v = hx.groupBy($"doc_id", $"lang").agg(vAggs.head, vAggs.tail: _*)
       val simhash = (0 until 16)
         .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
