@@ -83,9 +83,12 @@ object Curation {
             |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
             |    element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"""
             .stripMargin)).as("s"))
-        .distinct()
       val docs = Tables.documents(s, d)
-      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id")
+      // only the (small, broadcast) eval side is deduplicated — the
+      // training side joins its raw shingle stream: duplicate matches
+      // collapse inside countDistinct anyway, and skipping the train-side
+      // DISTINCT removes the one shuffle of the 100 TB side entirely
+      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id").distinct()
       val trainSh = sh5(docs.filter(!isEvalDoc($"doc_id")), "train_id")
       trainSh.join(broadcast(evalSh), "s")
         .groupBy($"train_id")
