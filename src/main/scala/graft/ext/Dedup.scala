@@ -42,21 +42,20 @@ object Dedup {
     12582917L, 23456789L, 37139213L, 49632323L,
     57885161L, 74207281L, 82589933L, 99990001L)
 
-  /** Word-3-gram shingles per doc, with duplicates: (doc_id, source, s). */
-  private def shinglesRaw(s: SparkSession, d: String): DataFrame = {
+  /** Distinct word-3-gram shingles per doc: (doc_id, source, s).
+    * Distinctness is DOCUMENT-local ((doc_id, source) is unique per doc),
+    * so `array_distinct` before the explode deduplicates per-row — no
+    * shuffle, unlike `.distinct()` which would exchange every shingle. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("w", split(trim($"text"), Tok.Ws))
       .filter(size($"w") >= 3)
-      .select($"doc_id", $"source", explode(expr(
+      .select($"doc_id", $"source", explode(array_distinct(expr(
         """transform(sequence(1, size(w) - 2),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
-          .stripMargin)).as("s"))
+          .stripMargin))).as("s"))
   }
-
-  /** Distinct word-3-gram shingles per doc: (doc_id, source, s). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesRaw(s, d).distinct()
 
   /** MinHash signatures per doc: (doc_id, s0..s7) — computed by the
     * codegen'd [[graft.functions.MinHashSigs]] expression in ONE narrow
