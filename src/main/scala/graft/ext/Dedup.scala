@@ -197,13 +197,14 @@ object Dedup {
     // MinHash (8 permutations) + LSH (4 bands × 2 rows): candidate pairs
     // with estimated similarity = matching signature fraction.
     //
-    // One md5 per shingle; the 8 permutations are cheap integer hashes
-    // `(A_j * h + B_j) mod P` over the 28-bit md5 prefix — all 8 minima
-    // computed in a single groupBy pass (no per-permutation explode).
-    // Band keys are exact 63-bit integers (s_even * P + s_odd), so the LSH
-    // bucket join shuffles 16-byte keys. This is the shape that scales:
-    // signatures are one narrow row per document, candidates come from an
-    // equi-join, and only candidates are ever paired.
+    // Signatures come from the codegen'd MinHashSigs expression — one md5
+    // per shingle, 8 integer permutations `(A_j * h + B_j) mod P` over the
+    // 28-bit md5 prefix, all minima folded per ROW inside the scan stage
+    // (no shingle explode, no groupBy shuffle). Band keys are exact 63-bit
+    // integers (s_even * P + s_odd), so the LSH bucket join shuffles
+    // 16-byte keys. This is the shape that scales: signatures are one
+    // narrow row per document computed in a narrow map, candidates come
+    // from an equi-join, and only candidates are ever paired.
     "d03_dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
       val sigs = minhashSigs(s, d)
