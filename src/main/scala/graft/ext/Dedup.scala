@@ -334,6 +334,32 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Dedup savings accounting — the report every dedup run ends with:
+    // per source, how many documents/tokens exact dedup removes when each
+    // duplicate group keeps its min-doc_id representative. One window over
+    // md5(text) marks non-representatives (single shuffle on the
+    // fingerprint — no self-join), then a per-source conditional
+    // aggregation. Removal fraction is integer-derived, rounded in double.
+    "d10_dedup_savings" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          md5($"text".cast("binary")).as("fp"),
+          size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+      val isDup = $"doc_id" =!= min($"doc_id").over(Window.partitionBy($"fp"))
+      docs
+        .withColumn("dup", isDup)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_total"),
+          count(when($"dup", 1)).as("dup_docs"),
+          sum($"tk").as("toks_total"),
+          coalesce(sum(when($"dup", $"tk")), lit(0L)).as("dup_toks"))
+        .withColumn("dup_tok_frac",
+          round($"dup_toks".cast("double") / $"toks_total".cast("double"), 6))
+        .orderBy($"source")
+    },
+
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._
@@ -431,6 +457,18 @@ object Dedup {
              |  AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.p, b.p) <= 12
              |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "d10_dedup_savings" ->
+        raw"""WITH t AS (SELECT doc_id, source, md5(text) AS fp,
+             |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+             |  FROM documents),
+             |m AS (SELECT *, (doc_id <> MIN(doc_id) OVER (PARTITION BY fp)) AS dup FROM t)
+             |SELECT source, COUNT(*) AS docs_total,
+             |  COUNT(*) FILTER (dup) AS dup_docs,
+             |  CAST(SUM(tk) AS BIGINT) AS toks_total,
+             |  CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS BIGINT) AS dup_toks,
+             |  round(CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS DOUBLE) / CAST(SUM(tk) AS DOUBLE), 6) AS dup_tok_frac
+             |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
       "d05_dedup_embedding_cosine" ->
         raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
