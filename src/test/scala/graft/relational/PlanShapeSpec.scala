@@ -90,4 +90,10 @@ class PlanShapeSpec extends SparkSuite {
     // partial + final pair means map-side combine happened
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("d10: dedup accounting is a window, never a self-join") {
+    val p = plan("d10_dedup_savings")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "marking duplicates must not re-join the corpus")
+  }
 }
