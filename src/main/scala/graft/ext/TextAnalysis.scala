@@ -150,10 +150,48 @@ object TextAnalysis {
               lit(1.0) - size(array_distinct($"t")).cast("double") / size($"t"), 6))
             .as("dup_trigram_frac"))
         .orderBy($"doc_id")
+    },
+
+    // Vocabulary induction + out-of-vocabulary census: the top-500
+    // corpus-frequency vocabulary (deterministic tie-break on the token),
+    // then per-source token counts split in-vocab vs OOV. Scale shape:
+    // the vocab is a wordcount (map-side combinable partial counts — the
+    // shuffle moves (token, count), never text) topped by
+    // TakeOrderedAndProject per-partition heaps; the census side joins
+    // the BROADCAST 500-row vocab, so the corpus pass is narrow. This is
+    // how a fixed-size tokenizer vocab is derived from and applied to
+    // 100 TB without ever shuffling the token stream twice.
+    "t07_oov_rate" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"source", explode(split(trim($"text"), Tok.Ws)).as("tok"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(500)
+        .select($"tok".as("vtok"))
+      toks.join(broadcast(vocab), $"tok" === $"vtok", "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"vtok".isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          round($"n_oov".cast("double") / $"n_tokens".cast("double"), 6))
+        .orderBy($"source")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "t07_oov_rate" ->
+      raw"""WITH toks AS (SELECT source,
+           |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
+           |  FROM documents),
+           |vocab AS (SELECT tok FROM (
+           |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+           |    ORDER BY cnt DESC, tok LIMIT 500)),
+           |j AS (SELECT source, (tok IN (SELECT tok FROM vocab)) AS inv FROM toks)
+           |SELECT source, COUNT(*) AS n_tokens,
+           |  COUNT(*) FILTER (NOT inv) AS n_oov,
+           |  round(CAST(COUNT(*) FILTER (NOT inv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+           |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "t05_bpe_pair_counts" ->
       raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
            |  FROM documents),
