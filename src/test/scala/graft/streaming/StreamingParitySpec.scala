@@ -94,4 +94,25 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed == batch,
       s"streaming gate selected ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("streaming sliding windows equal batch q41 (overlap expansion)") {
+    val batch = SparkEntry.queries("q41_sliding_windows")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+    val schema = spark.read.parquet(stagedEvents).schema
+    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(14, 2))), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_slide")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("parity_slide").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming sliding rows ${streamed.size} vs batch rows ${batch.size}")
+  }
 }
