@@ -336,10 +336,17 @@ object Dedup {
 
     // Dedup savings accounting — the report every dedup run ends with:
     // per source, how many documents/tokens exact dedup removes when each
-    // duplicate group keeps its min-doc_id representative. One window over
-    // md5(text) marks non-representatives (single shuffle on the
-    // fingerprint — no self-join), then a per-source conditional
-    // aggregation. Removal fraction is integer-derived, rounded in double.
+    // duplicate group keeps its min-doc_id representative.
+    //
+    // Skew-immune two-level shape: docs first reduce to one row per
+    // (fingerprint, source) — a map-side-combinable aggregation, so a
+    // boilerplate text duplicated 10^9 times costs partial counts, never
+    // 10^9 rows on one reducer. The representative then comes from a
+    // window over fingerprint on the REDUCED set, whose per-group width
+    // is at most the source count. Docs within a fingerprint group have
+    // identical text, hence identical token counts, so the group's
+    // per-doc tokens are recovered exactly as `tk_fs div n_fs`. Removal
+    // fraction is integer-derived, rounded in double.
     "d10_dedup_savings" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -347,14 +354,17 @@ object Dedup {
         .select($"doc_id", $"source",
           md5($"text".cast("binary")).as("fp"),
           size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
-      val isDup = $"doc_id" =!= min($"doc_id").over(Window.partitionBy($"fp"))
-      docs
-        .withColumn("dup", isDup)
-        .groupBy($"source")
-        .agg(count(lit(1)).as("docs_total"),
-          count(when($"dup", 1)).as("dup_docs"),
-          sum($"tk").as("toks_total"),
-          coalesce(sum(when($"dup", $"tk")), lit(0L)).as("dup_toks"))
+      val grp = docs.groupBy($"fp", $"source")
+        .agg(count(lit(1)).as("n_fs"), sum($"tk").as("tk_fs"),
+          min($"doc_id").as("min_fs"))
+        .withColumn("rep_fp", min($"min_fs").over(Window.partitionBy($"fp")))
+      val repHere = $"min_fs" === $"rep_fp"
+      grp.groupBy($"source")
+        .agg(sum($"n_fs").as("docs_total"),
+          sum(when(repHere, $"n_fs" - 1).otherwise($"n_fs")).as("dup_docs"),
+          sum($"tk_fs").as("toks_total"),
+          sum(when(repHere, $"tk_fs" - expr("tk_fs div n_fs"))
+            .otherwise($"tk_fs")).as("dup_toks"))
         .withColumn("dup_tok_frac",
           round($"dup_toks".cast("double") / $"toks_total".cast("double"), 6))
         .orderBy($"source")
