@@ -16,9 +16,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      // best-effort: a missing table must not abort the whole bench —
+      // queries over it will individually report -1 below
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => () }
     }
-    graft.core.Tables.events(spark, sfDir).limit(1).count()
+    try graft.core.Tables.events(spark, sfDir).limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

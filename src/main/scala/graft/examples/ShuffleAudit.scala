@@ -46,12 +46,17 @@ object ShuffleAudit {
       "t07_oov_rate", "s02_ann_buckets")
     println(f"${"query"}%-28s ${"rows"}%9s ${"shuf W MB"}%10s ${"shuf R MB"}%10s")
     names.foreach { n =>
-      read.reset(); written.reset()
-      spark.sharedState.cacheManager.clearCache()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
-      org.apache.spark.sql.GraftShims.drainListeners(spark.sparkContext)
-      def mb(x: Long) = x / 1e6
-      println(f"$n%-28s $rows%9d ${mb(written.sum)}%10.2f ${mb(read.sum)}%10.2f")
+      graft.SparkEntry.queries.get(n) match {
+        case None =>
+          println(f"$n%-28s    unknown query name — skipped")
+        case Some(fn) =>
+          read.reset(); written.reset()
+          spark.sharedState.cacheManager.clearCache()
+          val rows = fn(spark, sfDir).count()
+          org.apache.spark.sql.GraftShims.drainListeners(spark.sparkContext)
+          def mb(x: Long) = x / 1e6
+          println(f"$n%-28s $rows%9d ${mb(written.sum)}%10.2f ${mb(read.sum)}%10.2f")
+      }
     }
     spark.stop()
   }

@@ -98,12 +98,18 @@ object Dedup {
   }
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
-    * 4 bands × 2 rows, integer band keys, equi-join. */
+    * 4 bands × 2 rows, integer band keys, equi-join. Sentinel signatures
+    * (all Long.MaxValue — docs with no shingles, see [[graft.functions
+    * .MinHashSigs]]) are dropped defensively: without this, every
+    * shingle-less doc would share one bucket (O(k²) bogus pairs) and the
+    * band-key product would overflow. Current producers filter
+    * `size(w) >= 3` already, so this changes nothing for them. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b => struct(
       lit(b).as("band_idx"),
       (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val sigsReal = sigs.filter(col("s0") =!= Long.MaxValue)
+    val bands = sigsReal.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -27,46 +28,60 @@ class StreamingParitySpec extends SparkSuite {
     dir
   }
 
-  test("streaming hourly window aggregation equals batch q17") {
-    val batch = SparkEntry.queries("q17_hourly_events")(spark, sf)
-      .collect().map(_.toSeq).toSet
-
+  /** Run `agg` (built from a streaming scan of the staged events) to
+    * completion in complete mode and return the memory sink's rows.
+    * Asserts the query actually terminated — a timeout must fail loudly,
+    * not leak into a confusing partial-result comparison. */
+  private def runComplete(sinkName: String)(agg: DataFrame => DataFrame): Set[Seq[Any]] = {
     val schema = spark.read.parquet(stagedEvents).schema
-    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(14, 2))), 2)
-          .cast("double").as("total_value"))
-      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("parity_win")
+    val q = agg(spark.readStream.schema(schema).parquet(stagedEvents))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("parity_win").collect().map(_.toSeq).toSet
+    assert(q.awaitTermination(120000), s"$sinkName did not finish within 120 s")
+    spark.table(sinkName).collect().map(_.toSeq).toSet
+  }
+
+  /** The shared event-time window aggregation: tumbling when `slide` is
+    * empty, sliding otherwise — must equal its batch twin exactly. */
+  private def windowedParity(batchName: String, sinkName: String, slide: Option[String]): Unit = {
+    val batch = SparkEntry.queries(batchName)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = runComplete(sinkName) { events =>
+      val win = slide.fold(window(col("ts"), "1 hour"))(s => window(col("ts"), "1 hour", s))
+      events
+        .groupBy(win, col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(14, 2))), 2)
+            .cast("double").as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+    }
     assert(streamed == batch,
       s"streaming rows ${streamed.size} vs batch rows ${batch.size}")
+  }
+
+  test("streaming hourly window aggregation equals batch q17") {
+    windowedParity("q17_hourly_events", "parity_win", slide = None)
+  }
+
+  test("streaming sliding windows equal batch q41 (overlap expansion)") {
+    windowedParity("q41_sliding_windows", "parity_slide", slide = Some("15 minutes"))
   }
 
   test("streaming session_window matches batch gap-based sessionization") {
     // batch q18 sessions: (user_id, session_start, n_events)
     val batch = SparkEntry.queries("q18_sessionize")(spark, sf)
       .select("user_id", "session_start", "n_events")
-      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSet
-
-    val schema = spark.read.parquet(stagedEvents).schema
-    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        col("session_window.start").cast("timestamp_ntz").as("session_start"),
-        col("n_events"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("parity_sess")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("parity_sess")
-      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2))).toSet
+      .collect().map(_.toSeq).toSet
+    val streamed = runComplete("parity_sess") { events =>
+      events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+    }
     assert(streamed == batch,
       s"streaming sessions ${streamed.size} vs batch sessions ${batch.size}")
   }
@@ -89,30 +104,9 @@ class StreamingParitySpec extends SparkSuite {
     val q = gated.writeStream.outputMode("append")
       .format("memory").queryName("parity_gate")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "parity_gate did not finish within 120 s")
     val streamed = spark.table("parity_gate").collect().map(_.getLong(0)).toSet
     assert(streamed == batch,
       s"streaming gate selected ${streamed.size} vs batch ${batch.size}")
-  }
-
-  test("streaming sliding windows equal batch q41 (overlap expansion)") {
-    val batch = SparkEntry.queries("q41_sliding_windows")(spark, sf)
-      .collect().map(_.toSeq).toSet
-
-    val schema = spark.read.parquet(stagedEvents).schema
-    val agg = spark.readStream.schema(schema).parquet(stagedEvents)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(14, 2))), 2)
-          .cast("double").as("total_value"))
-      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("total_value"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("parity_slide")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("parity_slide").collect().map(_.toSeq).toSet
-    assert(streamed == batch,
-      s"streaming sliding rows ${streamed.size} vs batch rows ${batch.size}")
   }
 }
