@@ -8,6 +8,44 @@ class DedupSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  /** Stage a synthetic `documents` table and return its sf-dir. */
+  private def stage(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d03/d07: docs without shingles never reach LSH banding") {
+    // <3 words → sentinel signature; the banding guard must drop them,
+    // or every short doc would pair with every other short doc
+    val dir = stage(Seq(
+      (1L, "one two", "en", "a"), (2L, "three", "en", "a"),
+      (3L, "", "en", "a"), (4L, "x y", "en", "b"),
+      (5L, "alpha beta gamma alpha beta gamma", "en", "a"),
+      (6L, "alpha beta gamma alpha beta gamma", "en", "a")))
+    val d03 = Dedup.queries("d03_dedup_minhash_lsh")(spark, dir).collect()
+    assert(d03.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)),
+      "only the real near-dup pair may surface")
+    val d07 = Dedup.queries("d07_dedup_pipeline")(spark, dir).collect()
+    assert(d07.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)))
+  }
+
+  test("hot fingerprint: an all-identical corpus neither explodes nor skews the census") {
+    // 200 copies of one text across two sources — the d10 shape must
+    // report exactly one kept representative, in the min-doc's source
+    val text = "the same boilerplate text repeated everywhere verbatim"
+    val dir = stage((1L to 200L).map(i =>
+      (i, text, "en", if (i % 2 == 0) "even" else "odd")))
+    val rows = Dedup.queries("d10_dedup_savings")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // doc 1 is odd-source: odd keeps 99 dups of 100, even keeps 100 dups
+    assert(rows == List(("even", 100L, 100L), ("odd", 100L, 99L)))
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()
