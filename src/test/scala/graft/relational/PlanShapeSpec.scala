@@ -96,4 +96,11 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Window"))
     assert(!p.contains("Join"), "marking duplicates must not re-join the corpus")
   }
+
+  test("t07: vocab tops via per-partition heaps and broadcasts to the census scan") {
+    val p = plan("t07_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), "top-K vocab must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), "census must join the broadcast vocab")
+    assert(!p.contains("SortMergeJoin"), "token stream must never shuffle for the join")
+  }
 }
