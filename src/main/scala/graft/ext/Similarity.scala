@@ -99,13 +99,19 @@ object Similarity {
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
       val cents = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+      // nearest-centroid assignment as a map-side-combinable argmax
+      // (max_by over the total order (ccos, -cent_id)) — NOT a ranking
+      // window, which would shuffle AND sort the 8x-expanded join output;
+      // the partial aggregate collapses each vector's 8 scored rows inside
+      // the scan stage, so the exchange moves one row per vector
       val assigned = e.join(broadcast(cents))
         .select($"vec_id", $"v", $"nrm", $"cent_id",
           cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter($"crn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+          $"b.cent_id".as("cell"))
       val q = assigned.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
           $"cell".as("qcell"))
@@ -131,17 +137,17 @@ object Similarity {
     // traded for speed; here parity is the point.
     "s04_kmeans_refine" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
       val cents = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+      // same map-side-combinable argmax assignment as s03 (see there)
       val assigned = e.join(broadcast(cents))
         .select($"vec_id", $"v",
           $"cent_id", cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter($"crn" === 1)
-        .select($"vec_id", $"v", $"cent_id".as("cell"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.cent_id".as("cell"))
       val meanCols = (0 until 4).map(i =>
         round(element_at($"sv", i + 1) / $"n_members", 6).as(s"m$i"))
       assigned.groupBy($"cell")
