@@ -95,7 +95,6 @@ object Similarity {
     // 8 vectors (deterministic for the oracle); production would k-means.
     "s03_ann_ivf" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
       val cents = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
@@ -115,12 +114,14 @@ object Similarity {
       val q = assigned.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
           $"cell".as("qcell"))
-      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      assigned.join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
+      // two-phase salted top-k, like s01: 5 query keys over a cell's
+      // candidates would otherwise funnel into 5 reducers
+      val cand = assigned
+        .join(broadcast(q), $"cell" === $"qcell" && $"vec_id" =!= $"query_id")
         .select($"query_id", $"cell", $"vec_id",
           cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter($"rn" <= 5)
+      graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
         .select($"query_id", $"cell", $"vec_id".as("neighbor_id"),
           round($"cos", 6).as("cos_sim"), $"rn")
         .orderBy($"query_id", $"rn")
@@ -164,7 +165,6 @@ object Similarity {
     // searched within the query's bucket only.
     "s02_ann_buckets" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val bucket: Column = (0 until 8)
         .map(i => when(element_at($"v", i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
         .reduce(_ + _)
@@ -173,12 +173,13 @@ object Similarity {
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"),
           $"bucket".as("qbucket"), $"nrm".as("qnrm"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      // two-phase salted top-k, like s01 (see there)
+      val cand = e
+        .join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
         .select($"query_id", $"bucket", $"vec_id",
           cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
+      graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
         .select($"query_id", $"bucket", $"vec_id".as("neighbor_id"),
           round($"cos", 6).as("cos_sim"), $"rn")
         .orderBy($"query_id", $"rn")
