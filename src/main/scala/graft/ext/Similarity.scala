@@ -9,10 +9,10 @@ import graft.core.Tables
   * (`embedding: array<float>`, 64-dim).
   *
   *  - `s01_cosine_topk` — brute-force exact top-k: broadcast the (small)
-  *    query set against the full vector table, per-query ranking window.
-  *    At 100 TB the vector table is the fact side and is only scanned, never
-  *    shuffled: the window partitions by query_id (tiny cardinality), so
-  *    the shuffle moves candidate rows only.
+  *    query set against the full vector table, then the two-phase salted
+  *    `TopK.perKey` ranking. At 100 TB the vector table is the fact side
+  *    and is only scanned, never shuffled; the few-key rank never funnels
+  *    candidates into one reducer per query (s02/s03 rank the same way).
   *  - `s02_ann_buckets` — the scale path: a sign-bit LSH bucket (one bucket
   *    id per vector from the signs of the leading dims) turns the cross
   *    product into an equi-join on bucket. Recall trades off with bucket
