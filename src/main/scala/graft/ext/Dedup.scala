@@ -42,19 +42,27 @@ object Dedup {
     12582917L, 23456789L, 37139213L, 49632323L,
     57885161L, 74207281L, 82589933L, 99990001L)
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, source, s).
+  /** Distinct word-3-gram shingle ARRAYS per doc: (doc_id, source, sarr).
     * Distinctness is DOCUMENT-local ((doc_id, source) is unique per doc),
-    * so `array_distinct` before the explode deduplicates per-row — no
-    * shuffle, unlike `.distinct()` which would exchange every shingle. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+    * so `array_distinct` deduplicates per-row — no shuffle, unlike
+    * `.distinct()` which would exchange every shingle. Consumers explode
+    * for joins, or take `size(sarr)` for per-doc counts (also narrow —
+    * never a groupBy over exploded rows). */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("w", split(trim($"text"), Tok.Ws))
       .filter(size($"w") >= 3)
-      .select($"doc_id", $"source", explode(array_distinct(expr(
+      .select($"doc_id", $"source", array_distinct(expr(
         """transform(sequence(1, size(w) - 2),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
-          .stripMargin))).as("s"))
+          .stripMargin)).as("sarr"))
+  }
+
+  /** Exploded form of [[shingleArrays]]: (doc_id, source, s). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shingleArrays(s, d).select($"doc_id", $"source", explode($"sarr").as("s"))
   }
 
   /** MinHash signatures per doc: (doc_id, s0..s7) — computed by the
@@ -84,7 +92,10 @@ object Dedup {
     // exact verification over candidates only
     val shd = shingles(s, d).select($"doc_id", $"s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // per-doc distinct-shingle count is the ARRAY size — a narrow map,
+    // not a groupBy over the exploded rows
+    val cnt = shingleArrays(s, d)
+      .select($"doc_id", size($"sarr").cast("long").as("n"))
     val common = cand
       .join(shd.as("x"), $"doc_a" === col("x.doc_id"))
       .join(shd.as("y"), $"doc_b" === col("y.doc_id") && col("x.s") === col("y.s"))
