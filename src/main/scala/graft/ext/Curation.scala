@@ -75,13 +75,18 @@ object Curation {
     // training text against megabytes of benchmarks without a shuffle.
     "c03_decontaminate" -> { (s, d) =>
       import s.implicits._
+      // the size test is INLINE (total expression), not a separate
+      // filter: under explode, Catalyst evaluates the generator input
+      // ahead of a filter and ANSI element_at would throw on <5-word
+      // docs (sequence(1, size-4) descends) — see Dedup.shingleArrays
       def sh5(df: DataFrame, idAs: String) = df
         .withColumn("w", split(trim($"text"), Tok.Ws))
-        .filter(size($"w") >= 5)
         .select($"doc_id".as(idAs), explode(expr(
-          """transform(sequence(1, size(w) - 4),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-            |    element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))"""
+          """CASE WHEN size(w) >= 5 THEN
+            |  transform(sequence(1, size(w) - 4),
+            |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |      element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))
+            |ELSE array() END"""
             .stripMargin)).as("s"))
       val docs = Tables.documents(s, d)
       // only the (small, broadcast) eval side is deduplicated — the

@@ -47,15 +47,26 @@ object Dedup {
     * so `array_distinct` deduplicates per-row — no shuffle, unlike
     * `.distinct()` which would exchange every shingle. Consumers explode
     * for joins, or take `size(sarr)` for per-doc counts (also narrow —
-    * never a groupBy over exploded rows). */
+    * never a groupBy over exploded rows).
+    *
+    * The transform is TOTAL: the `size(w) >= 3` test is INLINE in the
+    * expression (`when(...).otherwise(array())`), not a separate
+    * `.filter`. A separate filter does not protect the 3-gram
+    * `element_at`s once the array feeds `explode` — Catalyst evaluates
+    * the generator's input expression ahead of the filter, and for a
+    * short doc `sequence(1, size(w)-2)` is the DESCENDING `[1,0]`, so
+    * ANSI `element_at(w, 3)` throws on a 2-word doc (the t06/c06 guard
+    * pattern, TextAnalysis.scala / Curation.scala). Short docs yield an
+    * empty array, which `explode` then drops — same rows, no landmine. */
   private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("w", split(trim($"text"), Tok.Ws))
-      .filter(size($"w") >= 3)
       .select($"doc_id", $"source", array_distinct(expr(
-        """transform(sequence(1, size(w) - 2),
-          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
+        """CASE WHEN size(w) >= 3 THEN
+          |  transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+          |ELSE array() END"""
           .stripMargin)).as("sarr"))
   }
 

@@ -194,10 +194,15 @@ object Similarity {
     // here), exposed rounded to 6 dp.
     "s05_quantize_int8" -> { (s, d) =>
       import s.implicits._
+      // qvec is emitted as a CSV STRING (q28's convention,
+      // RelationalQueries.scala): the driver's checker sorts result rows
+      // in pandas, and a raw array<tinyint> column is unsortable there.
+      // In-order array_join — no element reorder, bitwise the same list.
       vectors(s, d)
         .withColumn("absmax", absmax($"v"))
         .withColumn("qvec", quantizeInt8($"v", $"absmax"))
-        .select($"vec_id", $"qvec",
+        .select($"vec_id",
+          array_join($"qvec".cast("array<string>"), ",").as("qvec_csv"),
           round($"absmax" / lit(127.0), 6).as("scale"),
           round(dequantMae($"v", $"qvec", $"absmax"), 6).as("mae"))
         .orderBy($"vec_id")
@@ -278,7 +283,9 @@ object Similarity {
            |    CASE WHEN absmax = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
            |         ELSE list_transform(v, x -> CAST(round(x * 127.0 / absmax) AS TINYINT)) END AS qvec
            |  FROM s)
-           |SELECT vec_id, qvec, round(absmax / 127.0, 6) AS scale,
+           |SELECT vec_id,
+           |  array_to_string(qvec, ',') AS qvec_csv,
+           |  round(absmax / 127.0, 6) AS scale,
            |  round(list_sum(list_transform(range(1, len(v) + 1),
            |      i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * absmax / 127.0))) / len(v), 6) AS mae
            |FROM q ORDER BY vec_id""".stripMargin
