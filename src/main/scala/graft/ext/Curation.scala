@@ -75,25 +75,19 @@ object Curation {
     // training text against megabytes of benchmarks without a shuffle.
     "c03_decontaminate" -> { (s, d) =>
       import s.implicits._
-      // the size test is INLINE (total expression), not a separate
-      // filter: under explode, Catalyst evaluates the generator input
-      // ahead of a filter and ANSI element_at would throw on <5-word
-      // docs (sequence(1, size-4) descends) — see Dedup.shingleArrays
+      // codegen'd TOTAL shingle expression (short docs → empty array;
+      // cheap even where Catalyst duplicates the generator input) — see
+      // graft.functions.ShingleArr. Doc-local distinctness is free and
+      // semantics-preserving here: duplicate (id, s) hits collapse
+      // inside countDistinct/min anyway, and it shrinks the join input.
       def sh5(df: DataFrame, idAs: String) = df
-        .withColumn("w", split(trim($"text"), Tok.Ws))
-        .select($"doc_id".as(idAs), explode(expr(
-          """CASE WHEN size(w) >= 5 THEN
-            |  transform(sequence(1, size(w) - 4),
-            |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-            |      element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))
-            |ELSE array() END"""
-            .stripMargin)).as("s"))
+        .select($"doc_id".as(idAs),
+          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5)).as("s"))
       val docs = Tables.documents(s, d)
-      // only the (small, broadcast) eval side is deduplicated — the
-      // training side joins its raw shingle stream: duplicate matches
-      // collapse inside countDistinct anyway, and skipping the train-side
-      // DISTINCT removes the one shuffle of the 100 TB side entirely
-      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id").distinct()
+      // (eval_id, s) is already distinct after the per-doc distinct
+      // arrays, so no DISTINCT shuffle on either side: the training side
+      // joins its raw shingle stream — the 100 TB side never shuffles
+      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id")
       val trainSh = sh5(docs.filter(!isEvalDoc($"doc_id")), "train_id")
       trainSh.join(broadcast(evalSh), "s")
         .groupBy($"train_id")

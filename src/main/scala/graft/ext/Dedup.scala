@@ -49,25 +49,19 @@ object Dedup {
     * for joins, or take `size(sarr)` for per-doc counts (also narrow —
     * never a groupBy over exploded rows).
     *
-    * The transform is TOTAL: the `size(w) >= 3` test is INLINE in the
-    * expression (`when(...).otherwise(array())`), not a separate
-    * `.filter`. A separate filter does not protect the 3-gram
-    * `element_at`s once the array feeds `explode` — Catalyst evaluates
-    * the generator's input expression ahead of the filter, and for a
-    * short doc `sequence(1, size(w)-2)` is the DESCENDING `[1,0]`, so
-    * ANSI `element_at(w, 3)` throws on a 2-word doc (the t06/c06 guard
-    * pattern, TextAnalysis.scala / Curation.scala). Short docs yield an
-    * empty array, which `explode` then drops — same rows, no landmine. */
+    * Computed by the codegen'd TOTAL [[graft.functions.ShingleArr]]
+    * expression (short docs → empty array, never an ANSI element_at
+    * error even under a generator — see its Scaladoc). The equivalent
+    * HOF chain (`array_distinct(transform(...))`) is interpreted and
+    * gets duplicated up to ~12× per doc once the array feeds `explode`
+    * (InferFiltersFromGenerate + un-reused plan subtrees), which made
+    * d02/d07 quadratic-interpreted hot; the expression keeps shingling
+    * a cheap narrow map regardless of how often Catalyst replays it. */
   private def shingleArrays(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("w", split(trim($"text"), Tok.Ws))
-      .select($"doc_id", $"source", array_distinct(expr(
-        """CASE WHEN size(w) >= 3 THEN
-          |  transform(sequence(1, size(w) - 2),
-          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-          |ELSE array() END"""
-          .stripMargin)).as("sarr"))
+      .select($"doc_id", $"source",
+        graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3).as("sarr"))
   }
 
   /** Exploded form of [[shingleArrays]]: (doc_id, source, s). */
@@ -195,11 +189,12 @@ object Dedup {
     // Exact n-gram Jaccard near-dup pairs (same-source blocking).
     "d02_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      // NOT persisted: the self-join's two sides shuffle on the same key
-      // with an identical subplan, so Spark's ReusedExchange serves the
-      // second side from the first shuffle's files — cheaper than a cache
-      // materialization barrier (measured). The per-doc count branch
-      // recomputes the narrow scan, also cheaper than caching here.
+      // NOT persisted: the shingle subtree appears up to 4× in the plan
+      // (both self-join sides + both count branches; broadcast joins
+      // don't reuse exchanges), but each copy is a narrow scan + the
+      // codegen'd ShingleArr map — recomputing beats a cache
+      // materialization barrier (measured: 1.3 s at sf0.1, vs 28 s when
+      // the same shape carried the interpreted HOF shingle expression).
       // join key: one 64-bit xxhash of (source, shingle) instead of the
       // two-column string key — narrower shuffle rows, long-vs-long
       // equality. Internal only (outputs never see it); a collision would
