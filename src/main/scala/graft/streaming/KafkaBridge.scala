@@ -26,24 +26,34 @@ import graft.route.RouteRegistry
   */
 object KafkaBridge {
 
+  /** The exact option map [[source]] hands the kafka reader — pure, so
+    * the wiring is contract-testable without a broker (the only part of
+    * O1 reachable in this environment; the connector consumes these keys
+    * verbatim). */
+  def sourceOptions(
+      config: EngineConfig,
+      router: RouteRegistry,
+      minPartitions: Option[Int] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> config.host,
+      "subscribe" -> router.topics.mkString(","),
+      "startingOffsets" -> config.startingOffsets,
+      "failOnDataLoss" -> config.resolveFailOnDataLoss.toString,
+      "maxOffsetsPerTrigger" -> maxOffsets(config, router).toString) ++
+      config.groupId.map("kafka.group.id" -> _) ++
+      minPartitions.map("minPartitions" -> _.toString)
+
   /** Streaming envelope source for a router: subscribes the deduped routed
     * topic set, yields `(topic, value)` rows. */
   def source(
       spark: SparkSession,
       config: EngineConfig,
       router: RouteRegistry,
-      minPartitions: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", config.host)
-      .option("subscribe", router.topics.mkString(","))
-      .option("startingOffsets", config.startingOffsets)
-      .option("failOnDataLoss", config.resolveFailOnDataLoss.toString)
-      .option("maxOffsetsPerTrigger", maxOffsets(config, router).toString)
-    config.groupId.foreach(g => reader.option("kafka.group.id", g))
-    minPartitions.foreach(p => reader.option("minPartitions", p.toString))
-    reader.load()
+      minPartitions: Option[Int] = None): DataFrame =
+    spark.readStream.format("kafka")
+      .options(sourceOptions(config, router, minPartitions))
+      .load()
       .select(col("topic"), col("value").cast("string").as("value"))
-  }
 
   /** How much an "unlimited" topic contributes to the shared micro-batch
     * bound: large relative to any cap, but finite — one unlimited topic
@@ -83,12 +93,14 @@ object KafkaBridge {
       })
     }.toMap
 
+  /** The exact option map [[sink]] hands the kafka writer — pure twin of
+    * [[sourceOptions]] for O2/O18. */
+  def sinkOptions(config: EngineConfig, host: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> host) ++
+      config.compression.map("kafka.compression.type" -> _) ++
+      (if (config.idempotent) Some("kafka.enable.idempotence" -> "true") else None)
+
   /** Batch Kafka sink with producer tuning passthrough (O18). */
-  def sink(df: DataFrame, config: EngineConfig, host: String): Unit = {
-    val w = df.write.format("kafka")
-      .option("kafka.bootstrap.servers", host)
-    config.compression.foreach(c => w.option("kafka.compression.type", c))
-    if (config.idempotent) w.option("kafka.enable.idempotence", "true")
-    w.save()
-  }
+  def sink(df: DataFrame, config: EngineConfig, host: String): Unit =
+    df.write.format("kafka").options(sinkOptions(config, host)).save()
 }

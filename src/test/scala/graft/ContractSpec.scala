@@ -20,6 +20,24 @@ class ContractSpec extends SparkSuite {
     qs.foreach(n => assert(n.matches("[a-z][a-z0-9_]+"), s"bad name $n"))
   }
 
+  test("QUERIES.md stays in sync: header count and one row per query") {
+    val lines = scala.io.Source.fromFile("QUERIES.md", "UTF-8").getLines().toList
+    val header = lines.head
+    val counts = "\\((\\d+) = (\\d+) oracle-checked \\+ (\\d+) rows-only\\)".r
+    val m = counts.findFirstMatchIn(header)
+      .getOrElse(fail(s"QUERIES.md header lost its count: $header"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"header says ${m.group(1)} queries; SparkEntry has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"header says ${m.group(2)} oracle-checked; oracleSql has ${SparkEntry.oracleSql.size}")
+    assert(m.group(3).toInt == SparkEntry.queries.size - SparkEntry.oracleSql.size)
+    val documented = lines.collect {
+      case l if l.startsWith("| ") => l.drop(2).takeWhile(_ != ' ').trim
+    }.filter(_.matches("[a-z][a-z0-9_]+")).toSet
+    val undocd = SparkEntry.queries.keySet.diff(documented)
+    assert(undocd.isEmpty, s"queries missing from QUERIES.md: $undocd")
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()

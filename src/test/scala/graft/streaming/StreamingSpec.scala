@@ -134,6 +134,56 @@ class StreamingSpec extends SparkSuite {
       == Map("topic-a" -> Some(5L), "topic-b" -> None))
   }
 
+  test("kafka option-map contract (O1/O2/O18): exact reader/writer options per config") {
+    val em = new Emitter(EngineConfig())
+    def router(cfg: EngineConfig): RouteRegistry = {
+      val r = new RouteRegistry(cfg, em)
+      r.add("topic-a", (_: DataFrame, _: Emitter) => ())
+      r.add("topic-b", (_: DataFrame, _: Emitter) => ())
+      r.add("topic-b", "e", (_: DataFrame, _: Emitter) => ())  // dup topic collapses
+      r
+    }
+    // golden reader map, defaults: deduped subscribe set, latest offsets,
+    // failOnDataLoss=false without a checkpoint, cap = 20 x 2 topics, no
+    // optional keys
+    val base = EngineConfig(host = "broker:9092")
+    assert(KafkaBridge.sourceOptions(base, router(base)) == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "topic-a,topic-b",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "40"))
+    // everything on: groupId + minPartitions appear, a checkpoint flips
+    // failOnDataLoss, per-topic caps feed the trigger arithmetic with the
+    // unlimited topic clamped to UnlimitedShareFactor x default cap
+    val full = EngineConfig(
+      host = "b1:9092",
+      groupId = Some("grp"),
+      startingOffsets = "earliest",
+      checkpointLocation = Some("/tmp/ck"),
+      perTopicCaps = Map("topic-a" -> Some(5), "topic-b" -> None))
+    assert(KafkaBridge.sourceOptions(full, router(full), minPartitions = Some(64)) == Map(
+      "kafka.bootstrap.servers" -> "b1:9092",
+      "subscribe" -> "topic-a,topic-b",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "true",
+      "maxOffsetsPerTrigger" -> (5L + KafkaBridge.UnlimitedShareFactor * 20L).toString,
+      "kafka.group.id" -> "grp",
+      "minPartitions" -> "64"))
+    // one-by-one strategy serializes through the same map
+    val one = EngineConfig(strategy = Strategy.OneByOne)
+    assert(KafkaBridge.sourceOptions(one, router(one))("maxOffsetsPerTrigger") == "1")
+    // golden writer map: bare by default; compression + idempotence pass
+    // through under their kafka.* producer keys (O18)
+    assert(KafkaBridge.sinkOptions(EngineConfig(), "h:9092")
+      == Map("kafka.bootstrap.servers" -> "h:9092"))
+    assert(KafkaBridge.sinkOptions(
+      EngineConfig(compression = Some("zstd"), idempotent = true), "h:9092") == Map(
+      "kafka.bootstrap.servers" -> "h:9092",
+      "kafka.compression.type" -> "zstd",
+      "kafka.enable.idempotence" -> "true"))
+  }
+
   test("one-by-one strategy processes messages individually and in order") {
     val schemas = new graft.core.EventSchemaRegistry().register("T",
       org.apache.spark.sql.types.StructType(Seq(
