@@ -35,11 +35,20 @@ object Bench {
         .join(broadcast(t.limit(5).withColumnRenamed("k", "k2")), col("k") === col("k2"))
         .count()
     }
+    // default action is count() — comparable with every prior round's
+    // recorded bench. SPARK_GRAFT_SINK=noop instead writes to the noop
+    // sink, which keeps each query's final sort and output-only
+    // projections in the measured plan (count() lets Catalyst drop them)
+    // — the honest absolute total, at the cost of round comparability.
+    val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
     // sorted name order: deterministic execution order keeps per-query
     // numbers comparable across rounds (Map order shifts as keys are added)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
+      } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
