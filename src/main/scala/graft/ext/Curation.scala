@@ -155,6 +155,33 @@ object Curation {
         .orderBy($"shard")
     },
 
+    // Per-DOCUMENT importance-weighted sampling — the gate c01/c04 can't
+    // express: each doc's keep probability is its own quality weight
+    // (here min(1, tokens/100) — favor longer docs), not a per-stratum
+    // rate. Same content-stable hash gate (salted to decorrelate from
+    // the other gates), so the 100 TB properties carry over: one narrow
+    // scan, no shuffle until the tiny per-source census, reproducible
+    // across engines (the oracle selects the identical rows). Weight
+    // from exact integer token counts via one double division — the
+    // gate compare is bit-identical in both engines.
+    "c07_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      val kept = unitHash($"doc_id", salt = "c07") <
+        least(lit(1.0), $"tk".cast("double") / 100.0)
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_seen"),
+          count(when(kept, 1)).as("docs_kept"),
+          coalesce(sum(when(kept, $"tk")), lit(0L)).as("toks_kept"),
+          // E[docs_kept] = Σ weights; exact integer sum (Σ min(tk,100)),
+          // ONE double division at the end — no float accumulation
+          round(sum(least($"tk", lit(100L))).cast("double") / 100.0, 6)
+            .as("expected_docs"))
+        .orderBy($"source")
+    },
+
     // Deterministic 80/10/10 train/val/test assignment; output is the
     // per-(lang, split) census plus the id-range evidence that assignment
     // is content-stable.
@@ -216,6 +243,19 @@ object Curation {
          |WHERE (${sqlU28("doc_id")} / 268435456.0) <
          |  (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "c07_weighted_sample" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |k AS (SELECT *,
+           |    (${sqlU28("doc_id", "c07")} / 268435456.0) < least(1.0, CAST(tk AS DOUBLE) / 100.0) AS kept
+           |  FROM t)
+           |SELECT source, COUNT(*) AS docs_seen,
+           |  COUNT(*) FILTER (kept) AS docs_kept,
+           |  CAST(COALESCE(SUM(tk) FILTER (kept), 0) AS BIGINT) AS toks_kept,
+           |  round(CAST(SUM(least(tk, 100)) AS DOUBLE) / 100.0, 6) AS expected_docs
+           |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "c03_decontaminate" ->
       raw"""WITH sh AS (

@@ -393,6 +393,38 @@ object Dedup {
         .orderBy($"source")
     },
 
+    // The multi-index SimHash pair search END-TO-END, oracle-checked:
+    // 32-bit md5-derived signatures (codegen'd SimHashMd5, one narrow
+    // pass — no word explode, no 32-sum shuffle) → 4×8-bit block keys →
+    // multi-index equi-join (pigeonhole: a Hamming ≤ 3 pair must agree
+    // exactly on ≥1 of the 4 blocks) → popcount verify → pair dedup.
+    // This is the production near-dup JOIN shape at 100 TB (d08 emits
+    // the same layout at 64/16-bit width, where no DuckDB oracle
+    // exists): candidates come from an equi-join keyed on 2-byte block
+    // values, never an all-pairs comparison; only the verified pairs —
+    // already Hamming-filtered — pay the distinct. On skewed corpora a
+    // hot block (boilerplate-heavy text) widens: the fix is wider
+    // blocks over a wider signature (d08's 4×16 over 64 bits), same
+    // plan shape.
+    "d11_dedup_simhash_blocks" -> { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id",
+          graft.functions.SimHashMd5(split(trim($"text"), Tok.Ws)).as("sh"))
+      val bandCols = (0 until 4).map(b => struct(
+        lit(b).as("bi"), shiftright($"sh", 8 * b).bitwiseAND(255).as("bv")))
+      val bands = sh.select($"doc_id", $"sh", explode(array(bandCols: _*)).as("band"))
+        .select($"doc_id", $"sh", $"band.bi", $"band.bv")
+      bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        .filter($"hamming" <= 3)
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._
@@ -502,6 +534,30 @@ object Dedup {
              |  CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS BIGINT) AS dup_toks,
              |  round(CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS DOUBLE) / CAST(SUM(tk) AS DOUBLE), 6) AS dup_tok_frac
              |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+      "d11_dedup_simhash_blocks" -> {
+        val vCols = (0 until 32).map(d =>
+          s"SUM(CASE WHEN (h >> $d) & 1 = 1 THEN 1 ELSE -1 END) AS v$d")
+          .mkString(",\n    ")
+        val bits = (0 until 32).map(d =>
+          s"(CASE WHEN v$d > 0 THEN CAST(${1L << d} AS BIGINT) ELSE 0 END)").mkString(" + ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS bi, (sh >> ${8 * b}) & 255 AS bv, sh FROM sh")
+          .mkString("\n  UNION ALL ")
+        raw"""WITH words AS (SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w FROM documents),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+             |v AS (SELECT doc_id,
+             |    $vCols
+             |  FROM h GROUP BY doc_id),
+             |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM v),
+             |bands AS ($bandSelects)
+             |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+             |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+             |  AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
 
       "d05_dedup_embedding_cosine" ->
         raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -206,6 +206,29 @@ object Similarity {
           round($"absmax" / lit(127.0), 6).as("scale"),
           round(dequantMae($"v", $"qvec", $"absmax"), 6).as("mae"))
         .orderBy($"vec_id")
+    },
+
+    // ANN quality evaluation — the recall@5 report every approximate
+    // index build ends with: per query, how much of the EXACT top-5
+    // (s01's brute-force ranking, cut to 5) the bucketed s02 search
+    // recovered. Pure composition of the two oracle-checked pipelines —
+    // a left join from exact to approx and one tiny per-query count.
+    // At scale the exact side runs on a sampled query set (recall is a
+    // statistic, not per-corpus work), so the evaluation costs one
+    // brute-force pass over queries × corpus — the same broadcast shape
+    // as s01 — while the approx side reuses the production index.
+    "s06_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      val approx = queries("s02_ann_buckets")(s, d)
+        .select($"query_id".as("aq"), $"neighbor_id".as("an"))
+      exact.join(approx, $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
     }
   )
 
@@ -273,6 +296,31 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, bucket, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+    },
+
+    "s06_ann_recall" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    CAST($bucket AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
+           |ac AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON e.bucket = qbucket AND vec_id <> query_id),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |  FROM ac),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
     },
 
     "s05_quantize_int8" ->

@@ -175,10 +175,51 @@ object TextAnalysis {
         .withColumn("oov_rate",
           round($"n_oov".cast("double") / $"n_tokens".cast("double"), 6))
         .orderBy($"source")
+    },
+
+    // Statistical fluency scoring against the corpus's own bigram model —
+    // the LM-style quality gate of a data pipeline, made engine-exact:
+    // per doc, the mean FLOOR(log2(document frequency)) of its distinct
+    // word bigrams. A doc of corpus-common bigrams scores high; rare or
+    // garbled text scores near 0. floor(log2(df)) is computed as
+    // length(df in binary) - 1 — pure integer arithmetic, so both
+    // engines sum exact integers and divide once (no float log, whose
+    // last-bit differences would break the hash gate).
+    //
+    // Scale shape: bigrams come from the codegen'd ShingleArr (narrow),
+    // the df table is a map-side-combinable wordcount keyed on the
+    // bigram, and the score join is bigram-keyed equi-join → per-doc
+    // agg. At 100 TB you'd broadcast a top-K df table instead of
+    // joining the full one (the t07 vocab pattern) and score against
+    // that — same plan with the big side never shuffled.
+    "t08_bigram_fluency" -> { (s, d) =>
+      import s.implicits._
+      val sh2 = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 2)).as("s"))
+      val df2 = sh2.groupBy($"s").agg(count(lit(1)).as("df"))
+      sh2.join(df2, "s")
+        .withColumn("lg", (length(conv($"df", 10, 2)) - 1).cast("long"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"lg").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_log2_df"))
+        .orderBy($"doc_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "t08_bigram_fluency" ->
+      raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+           |  FROM words WHERE len(w) >= 2),
+           |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  round(CAST(SUM(length(bin(df)) - 1) AS DOUBLE) / COUNT(*), 6) AS mean_log2_df
+           |FROM sh JOIN df USING (s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t07_oov_rate" ->
       raw"""WITH toks AS (SELECT source,
            |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok

@@ -1,0 +1,90 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 32-bit md5-derived SimHash over a token array, in one codegen'd
+  * per-row pass — the ORACLE-CHECKABLE mid-width signature between
+  * `Dedup.d04`'s relational 16-bit pipeline and the xxHash64-based
+  * [[SimHash64]] (which DuckDB cannot replicate).
+  *
+  * Per token: the first 4 md5 bytes as a 32-bit word hash (bit-for-bit
+  * DuckDB's `('0x' || substr(md5(w), 1, 8))::BIGINT`); each of the 32
+  * bit positions accumulates +1/-1 by the token-hash bit; the signature
+  * sets bit d iff accumulator d is positive. Value-identical to the
+  * relational form (explode words → 32 conditional sums → bit
+  * recombine) and its DuckDB twin, but a NARROW map: no word explode, no
+  * 32-sum groupBy shuffle — signatures for 100 TB of text fused into the
+  * scan stage, feeding the d11 multi-index block join directly.
+  *
+  * Null array → null; null tokens are skipped; empty array → 0L.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.compute(input.asInstanceOf[ArrayData])
+
+  // MODULE$-qualified for the same reason as ToUpperCamelCase: resolving
+  // through the case class relies on a static forwarder scalac may omit.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  // one digest per thread — codegen calls this per row; no per-row churn
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val v = new Array[Int](32)
+    val n = tokens.numElements()
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val dg = md.digest()
+        // first 8 hex chars = bytes 0..3, big-endian — exactly
+        // conv(substr(md5(w), 1, 8), 16, 10)
+        val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+          ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (v(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  import org.apache.spark.sql.GraftShims
+  def apply(c: Column): Column = GraftShims.column(SimHashMd5(GraftShims.expression(c)))
+}
