@@ -103,4 +103,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "census must join the broadcast vocab")
     assert(!p.contains("SortMergeJoin"), "token stream must never shuffle for the join")
   }
+
+  test("d11: multi-index block pairing is an equi-join on block keys, signatures codegen'd") {
+    val p = plan("d11_dedup_simhash_blocks")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("simhash_md5"), "signatures must come from the codegen'd expression")
+  }
+
+  test("c07: weighted sampling is one scan — no join, no self-read") {
+    val p = plan("c07_weighted_sample")
+    assert(!p.contains("Join"), "the gate is per-row; joining would mean a second corpus pass")
+    assert(p.contains("partial"), "census aggregation must be two-phase (map-side partial)")
+  }
+
+  test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
+    val p = plan("t08_bigram_fluency")
+    assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "df wordcount must partial-aggregate map-side")
+  }
 }
