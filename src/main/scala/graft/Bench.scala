@@ -45,15 +45,19 @@ object Bench {
     // numbers comparable across rounds (Map order shifts as keys are added)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1, NOT its time-to-failure: a breakage
+      // must stand out in the JSON, never read as a speedup
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
+          true
+        } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -61,6 +61,16 @@ object Similarity {
   def sqlCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
+  /** The ONE definition of the ANN query set (`vec_id < 5`), the ranking
+    * tie-break, and the s02 sign-bit bucket formula, shared by the
+    * s01/s02/s03 oracles AND the composed s06 recall oracle — so the
+    * evaluation can never measure a ranking the production queries no
+    * longer use. */
+  private val SqlQueryPred = "vec_id < 5"
+  private val SqlRankOrder = "ORDER BY cos DESC, vec_id"
+  private def sqlBucketSum: String = (0 until 8)
+    .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
   private def vectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
@@ -235,11 +245,11 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
            |c AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM e JOIN q ON vec_id <> query_id),
            |r AS (SELECT query_id, vec_id, cos,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS INTEGER) AS rn
            |  FROM c)
            |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
@@ -254,11 +264,11 @@ object Similarity {
            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
            |  FROM ac) t WHERE crn = 1),
            |q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
-           |  FROM assigned WHERE vec_id < 5),
+           |  FROM assigned WHERE $SqlQueryPred),
            |c AS (SELECT query_id, cell, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM assigned JOIN q ON cell = qcell AND vec_id <> query_id),
            |r AS (SELECT query_id, cell, vec_id, cos,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS INTEGER) AS rn
            |  FROM c)
            |SELECT query_id, cell, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
@@ -284,36 +294,32 @@ object Similarity {
     },
 
     "s02_ann_buckets" -> {
-      val bucket = (0 until 8)
-        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-           |    CAST($bucket AS INTEGER) AS bucket FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+           |    CAST($sqlBucketSum AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE $SqlQueryPred),
            |c AS (SELECT query_id, e.bucket, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM e JOIN q ON e.bucket = qbucket AND vec_id <> query_id),
            |r AS (SELECT query_id, bucket, vec_id, cos,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS INTEGER) AS rn
            |  FROM c)
            |SELECT query_id, bucket, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
     },
 
     "s06_ann_recall" -> {
-      val bucket = (0 until 8)
-        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-           |    CAST($bucket AS INTEGER) AS bucket FROM embeddings),
-           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+           |    CAST($sqlBucketSum AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE $SqlQueryPred),
            |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM e JOIN q ON vec_id <> query_id),
            |xr AS (SELECT query_id, vec_id,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
            |  FROM xc),
            |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
            |ac AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM e JOIN q ON e.bucket = qbucket AND vec_id <> query_id),
            |ar AS (SELECT query_id, vec_id,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
            |  FROM ac),
            |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5)
            |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,

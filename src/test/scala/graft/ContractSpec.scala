@@ -21,7 +21,8 @@ class ContractSpec extends SparkSuite {
   }
 
   test("QUERIES.md stays in sync: header count and one row per query") {
-    val lines = scala.io.Source.fromFile("QUERIES.md", "UTF-8").getLines().toList
+    val lines = scala.util.Using.resource(
+      scala.io.Source.fromFile("QUERIES.md", "UTF-8"))(_.getLines().toList)
     val header = lines.head
     val counts = "\\((\\d+) = (\\d+) oracle-checked \\+ (\\d+) rows-only\\)".r
     val m = counts.findFirstMatchIn(header)
