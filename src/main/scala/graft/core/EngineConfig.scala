@@ -46,6 +46,19 @@ object ErrorPolicy {
   * @param perTopicCaps       per-topic overrides; `None` value = unlimited
   * @param compression        Kafka producer compression ("gzip" | none)
   * @param idempotent         Kafka producer idempotence
+  * @param retries            producer send retries (reference
+  *                           `producer.retryOptions`, legacy-producer.ts:100;
+  *                           kafkajs RetryOptions.retries). `None` keeps the
+  *                           Kafka client default — same as the reference,
+  *                           whose undefined retryOptions defers to kafkajs.
+  * @param partitionerClass   fully-qualified producer partitioner class
+  *                           (reference `producer.partitioners`,
+  *                           legacy-producer.ts:106, default
+  *                           LegacyPartitioner at constants/index.ts:23).
+  *                           kafkajs partitioners are JS functions with no
+  *                           JVM equivalent, so the Spark analog is the Java
+  *                           client's `partitioner.class`; `None` keeps the
+  *                           client default.
   * @param onlyTesting        capture emitted events in memory instead of
   *                           producing (reference O15)
   * @param parsedEventsReverseCompat replicate the reference's per-batch
@@ -85,6 +98,8 @@ final case class EngineConfig(
     perTopicCaps: Map[String, Option[Int]] = Map.empty,
     compression: Option[String] = None,
     idempotent: Boolean = false,
+    retries: Option[Int] = None,
+    partitionerClass: Option[String] = None,
     onlyTesting: Boolean = false,
     errorPolicy: ErrorPolicy = ErrorPolicy.LogAndContinue,
     parsedEventsReverseCompat: Boolean = false,

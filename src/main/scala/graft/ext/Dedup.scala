@@ -339,14 +339,17 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // Production-width 64-bit SimHash signatures via the codegen'd
-    // SimHash64 expression, with 4×16-bit multi-index block keys for the
-    // scale-path equi-join. No DuckDB oracle (xxHash64 is Spark-specific)
-    // → rows-only check; cross-checked against a Scala reference in
-    // SimHash64Spec.
+    // Production-width 64-bit SimHash signatures with 4×16-bit multi-index
+    // block keys for the scale-path equi-join. The word hash is md5-derived
+    // (codegen'd SimHashMd564) so DuckDB can replicate the signature
+    // bit-for-bit — the oracle rebuilds each 64-bit word hash from two
+    // 32-bit md5-prefix halves. The xxHash64 variant (SimHash64, faster
+    // per token, no cross-engine oracle possible) stays the drop-in hash
+    // plug: identical signature layout and downstream join shape,
+    // cross-checked against a Scala reference in SimHash64Spec.
     "d08_simhash64_signatures" -> { (s, d) =>
       import s.implicits._
-      val sig = graft.functions.SimHash64(split(trim($"text"), Tok.Ws))
+      val sig = graft.functions.SimHashMd564(split(trim($"text"), Tok.Ws))
       Tables.documents(s, d)
         .select($"doc_id", sig.as("simhash64"))
         .select($"doc_id", $"simhash64",
@@ -534,6 +537,33 @@ object Dedup {
              |  CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS BIGINT) AS dup_toks,
              |  round(CAST(COALESCE(SUM(tk) FILTER (dup), 0) AS DOUBLE) / CAST(SUM(tk) AS DOUBLE), 6) AS dup_tok_frac
              |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+      "d08_simhash64_signatures" -> {
+        // 64-bit word hash from two 32-bit md5-prefix halves (a single
+        // 16-hex-char parse would need HUGEINT; halves stay in BIGINT).
+        // Bit 63 of the signature is added as -2^63 — two's complement.
+        val vCols = ((0 until 32).map(d =>
+          s"SUM(CASE WHEN (lo >> $d) & 1 = 1 THEN 1 ELSE -1 END) AS v$d") ++
+          (32 until 64).map(d =>
+            s"SUM(CASE WHEN (hi >> ${d - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v$d"))
+          .mkString(",\n    ")
+        val bits = ((0 until 63).map(d =>
+          s"(CASE WHEN v$d > 0 THEN CAST(${1L << d} AS HUGEINT) ELSE 0 END)") :+
+          s"(CASE WHEN v63 > 0 THEN CAST(${Long.MinValue} AS HUGEINT) ELSE 0 END)")
+          .mkString(" + ")
+        raw"""WITH words AS (SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w FROM documents),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+             |    ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo FROM words),
+             |v AS (SELECT doc_id,
+             |    $vCols
+             |  FROM h GROUP BY doc_id)
+             |SELECT doc_id, CAST($bits AS BIGINT) AS simhash64,
+             |  CAST((simhash64 >> 0) & 65535 AS BIGINT) AS block0,
+             |  CAST((simhash64 >> 16) & 65535 AS BIGINT) AS block1,
+             |  CAST((simhash64 >> 32) & 65535 AS BIGINT) AS block2,
+             |  CAST((simhash64 >> 48) & 65535 AS BIGINT) AS block3
+             |FROM v ORDER BY doc_id""".stripMargin
+      },
 
       "d11_dedup_simhash_blocks" -> {
         val vCols = (0 until 32).map(d =>

@@ -48,6 +48,47 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit md5-derived SimHash over a token array — [[SimHashMd5]] widened to
+  * production width while staying ORACLE-CHECKABLE (DuckDB rebuilds the
+  * word hash from two 32-bit md5-prefix halves:
+  * `('0x'||substr(md5(w),1,8))::BIGINT` and `substr(md5(w),9,8)`).
+  *
+  * Per token: the first 8 md5 bytes big-endian as a 64-bit word hash; the
+  * usual +1/-1 bit-position accumulation; signature bit d set iff
+  * accumulator d is positive. Same narrow fused-into-the-scan shape as
+  * [[SimHashMd5]]. The xxHash64-based [[SimHash64]] stays the faster
+  * hash plug for clusters that don't need a cross-engine oracle — the
+  * signature layout and the 4×16-bit multi-index block join downstream are
+  * identical; only the word-hash function differs.
+  *
+  * Null array → null; null tokens are skipped; empty array → 0L.
+  */
+case class SimHashMd564(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5_64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.compute64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5$$.MODULE$$.compute64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd564 =
+    copy(child = newChild)
+}
+
+object SimHashMd564 {
+  import org.apache.spark.sql.GraftShims
+  def apply(c: Column): Column = GraftShims.column(SimHashMd564(GraftShims.expression(c)))
+}
+
 object SimHashMd5 {
   // one digest per thread — codegen calls this per row; no per-row churn
   private val digest = new ThreadLocal[MessageDigest] {
@@ -79,6 +120,39 @@ object SimHashMd5 {
     var sig = 0L
     var b = 0
     while (b < 32) {
+      if (v(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[SimHashMd564]]'s kernel: first 8 md5 bytes big-endian per token. */
+  def compute64(tokens: ArrayData): Long = {
+    val v = new Array[Int](64)
+    val n = tokens.numElements()
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val dg = md.digest()
+        // first 16 hex chars = bytes 0..7, big-endian — the two DuckDB
+        // halves ('0x'||substr(md5,1,8)) << 32 | ('0x'||substr(md5,9,8))
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
       if (v(b) > 0) sig |= (1L << b)
       b += 1
     }

@@ -121,7 +121,17 @@ final class Emitter(
     * reference instead REJECTS an empty `data` array eagerly
     * (producer/legacy-producer.ts:180 "Data array can't be empty"); that
     * validation is not reproducible here because a DataFrame's row count
-    * is unknown until the job runs — documented deviation. */
+    * is unknown until the job runs — documented deviation.
+    *
+    * Returns `Unit`, not per-record acks: the reference resolves each send
+    * to `RecordMetadata[][]` (one array per host,
+    * producer/legacy-producer.ts:196-209, resolved at 199-206). Spark's
+    * Kafka sink acks at job granularity — `save()` returning IS the
+    * all-partitions-acked signal; per-record topic/partition/offset
+    * metadata never reaches the driver (and collecting it for billions of
+    * rows would be an anti-pattern). Callers who branched on RecordMetadata
+    * in the reference should branch on emit's success/exception instead —
+    * documented deviation (SURVEY.md §7.4.8). */
   def emit(
       df: DataFrame,
       topic: String,
@@ -219,14 +229,13 @@ final class Emitter(
   private def resolveHosts(overwrite: Option[Seq[String]]): Seq[String] =
     overwrite.filter(_.nonEmpty).getOrElse(config.host +: config.additionalHosts)
 
-  private def writeKafkaBatch(enriched: DataFrame, topic: String, host: String): Unit = {
-    val w = enriched.selectExpr("CAST(value AS STRING) AS value", "topic")
+  private def writeKafkaBatch(enriched: DataFrame, topic: String, host: String): Unit =
+    enriched.selectExpr("CAST(value AS STRING) AS value", "topic")
       .write.format("kafka")
-      .option("kafka.bootstrap.servers", host)
-    config.compression.foreach(c => w.option("kafka.compression.type", c))
-    if (config.idempotent) w.option("kafka.enable.idempotence", "true")
-    w.save()
-  }
+      // single source of truth for the O18 producer passthrough (compression,
+      // idempotence, retries, partitioner class) — contract-tested there
+      .options(graft.streaming.KafkaBridge.sinkOptions(config, host))
+      .save()
 
   private def validate(df: DataFrame, topic: String, eventName: Option[String]): Unit = {
     require(topic.trim.nonEmpty, "The topic attribute cannot be an empty string")

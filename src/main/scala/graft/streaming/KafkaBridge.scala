@@ -16,9 +16,10 @@ import graft.route.RouteRegistry
   *    100 TB/day the consumer parallelism is `max(kafka partitions,
   *    minPartitions)`, not one event loop.
   *
-  * Producer tuning passthrough (O18): compression, idempotence, retries map
-  * 1:1 onto `kafka.*` options; connection pooling + TTL (O17) is the
-  * connector's producer cache.
+  * Producer tuning passthrough (O18): compression, idempotence, retries and
+  * partitioner choice (legacy-producer.ts:100,106) map 1:1 onto `kafka.*`
+  * options; connection pooling + TTL (O17) is the connector's producer
+  * cache.
   *
   * Untestable in this environment (no broker, no kafka connector jar) —
   * exercised through the memory source/sink twins in the testkit, which is
@@ -98,7 +99,9 @@ object KafkaBridge {
   def sinkOptions(config: EngineConfig, host: String): Map[String, String] =
     Map("kafka.bootstrap.servers" -> host) ++
       config.compression.map("kafka.compression.type" -> _) ++
-      (if (config.idempotent) Some("kafka.enable.idempotence" -> "true") else None)
+      (if (config.idempotent) Some("kafka.enable.idempotence" -> "true") else None) ++
+      config.retries.map(r => "kafka.retries" -> r.toString) ++
+      config.partitionerClass.map("kafka.partitioner.class" -> _)
 
   /** Batch Kafka sink with producer tuning passthrough (O18). */
   def sink(df: DataFrame, config: EngineConfig, host: String): Unit =

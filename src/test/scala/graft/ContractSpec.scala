@@ -37,6 +37,9 @@ class ContractSpec extends SparkSuite {
     }.filter(_.matches("[a-z][a-z0-9_]+")).toSet
     val undocd = SparkEntry.queries.keySet.diff(documented)
     assert(undocd.isEmpty, s"queries missing from QUERIES.md: $undocd")
+    // and the reverse: a documented row for a deleted/renamed query is stale
+    val ghost = documented.diff(SparkEntry.queries.keySet)
+    assert(ghost.isEmpty, s"QUERIES.md rows without a query: $ghost")
   }
 
   test("every registered query executes and returns rows at sf0.001") {

@@ -36,6 +36,29 @@ class SimHash64Spec extends SparkSuite {
     assert(hamming(s0, s1) <= 16)
   }
 
+  test("SimHashMd564: golden values from an independent (Python hashlib) reference") {
+    import spark.implicits._
+    // int.from_bytes(md5(w).digest()[:8],'big') +1/-1 accumulation, two's
+    // complement — the same construction the DuckDB oracle replays in SQL
+    val got = Seq(Seq("hello", "world"), Seq("the", "quick", "brown", "fox"))
+      .map(ws => Seq(Tuple1(ws)).toDF("w")
+        .select(SimHashMd564($"w")).head().getLong(0))
+    assert(got == Seq(6719652267731058694L, 1140660199213328064L))
+  }
+
+  test("SimHashMd564: null/empty semantics match SimHash64") {
+    import spark.implicits._
+    assert(Seq(Tuple1(Seq.empty[String])).toDF("w")
+      .select(SimHashMd564($"w")).head().getLong(0) == 0L)
+    assert(Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("w")
+      .select(SimHashMd564($"w")).head().isNullAt(0))
+    val withNull = Seq(Tuple1(Seq("a", null, "b"))).toDF("w")
+      .select(SimHashMd564($"w")).head().getLong(0)
+    val without = Seq(Tuple1(Seq("a", "b"))).toDF("w")
+      .select(SimHashMd564($"w")).head().getLong(0)
+    assert(withNull == without)
+  }
+
   test("null and empty semantics") {
     import spark.implicits._
     assert(Seq(Tuple1(Seq.empty[String])).toDF("w")

@@ -173,15 +173,22 @@ class StreamingSpec extends SparkSuite {
     // one-by-one strategy serializes through the same map
     val one = EngineConfig(strategy = Strategy.OneByOne)
     assert(KafkaBridge.sourceOptions(one, router(one))("maxOffsetsPerTrigger") == "1")
-    // golden writer map: bare by default; compression + idempotence pass
-    // through under their kafka.* producer keys (O18)
+    // golden writer map: bare by default; all four O18 producer knobs —
+    // compression, idempotence, retries, partitioner class (reference
+    // legacy-producer.ts:100,106) — pass through under kafka.* producer keys
     assert(KafkaBridge.sinkOptions(EngineConfig(), "h:9092")
       == Map("kafka.bootstrap.servers" -> "h:9092"))
     assert(KafkaBridge.sinkOptions(
-      EngineConfig(compression = Some("zstd"), idempotent = true), "h:9092") == Map(
+      EngineConfig(
+        compression = Some("zstd"),
+        idempotent = true,
+        retries = Some(5),
+        partitionerClass = Some("org.example.RoundRobinPartitioner")), "h:9092") == Map(
       "kafka.bootstrap.servers" -> "h:9092",
       "kafka.compression.type" -> "zstd",
-      "kafka.enable.idempotence" -> "true"))
+      "kafka.enable.idempotence" -> "true",
+      "kafka.retries" -> "5",
+      "kafka.partitioner.class" -> "org.example.RoundRobinPartitioner"))
   }
 
   test("one-by-one strategy processes messages individually and in order") {
@@ -337,6 +344,35 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(_.topic).distinct == Seq("out-topic"))
     assert(got.flatMap(_.values).size == 2)
     assert(got.flatMap(_.values).forall(_.contains(""""code":"Ev"""")))
+  }
+
+  test("multi-host streaming emit is the capture twin of multi-host batch emit") {
+    // O3 replication with onlyTesting: regardless of how many hosts are
+    // configured, the capture sink records each message ONCE (the host
+    // fan-out is a write-side concern), and the streaming path produces
+    // byte-identical payloads to the batch path for the same rows.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val cfg = EngineConfig(appName = Some("s"), onlyTesting = true,
+      additionalHosts = Seq("h2:9092", "h3:9092"))
+    val clock = fixedClock("2022-12-08T00:00:00Z")
+    val rows = Seq(("a", 1L), ("b", 2L))
+
+    val batchEm = new Emitter(cfg, clock)
+    batchEm.emit(rows.toDF("name", "n"), "out-topic", Some("ev"))
+
+    val streamEm = new Emitter(cfg, clock)
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(rows: _*)
+    val q = streamEm.emitStream(mem.toDF().toDF("name", "n"), "out-topic", Some("ev"),
+      checkpoint = Some(java.nio.file.Files.createTempDirectory("graft-es-mh").toString))
+    q.processAllAvailable()
+    q.stop()
+
+    val batchVals = batchEm.getEmittedEvents.flatMap(_.values).sorted
+    val streamVals = streamEm.getEmittedEvents.flatMap(_.values).sorted
+    assert(batchVals.size == 2, "3 hosts must not triple the capture")
+    assert(streamVals == batchVals)
   }
 
   test("default-clock enrichment stamps per batch (current_timestamp in plan, not a literal)") {
