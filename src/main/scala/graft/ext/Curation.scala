@@ -130,7 +130,12 @@ object Curation {
     // contiguous doc_id buckets get local prefix sums in parallel, the
     // per-bucket totals (one tiny row each) get a cumulative offset, and
     // offsets broadcast back. Identical value to the naive global
-    // window, scalable to any row count.
+    // window. The bucket width (100 here, so test data spans many
+    // buckets) is the scale knob: the only remaining single-partition
+    // window reads n/K rows of (bucket, total) — K≈10^6 at 10^10 docs
+    // keeps the serial task at ~10^4 tiny rows, and the construction
+    // recurses over the totals if that ever outgrows one task
+    // (SCALE.md §Curation).
     "c05_token_shards" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

@@ -16,7 +16,8 @@ import graft.core.Tables
   *  - `s02_ann_buckets` — the scale path: a sign-bit LSH bucket (one bucket
   *    id per vector from the signs of the leading dims) turns the cross
   *    product into an equi-join on bucket. Recall trades off with bucket
-  *    bits; production would probe multiple neighboring buckets.
+  *    bits; `s07_ann_multiprobe` is the production fix — probe the query
+  *    bucket plus its Hamming-1 neighbors and measure the recall@5 gain.
   *
   * The dot product is the codegen'd [[graft.functions.DotProduct]]
   * expression — an in-order sequential double summation matching DuckDB's
@@ -142,10 +143,9 @@ object Similarity {
     // cell's mean. The sum is an IN-ORDER elementwise fold over the cell's
     // members sorted by vec_id (`aggregate` over a sorted collect_list),
     // so both engines add the same doubles in the same order —
-    // bit-identical means despite double non-associativity. At 100 TB the
-    // in-order fold becomes the map-side partial pattern instead
-    // (per-partition sums + merge) and exact cross-engine parity is
-    // traded for speed; here parity is the point.
+    // bit-identical means despite double non-associativity. This is the
+    // exact-parity BASELINE; s08_kmeans_mapside is the 100 TB shape (map-
+    // side fixed-point partial sums, no member list ever collected).
     "s04_kmeans_refine" -> { (s, d) =>
       import s.implicits._
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
@@ -169,6 +169,89 @@ object Similarity {
             |  (acc, x) -> zip_with(acc, x.v, (p, q) -> p + q))""".stripMargin))
         .select($"cell" +: $"n_members" +: meanCols: _*)
         .orderBy($"cell")
+    },
+
+    // The SCALE-PATH Lloyd step promised by s04's scaladoc: identical
+    // nearest-centroid assignment, but each cell's mean comes from
+    // map-side-combinable partial sums instead of an in-order fold over a
+    // collected member list. Cross-engine (and cross-partitioning!)
+    // determinism comes from FIXED-POINT accumulation: every element
+    // rounds to an integer count of 1e-6 units (round is
+    // half-away-from-zero in both engines) and integer sums are exact and
+    // order-independent — the means are bit-identical no matter how many
+    // partitions contribute, which a double sum cannot promise. That also
+    // makes this the REPRODUCIBLE variant a training pipeline wants
+    // (quantization error ≤ 5e-7 per element, invisible at the exposed
+    // 6 dp). posexplode turns each vector into (dim, x) rows and the
+    // per-(cell, dim) sum partial-aggregates inside the scan stage, so
+    // the exchange moves 64 longs per cell per input partition — never a
+    // member list (s04's sort_array(collect_list) would make a cell with
+    // billions of vectors a hot reducer; this shape cannot).
+    "s08_kmeans_mapside" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      // same map-side-combinable argmax assignment as s03/s04 (see s03)
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v",
+          $"cent_id", cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"b.v".as("v"), $"b.cent_id".as("cell"))
+      val sums = assigned
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .select($"cell", $"dim", round($"x" * lit(1e6)).cast("long").as("fx"))
+        .groupBy($"cell", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"fx").as("sfx"))
+        .withColumn("m", round($"sfx".cast("double") / ($"n" * lit(1e6)), 6))
+      sums.filter($"dim" < 4)
+        .groupBy($"cell")
+        .agg(max($"n").as("n_members"),
+          (0 until 4).map(i => max(when($"dim" === i, $"m")).as(s"m$i")): _*)
+        .orderBy($"cell")
+    },
+
+    // Multi-probe LSH ANN + its recall@5 report in one query: the
+    // production fix for s02's single-bucket recall loss. Each query
+    // probes its own bucket plus the 8 Hamming-1 neighbor buckets (one
+    // sign bit flipped) — 9 of 256 buckets ≈ 3.5% of the corpus scanned
+    // instead of 0.4%, for a 9× candidate pool (measured at sf0.01:
+    // mean recall@5 0.00 single-bucket → 0.20 multi-probe — the synthetic
+    // embeddings are near-uniform, the hardest case for LSH; QUERIES.md).
+    // The probe fan-out EXPANDS THE BROADCAST QUERY SIDE ONLY (5 queries
+    // → 45 probe rows); the corpus side still sees one equi-join on its
+    // precomputed bucket — same candidate-join shape, no extra corpus
+    // pass, each candidate matches exactly one probe (buckets partition
+    // the space) so no dedup is needed. Recall composition mirrors s06.
+    "s07_ann_multiprobe" -> { (s, d) =>
+      import s.implicits._
+      val bucket: Column = (0 until 8)
+        .map(i => when(element_at($"v", i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = vectors(s, d).withColumn("bucket", bucket)
+        .withColumn("nrm", dot($"v", $"v"))
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          $"bucket".as("qbucket"), $"nrm".as("qnrm"))
+        .withColumn("probe", explode(array(
+          $"qbucket" +: (0 until 8).map(i => $"qbucket".bitwiseXOR(lit(1 << i))): _*)))
+      val cand = e
+        .join(broadcast(probes), $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      exact.join(approx, $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
     },
 
     // LSH-bucketed ANN: sign bits of dims 0..7 → 256 buckets; neighbors
@@ -328,6 +411,51 @@ object Similarity {
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
     },
+
+    "s08_kmeans_mapside" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |fx AS (SELECT cell, t.dim - 1 AS dim,
+           |    CAST(round(v[t.dim] * 1000000.0) AS BIGINT) AS fx
+           |  FROM assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) t),
+           |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(fx) AS sfx FROM fx GROUP BY cell, dim),
+           |m AS (SELECT cell, dim, n, round(CAST(sfx AS DOUBLE) / (n * 1000000.0), 6) AS m FROM g)
+           |SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members,
+           |  MAX(CASE WHEN dim = 0 THEN m END) AS m0,
+           |  MAX(CASE WHEN dim = 1 THEN m END) AS m1,
+           |  MAX(CASE WHEN dim = 2 THEN m END) AS m2,
+           |  MAX(CASE WHEN dim = 3 THEN m END) AS m3
+           |FROM m WHERE dim < 4 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "s07_ann_multiprobe" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    CAST($sqlBucketSum AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
+           |probes AS (SELECT query_id, qv, CAST(xor(qbucket, f.f) AS INTEGER) AS probe
+           |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f),
+           |ac AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN probes ON e.bucket = probe AND vec_id <> query_id),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM ac),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

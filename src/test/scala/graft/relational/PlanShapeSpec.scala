@@ -117,6 +117,36 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "census aggregation must be two-phase (map-side partial)")
   }
 
+  test("s08: map-side Lloyd step never collects a member list") {
+    val p = plan("s08_kmeans_mapside")
+    assert(!p.contains("collect_list"), "scale path must not materialize cell members")
+    assert(!p.contains("sort_array"))
+    assert(p.contains("Broadcast"), "centroids must broadcast")
+    assert(p.contains("partial"), "per-(cell,dim) sums must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s07: multi-probe expands the broadcast query side only (equi-join on bucket)") {
+    val p = plan("s07_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast to the corpus scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("c05: the big window is bucket-partitioned; serial window sees only bucket totals") {
+    val p = plan("c05_token_shards")
+    val winArgs = """Arguments: ([^\n]*windowspecdefinition[^\n]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(winArgs.size == 2, s"expected exactly two windows, got:\n${winArgs.mkString("\n")}")
+    // the full-corpus per-doc prefix sum must carry the bucket partition key
+    val (partitioned, serial) = winArgs.partition(
+      _.matches(""".*windowspecdefinition\(bucket#\d+L, doc_id#.*"""))
+    assert(partitioned.size == 1, "per-doc prefix sum must be partitioned by bucket")
+    // the only single-partition window may see per-bucket TOTALS (btk),
+    // never per-document rows — n/K tiny rows through the serial task
+    assert(serial.size == 1 && serial.head.contains("sum(btk#"),
+      s"the single-partition window must run over bucket totals only, got: $serial")
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
