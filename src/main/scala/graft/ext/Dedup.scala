@@ -444,6 +444,82 @@ object Dedup {
         .filter($"cos" > 0.35)
         .select($"id_a", $"id_b", round($"cos", 6).as("cos_sim"))
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    // space coarsely (the s03 IVF assignment — nearest of 8 deterministic
+    // centroids, map-side-combinable argmax), then search for near-dup
+    // pairs ONLY within a cluster. This is d05's exact O(n²) cosine scan
+    // made scale-shaped: the quadratic is bounded to a cell, and at 100 TB
+    // the cell count grows with the corpus (k ~ sqrt(n) in the paper's
+    // setup), so per-cell work stays flat while cells parallelize across
+    // executors — an equi-join on `cell`, never a cross join. A vector is
+    // dropped when some LOWER-id member of its cell exceeds the cosine
+    // threshold (min-id representative, d01's convention): one pass, no
+    // iterative greedy, deterministic in both engines.
+    "d12_semantic_dedup" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      // same map-side-combinable argmax assignment as s03 (see there)
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm", $"cent_id",
+          Similarity.cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+          $"b.cent_id".as("cell"))
+      val cos = Similarity.cosineWithNorms(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.cell").as("cell"), col("b.vec_id").as("drop_id"),
+          col("a.vec_id").as("cand_keep"), cos.as("cos"))
+        .filter($"cos" > 0.35)
+        .groupBy($"cell", $"drop_id")
+        .agg(min($"cand_keep").as("keep_id"), round(max($"cos"), 6).as("max_cos"))
+        .orderBy($"cell", $"drop_id")
+    },
+
+    // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
+    // paragraph breaks, so the span unit is the fixed 20-word chunk — the
+    // same technique as duplicated-paragraph removal, keyed on md5(chunk).
+    // Chunking is NARROW (slice over the per-row token array — no
+    // groupBy-over-exploded-words); duplicate detection shuffles 16-byte
+    // chunk hashes, never text. The duplicated-doc count per hash comes
+    // from per-(hash, source) partials summed by a window over `h` (high
+    // cardinality, no skew: a hash's row count is bounded by the source
+    // count), so the corpus-size instance table is never self-joined.
+    "d13_chunk_dedup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val chunkWords = 20
+      val w = Tables.documents(s, d)
+        .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("ws"))
+        .filter(size($"ws") > 0)
+      val ch = w.select($"doc_id", $"source",
+        explode(transform(
+          sequence(lit(0L), ceil(size($"ws") / lit(chunkWords.toDouble)).cast("long") - 1),
+          i => md5(concat_ws(" ",
+            slice($"ws", (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
+          .as("h"))
+      // doc_id is unique across sources, so the per-hash distinct-doc count
+      // is the SUM of per-(hash, source) distinct counts — lets the heavy
+      // first shuffle carry pre-aggregated rows instead of every instance
+      val g1 = ch.groupBy($"h", $"source")
+        .agg(count(lit(1)).as("c"), countDistinct($"doc_id").as("ndl"))
+      val withNd = g1.withColumn("nd", sum($"ndl").over(Window.partitionBy($"h")))
+      withNd.groupBy($"source")
+        .agg(sum($"c").as("n_chunks"),
+          sum(when($"nd" > 1, $"c").otherwise(0L)).as("n_dup_chunks"))
+        .select($"source", $"n_chunks", $"n_dup_chunks",
+          round($"n_dup_chunks".cast("double") / $"n_chunks".cast("double"), 6)
+            .as("dup_fraction"))
+        .orderBy($"source")
     }
   )
 
@@ -595,7 +671,39 @@ object Dedup {
              |  round(${Similarity.sqlCosine("a.v", "b.v")}, 6) AS cos_sim
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE ${Similarity.sqlCosine("a.v", "b.v")} > 0.35
-             |ORDER BY id_a, id_b""".stripMargin
+             |ORDER BY id_a, id_b""".stripMargin,
+
+      "d12_semantic_dedup" ->
+        raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+             |ac AS (SELECT vec_id, v, cent_id, ${Similarity.sqlCosine("v", "cv")} AS ccos
+             |  FROM e CROSS JOIN cents),
+             |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+             |  SELECT vec_id, v, cent_id, ccos,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+             |  FROM ac) t WHERE crn = 1),
+             |pairs AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    ${Similarity.sqlCosine("a.v", "b.v")} AS cos
+             |  FROM assigned a JOIN assigned b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+             |hits AS (SELECT * FROM pairs WHERE cos > 0.35)
+             |SELECT cell, id_b AS drop_id, MIN(id_a) AS keep_id,
+             |  round(MAX(cos), 6) AS max_cos
+             |FROM hits GROUP BY cell, id_b ORDER BY cell, drop_id""".stripMargin,
+
+      "d13_chunk_dedup" ->
+        raw"""WITH w AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '[${Tok.WsChars}]+') AS ws FROM documents),
+             |ch AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT)),
+             |      i -> md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')))) AS h
+             |  FROM w WHERE len(ws) > 0),
+             |ph AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+             |SELECT source, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             |    AS dup_fraction
+             |FROM ch JOIN ph USING (h) GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }

@@ -254,6 +254,57 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // IVF with nprobe > 1 — the true production knob of an inverted-file
+    // index: instead of searching only the query's own cell (s03), each
+    // query probes its TOP-4 cells by centroid similarity. The probe list
+    // is ranked by a window over the tiny query×centroid table (5 queries
+    // × 8 centroids = 40 rows, broadcast side only); the corpus side keeps
+    // the same single-cell argmax assignment and the same equi-join on
+    // `cell` — no extra corpus pass, and a corpus vector matches at most
+    // one probe (cells partition the space), so no candidate dedup.
+    // Measured at sf0.01: recall@5 0.92 (s03, nprobe=1) → 0.96 (nprobe=4)
+    // — query 2's 4th-ranked cell holds one of its exact neighbors. The
+    // recall report composes s01's exact ranking like s06/s07.
+    "s09_ivf_multiprobe" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nprobe = 4
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      // corpus: same map-side-combinable argmax assignment as s03 (see there)
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm", $"cent_id",
+          cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+          $"b.cent_id".as("cell"))
+      val probes = e.filter($"vec_id" < 5).join(broadcast(cents))
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+          $"cent_id", cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cent_id")))
+        .filter($"crn" <= nprobe)
+        .select($"query_id", $"qv", $"qnrm", $"cent_id".as("probe"))
+      val cand = assigned
+        .join(broadcast(probes), $"cell" === $"probe" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      exact.join(approx, $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+
     // LSH-bucketed ANN: sign bits of dims 0..7 → 256 buckets; neighbors
     // searched within the query's bucket only.
     "s02_ann_buckets" -> { (s, d) =>
@@ -432,6 +483,37 @@ object Similarity {
            |  MAX(CASE WHEN dim = 2 THEN m END) AS m2,
            |  MAX(CASE WHEN dim = 3 THEN m END) AS m3
            |FROM m WHERE dim < 4 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "s09_ivf_multiprobe" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS (SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE crn = 1),
+           |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND $SqlQueryPred),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
+           |acand AS (SELECT p.query_id, a.vec_id, ${sqlCosine("p.qv", "a.v")} AS cos
+           |  FROM assigned a JOIN probes p
+           |    ON a.cell = p.probe AND a.vec_id <> p.query_id),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM acand),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
 
     "s07_ann_multiprobe" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

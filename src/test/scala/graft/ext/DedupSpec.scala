@@ -46,6 +46,40 @@ class DedupSpec extends SparkSuite {
     assert(rows == List(("even", 100L, 100L), ("odd", 100L, 99L)))
   }
 
+  test("d13: chunk census counts short docs as one chunk and flags shared spans") {
+    // A = 45 words (chunks: w1-20, w21-40, w41-45); B = exactly A's first
+    // 20 words (one chunk, shared with A); C unique short (one chunk)
+    val words = (1 to 45).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = words.take(20).mkString(" ")
+    val dir = stage(Seq(
+      (1L, a, "en", "sa"), (2L, b, "en", "sb"), (3L, "lonely words", "en", "sc")))
+    val rows = Dedup.queries("d13_chunk_dedup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows == List(("sa", 3L, 1L), ("sb", 1L, 1L), ("sc", 1L, 0L)),
+      s"got $rows")
+  }
+
+  test("d12: semantic dedup drops only within-cell near-dups, keeps the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    def oneHot(dim: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == dim) 1.0f else 0.0f)
+    // centroids 0..7 = orthogonal one-hots (no cross-cell pairs possible);
+    // 8 and 9 both lean on dim 0 → cell 0, cosine(8, 9) ≈ 0.98 > 0.35
+    val rows = (0L to 7L).map(i => (i, oneHot(i.toInt), i.toInt)) ++ Seq(
+      (8L, (0 until 64).map(j => if (j == 0) 0.9f else if (j == 1) 0.1f else 0.0f), 0),
+      (9L, (0 until 64).map(j => if (j == 0) 0.8f else if (j == 1) 0.2f else 0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Dedup.queries("d12_semantic_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // both near-dups drop in cell 0 with the MIN paired id (centroid 0
+    // itself — cos(e0, v8) ≈ 0.994) as the keeper; no orthogonal pairs
+    assert(out == List((0L, 8L, 0L), (0L, 9L, 0L)), s"got $out")
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()

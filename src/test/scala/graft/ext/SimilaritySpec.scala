@@ -30,6 +30,17 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getDouble(1) === 0.0)
   }
 
+  test("s09: probing more IVF cells never loses recall vs the single cell (s03)") {
+    // at sf0.01 the nprobe=1 recall@5 is [1, 1, .6, 1, 1] (s03's cell
+    // misses two of query 2's true neighbors); probing the top-4 cells
+    // recovers the one sitting in query 2's 4th-ranked cell
+    val sf = "/root/testdata/sf0.01"
+    val r = Similarity.queries("s09_ivf_multiprobe")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toList
+    assert(r == List((0L, 1.0), (1L, 1.0), (2L, 0.8), (3L, 1.0), (4L, 1.0)),
+      s"got $r")
+  }
+
   test("dequantMae is bounded by half a quantization step") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

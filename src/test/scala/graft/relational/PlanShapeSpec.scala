@@ -147,6 +147,29 @@ class PlanShapeSpec extends SparkSuite {
       s"the single-partition window must run over bucket totals only, got: $serial")
   }
 
+  test("d12: semantic dedup pairs within a cell via equi-join, centroids broadcast") {
+    val p = plan("d12_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "within-cell pairing must equi-join on cell")
+    // the only nested-loop joins are the broadcast-of-8-centroids scoring
+    // passes (s03's shape); the PAIR join must be keyed on cell
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "pair generation must be an equi-join on cell, not a nested loop")
+    assert(p.contains("Broadcast"), "centroid set must broadcast to the assignment scan")
+  }
+
+  test("d13: chunk dedup census never joins — chunking is narrow, census is window+agg") {
+    val p = plan("d13_chunk_dedup")
+    assert(!p.contains("Join"), "per-hash doc counts must come from partial agg + window, not a self-join")
+    assert(p.contains("partial"), "the (hash, source) rollup must partial-aggregate map-side")
+    assert(p.contains("Window"))
+  }
+
+  test("s09: multiprobe IVF broadcasts the probe list; corpus side equi-joins on cell") {
+    val p = plan("s09_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast to the corpus scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
