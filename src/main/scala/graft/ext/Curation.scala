@@ -96,6 +96,39 @@ object Curation {
         .orderBy($"train_id")
     },
 
+    // The inverse report of c03: decontamination tells you which TRAIN
+    // docs to drop; this tells you which EVAL items are compromised and
+    // how badly — the per-benchmark-item contamination census a lab runs
+    // before trusting an eval number. Same broadcast-eval-shingles join
+    // as c03 (the 100 TB training side never shuffles); eval items with
+    // zero hits stay in the report via a left join from the eval base —
+    // absence of contamination must be a row, not a missing row.
+    "c08_contamination_report" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val evalBase = docs.filter(isEvalDoc($"doc_id"))
+        .select($"doc_id".as("eval_id"),
+          graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5).as("sarr"))
+        .select($"eval_id", size($"sarr").cast("long").as("n_shingles"), $"sarr")
+      val evalSh = evalBase.select($"eval_id", explode($"sarr").as("s"))
+      val trainSh = docs.filter(!isEvalDoc($"doc_id"))
+        .select($"doc_id".as("train_id"),
+          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5)).as("s"))
+      val hits = trainSh.join(broadcast(evalSh), "s")
+        .groupBy($"eval_id")
+        .agg(countDistinct($"train_id").as("h_train"),
+          countDistinct($"s").as("h_sh"))
+      evalBase.select($"eval_id", $"n_shingles")
+        .join(hits, Seq("eval_id"), "left")
+        .select($"eval_id", $"n_shingles",
+          coalesce($"h_train", lit(0L)).as("n_train_hits"),
+          coalesce($"h_sh", lit(0L)).as("n_hit_shingles"),
+          when($"n_shingles" > 0,
+            round(coalesce($"h_sh", lit(0L)).cast("double") / $"n_shingles".cast("double"), 6))
+            .otherwise(lit(0.0)).as("contamination_rate"))
+        .orderBy($"eval_id")
+    },
+
     // Data mixing with a token budget: derive per-source sampling rates
     // from corpus statistics (equal token share per source within a 50%
     // global budget, capped at 1), then apply them with a SALTED hash
@@ -275,6 +308,32 @@ object Curation {
            |  min(eval_id) AS first_eval_hit
            |FROM tr JOIN ev USING (s)
            |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "c08_contamination_report" ->
+      raw"""WITH sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(w) - 3),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
+           |  WHERE len(w) >= 5),
+           |ev_base AS (SELECT doc_id AS eval_id FROM documents WHERE doc_id % 10 = 0),
+           |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+           |ev_cnt AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY eval_id),
+           |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+           |hits AS (SELECT eval_id, COUNT(DISTINCT train_id) AS h_train,
+           |    COUNT(DISTINCT s) AS h_sh
+           |  FROM tr JOIN ev USING (s) GROUP BY eval_id)
+           |SELECT b.eval_id,
+           |  COALESCE(c.n_shingles, 0) AS n_shingles,
+           |  COALESCE(h.h_train, 0) AS n_train_hits,
+           |  COALESCE(h.h_sh, 0) AS n_hit_shingles,
+           |  CASE WHEN COALESCE(c.n_shingles, 0) > 0
+           |    THEN round(CAST(COALESCE(h.h_sh, 0) AS DOUBLE) / c.n_shingles, 6)
+           |    ELSE 0.0 END AS contamination_rate
+           |FROM ev_base b
+           |LEFT JOIN ev_cnt c USING (eval_id)
+           |LEFT JOIN hits h USING (eval_id)
+           |ORDER BY eval_id""".stripMargin,
 
     "c04_token_budget_mix" ->
       raw"""WITH toks AS (SELECT doc_id, source,

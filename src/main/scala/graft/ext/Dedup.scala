@@ -485,6 +485,43 @@ object Dedup {
         .orderBy($"cell", $"drop_id")
     },
 
+    // Estimator-quality evaluation for the MinHash index: for every LSH
+    // candidate pair, the signature-estimated Jaccard (matching components
+    // / 8) against the exact shingle Jaccard, with the absolute error.
+    // This is the calibration report that justifies a production
+    // signature width / band layout — run it on a sample before fixing
+    // the dedup threshold. Exact verification happens on CANDIDATES ONLY
+    // (d07's discipline): the corpus-wide work is the narrow signature
+    // pass; the exact Jaccard comes from per-doc distinct shingle ARRAYS
+    // (array_intersect — document-local, no shingle explode or shuffle),
+    // joined to the tiny candidate list by doc id. est is k/8 and exact
+    // is an integer ratio, so both engines compute identical doubles.
+    "d14_minhash_calibration" -> { (s, d) =>
+      import s.implicits._
+      val sigs = minhashSigs(s, d)
+      val cand = lshCandidates(sigs)
+      val sigArr = sigs.select($"doc_id",
+        array((0 until 8).map(j => col(s"s$j")): _*).as("sig"))
+      val arrs = shingleArrays(s, d).select($"doc_id", $"sarr")
+      val est = (size(filter(zip_with(col("sa.sig"), col("sb.sig"),
+        (x, y) => x === y), b => b)).cast("double") / 8.0)
+      val inter = size(array_intersect(col("xa.sarr"), col("xb.sarr"))).cast("long")
+      cand
+        .join(sigArr.as("sa"), $"doc_a" === col("sa.doc_id"))
+        .join(sigArr.as("sb"), $"doc_b" === col("sb.doc_id"))
+        .join(arrs.as("xa"), $"doc_a" === col("xa.doc_id"))
+        .join(arrs.as("xb"), $"doc_b" === col("xb.doc_id"))
+        .select($"doc_a", $"doc_b", est.as("est_j"), inter.as("c"),
+          size(col("xa.sarr")).cast("long").as("na"),
+          size(col("xb.sarr")).cast("long").as("nb"))
+        .select($"doc_a", $"doc_b", round($"est_j", 6).as("est_jaccard"),
+          round($"c".cast("double") / ($"na" + $"nb" - $"c"), 6)
+            .as("exact_jaccard"),
+          round(abs($"est_j" - $"c".cast("double") / ($"na" + $"nb" - $"c")), 6)
+            .as("abs_err"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
     // paragraph breaks, so the span unit is the fixed 20-word chunk — the
     // same technique as duplicated-paragraph removal, keyed on md5(chunk).
@@ -690,6 +727,33 @@ object Dedup {
              |SELECT cell, id_b AS drop_id, MIN(id_a) AS keep_id,
              |  round(MAX(cos), 6) AS max_cos
              |FROM hits GROUP BY cell, id_b ORDER BY cell, drop_id""".stripMargin,
+
+      "d14_minhash_calibration" -> {
+        val matchSum = (0 until 8)
+          .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        raw"""WITH $sqlMinhashCtes,
+             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
+             |cntd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+             |  FROM cand
+             |  JOIN shd x ON doc_a = x.doc_id
+             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
+             |  GROUP BY doc_a, doc_b),
+             |pairs AS (SELECT cand.doc_a, cand.doc_b,
+             |    CAST($matchSum AS DOUBLE) / 8.0 AS est_j,
+             |    CAST(COALESCE(cm.c, 0) AS DOUBLE)
+             |      / (cx.n + cy.n - COALESCE(cm.c, 0)) AS exact_j
+             |  FROM cand
+             |  JOIN sigs sa ON cand.doc_a = sa.doc_id
+             |  JOIN sigs sb ON cand.doc_b = sb.doc_id
+             |  JOIN cntd cx ON cand.doc_a = cx.doc_id
+             |  JOIN cntd cy ON cand.doc_b = cy.doc_id
+             |  LEFT JOIN common cm ON cand.doc_a = cm.doc_a AND cand.doc_b = cm.doc_b)
+             |SELECT doc_a, doc_b, round(est_j, 6) AS est_jaccard,
+             |  round(exact_j, 6) AS exact_jaccard,
+             |  round(abs(est_j - exact_j), 6) AS abs_err
+             |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+      },
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

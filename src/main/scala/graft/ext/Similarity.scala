@@ -352,6 +352,45 @@ object Similarity {
         .orderBy($"vec_id")
     },
 
+    // Product quantization (the FAISS PQ compression step): split the
+    // 64-dim vector into M=8 subspaces of 8 dims; per subspace, encode
+    // the nearest of 8 codebook entries (the seed centroids' subvectors —
+    // deterministic for the oracle; production trains per-subspace
+    // k-means with s08's map-side Lloyd shape). Output is the 8-byte PQ
+    // code per vector (64 bytes of doubles → 8 bytes, 64× smaller than
+    // the working type) + reconstruction MSE, where each subspace's
+    // squared error IS its argmin distance — no decode join needed.
+    // Shape: one broadcast of 8 codebook rows, per-(vector, centroid)
+    // subspace distances as in-order folds (engine parity), then a
+    // map-side-combinable min_by per subspace (ties to the lower id) —
+    // a single narrow pass + one 1-row-per-vector aggregation; encodes
+    // 100 TB of vectors scan-bound, like s05.
+    "s10_product_quantization" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"))
+      def d2(m: Int): Column = aggregate(
+        zip_with(slice($"v", m * 8 + 1, 8), slice($"cv", m * 8 + 1, 8),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _)
+      val scored = e.join(broadcast(cents))
+        .select($"vec_id" +: $"cent_id" +:
+          (0 until 8).map(m => d2(m).as(s"d$m")): _*)
+      val aggs = (0 until 8).flatMap { m =>
+        Seq(min_by($"cent_id", struct(col(s"d$m"), $"cent_id")).as(s"c$m"),
+          min(col(s"d$m")).as(s"e$m"))
+      }
+      scored.groupBy($"vec_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select($"vec_id",
+          concat_ws(",", (0 until 8).map(m => col(s"c$m").cast("string")): _*)
+            .as("code_csv"),
+          round((0 until 8).map(m => col(s"e$m")).reduce(_ + _) / 64.0, 6)
+            .as("mse"))
+        .orderBy($"vec_id")
+    },
+
     // ANN quality evaluation — the recall@5 report every approximate
     // index build ends with: per query, how much of the EXACT top-5
     // (s01's brute-force ranking, cut to 5) the bucketed s02 search
@@ -538,6 +577,27 @@ object Similarity {
            |FROM exact x LEFT JOIN approx a
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    "s10_product_quantization" -> {
+      val cs = (0 until 8).map(m => s"MAX(CASE WHEN m = $m THEN cent_id END) AS c$m").mkString(", ")
+      val es = (0 until 8).map(m => s"MAX(CASE WHEN m = $m THEN d2 END) AS e$m").mkString(", ")
+      val codeList = (0 until 8).map(m => s"c$m").mkString(", ")
+      val errSum = (0 until 8).map(m => s"e$m").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |sub AS (SELECT vec_id, cent_id, m,
+           |    list_sum(list_transform(range(1, 9),
+           |      i -> (v[m*8+i] - cv[m*8+i]) * (v[m*8+i] - cv[m*8+i]))) AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |r AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |w AS (SELECT vec_id, $cs, $es FROM r WHERE rn = 1 GROUP BY vec_id)
+           |SELECT vec_id, array_to_string([$codeList], ',') AS code_csv,
+           |  round(($errSum) / 64.0, 6) AS mse
+           |FROM w ORDER BY vec_id""".stripMargin
+    },
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -170,6 +170,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c08: contamination report broadcasts eval shingles; training side never shuffles for the join") {
+    val p = plan("c08_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d14: calibration verifies candidates only — sigs codegen'd, no cartesian") {
+    val p = plan("d14_minhash_calibration")
+    assert(p.contains("minhash_sigs"), "signatures must come from the codegen'd expression")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s10: PQ encode broadcasts the codebook and partial-aggregates the argmin") {
+    val p = plan("s10_product_quantization")
+    assert(p.contains("Broadcast"), "codebook must broadcast")
+    assert(p.contains("partial"), "per-subspace min_by must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
