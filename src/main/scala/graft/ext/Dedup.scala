@@ -113,6 +113,38 @@ object Dedup {
       .filter($"jaccard" >= 0.2)
   }
 
+  /** Multi-index SimHash block pairing (d11's candidate join): 4×8-bit
+    * block keys → multi-index equi-join (pigeonhole: a Hamming ≤ 3 pair
+    * agrees exactly on ≥1 of the 4 blocks) → popcount verify → pair
+    * dedup. `maxBlockMembers` is the HOT-BLOCK CIRCUIT BREAKER for
+    * boilerplate-heavy corpora: a (block, value) bucket whose member
+    * count exceeds the cap is excluded from pairing — its members still
+    * pair through their other three blocks, so only pairs that agree on
+    * NOTHING but the hot block lose recall (the documented trade; the
+    * structural fix remains wider blocks over a wider signature, d08's
+    * 4×16 over 64 bits). The census is ≤ 4×256 rows, so the gate is a
+    * broadcast equi-join — the default `None` keeps d11's exact
+    * oracle-checked plan with zero extra operators. */
+  private[graft] def simhashBlockPairs(
+      sh: DataFrame, maxBlockMembers: Option[Long] = None): DataFrame = {
+    val bandCols = (0 until 4).map(b => struct(
+      lit(b).as("bi"), shiftright(col("sh"), 8 * b).bitwiseAND(255).as("bv")))
+    val bands0 = sh.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("sh"), col("band.bi"), col("band.bv"))
+    val bands = maxBlockMembers.fold(bands0) { cap =>
+      val cool = bands0.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= cap).select(col("bi"), col("bv"))
+      bands0.join(broadcast(cool), Seq("bi", "bv"))
+    }
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
     * 4 bands × 2 rows, integer band keys, equi-join. Sentinel signatures
     * (all Long.MaxValue — docs with no shingles, see [[graft.functions
@@ -408,24 +440,14 @@ object Dedup {
     // already Hamming-filtered — pay the distinct. On skewed corpora a
     // hot block (boilerplate-heavy text) widens: the fix is wider
     // blocks over a wider signature (d08's 4×16 over 64 bits), same
-    // plan shape.
+    // plan shape; [[simhashBlockPairs]]'s maxBlockMembers cap is the
+    // runtime circuit breaker (adversarially tested in DedupSpec).
     "d11_dedup_simhash_blocks" -> { (s, d) =>
       import s.implicits._
       val sh = Tables.documents(s, d)
         .select($"doc_id",
           graft.functions.SimHashMd5(split(trim($"text"), Tok.Ws)).as("sh"))
-      val bandCols = (0 until 4).map(b => struct(
-        lit(b).as("bi"), shiftright($"sh", 8 * b).bitwiseAND(255).as("bv")))
-      val bands = sh.select($"doc_id", $"sh", explode(array(bandCols: _*)).as("band"))
-        .select($"doc_id", $"sh", $"band.bi", $"band.bv")
-      bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-        .filter($"hamming" <= 3)
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
+      simhashBlockPairs(sh).orderBy($"doc_a", $"doc_b")
     },
 
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).

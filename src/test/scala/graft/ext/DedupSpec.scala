@@ -80,6 +80,27 @@ class DedupSpec extends SparkSuite {
     assert(out == List((0L, 8L, 0L), (0L, 9L, 0L)), s"got $out")
   }
 
+  test("hot-block circuit breaker: capped block pairing skips the boilerplate bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 identical boilerplate docs (every block value hot) + one
+    // identical pair in its own cool blocks
+    val boiler = "terms of service apply to all users of this site"
+    val other = "completely different unique text body for the cool pair"
+    val rows = (1L to 100L).map(i => (i, boiler)) ++ Seq((101L, other), (102L, other))
+    val sh = rows.toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.SimHashMd5(split(trim($"text"), graft.core.Tok.Ws)).as("sh"))
+    // uncapped: the boilerplate bucket pairs quadratically (100*99/2) + 1
+    val full = Dedup.simhashBlockPairs(sh, None).count()
+    assert(full == 4951L, s"got $full")
+    // capped at 50: all four boilerplate blocks (100 members) are skipped;
+    // only the cool pair survives — bounded work, documented recall trade
+    val capped = Dedup.simhashBlockPairs(sh, Some(50L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)), s"got ${capped.toList.sorted}")
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()
