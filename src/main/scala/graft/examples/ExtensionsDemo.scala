@@ -22,6 +22,17 @@ object ExtensionsDemo {
     println(s"upper_camel -> ${row.getString(0)}, dot_product -> ${row.getDouble(1)}")
     assert(row.getString(0) == "MyEventNameX")
     assert(row.getDouble(1) == 32.0)
+    // the full expression surface is SQL-callable through the extension
+    val row2 = spark.sql(
+      """SELECT shingle_arr(array('a', 'b', 'c', 'd'), 3) AS sh,
+        |       minhash_sigs(array('a b c', 'b c d')) AS sig,
+        |       simhash_md5(array('a', 'b')) AS h32,
+        |       simhash_md5_64(array('a', 'b')) AS h64,
+        |       simhash64(array('a', 'b')) AS hx""".stripMargin)
+      .head()
+    assert(row2.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row2.getSeq[Long](1).length == 8)
+    assert(!row2.isNullAt(2) && !row2.isNullAt(3) && !row2.isNullAt(4))
     println("extensions OK")
     spark.stop()
   }

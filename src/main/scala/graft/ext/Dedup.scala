@@ -113,6 +113,25 @@ object Dedup {
       .filter($"jaccard" >= 0.2)
   }
 
+  /** md5 hashes of fixed 20-word chunks per doc: (doc_id, source, h).
+    * NARROW — `slice` over the per-row token array, no
+    * groupBy-over-exploded-words; the span unit of d13's dedup census and
+    * d15's cross-source overlap matrix (the corpus has no paragraph
+    * breaks, so the fixed chunk stands in for the paragraph). */
+  private def chunkHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunkWords = 20
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"source",
+        explode(transform(
+          sequence(lit(0L), ceil(size($"ws") / lit(chunkWords.toDouble)).cast("long") - 1),
+          i => md5(concat_ws(" ",
+            slice($"ws", (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
+          .as("h"))
+  }
+
   /** Multi-index SimHash block pairing (d11's candidate join): 4×8-bit
     * block keys → multi-index equi-join (pigeonhole: a Hamming ≤ 3 pair
     * agrees exactly on ≥1 of the 4 blocks) → popcount verify → pair
@@ -450,6 +469,29 @@ object Dedup {
       simhashBlockPairs(sh).orderBy($"doc_a", $"doc_b")
     },
 
+    // Cross-source duplicated-span overlap matrix — the PROVENANCE report
+    // a multi-source corpus build ends with: which pairs of sources carry
+    // the same verbatim 20-word spans, how many distinct spans, and how
+    // many cross-source doc pairs that implies (mirror sites, syndicated
+    // boilerplate, double-licensed dumps). Work rides on the REDUCED
+    // (chunk-hash, source) table — one partial-aggregated shuffle of
+    // 16-byte hashes — and the self-join is an equi-join on the hash
+    // whose per-key width is bounded by the SOURCE count, never the
+    // corpus: a span duplicated a billion times still contributes one
+    // row per source. Exact integer doc counts make doc_pairs exact.
+    "d15_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      val fs = chunkHashes(s, d)
+        .groupBy($"h", $"source").agg(countDistinct($"doc_id").as("nd"))
+      fs.as("a").join(fs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          (col("a.nd") * col("b.nd")).as("dp"))
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("shared_chunks"), sum($"dp").as("doc_pairs"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._
@@ -487,6 +529,10 @@ object Dedup {
       val cents = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
       // same map-side-combinable argmax assignment as s03 (see there)
+      // persisted: both sides of the pair self-join consume it, and the
+      // plan otherwise re-scores the full corpus twice (no ReusedExchange
+      // across the differently-projected join sides) — the production
+      // layout writes the cell assignment once, then pairs against it
       val assigned = e.join(broadcast(cents))
         .select($"vec_id", $"v", $"nrm", $"cent_id",
           Similarity.cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
@@ -495,6 +541,7 @@ object Dedup {
           struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
         .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
           $"b.cent_id".as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cos = Similarity.cosineWithNorms(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
       assigned.as("a").join(assigned.as("b"),
@@ -556,16 +603,7 @@ object Dedup {
     "d13_chunk_dedup" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val chunkWords = 20
-      val w = Tables.documents(s, d)
-        .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("ws"))
-        .filter(size($"ws") > 0)
-      val ch = w.select($"doc_id", $"source",
-        explode(transform(
-          sequence(lit(0L), ceil(size($"ws") / lit(chunkWords.toDouble)).cast("long") - 1),
-          i => md5(concat_ws(" ",
-            slice($"ws", (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
-          .as("h"))
+      val ch = chunkHashes(s, d)
       // doc_id is unique across sources, so the per-hash distinct-doc count
       // is the SUM of per-(hash, source) distinct counts — lets the heavy
       // first shuffle carry pre-aggregated rows instead of every instance
@@ -776,6 +814,20 @@ object Dedup {
              |  round(abs(est_j - exact_j), 6) AS abs_err
              |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      "d15_source_overlap" ->
+        raw"""WITH w AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '[${Tok.WsChars}]+') AS ws FROM documents),
+             |ch AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT)),
+             |      i -> md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')))) AS h
+             |  FROM w WHERE len(ws) > 0),
+             |fs AS (SELECT h, source, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h, source)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  COUNT(*) AS shared_chunks,
+             |  CAST(SUM(a.nd * b.nd) AS BIGINT) AS doc_pairs
+             |FROM fs a JOIN fs b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

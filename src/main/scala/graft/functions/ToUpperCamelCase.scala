@@ -102,5 +102,16 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimHashMd5(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5_64", exprs => SimHashMd564(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_arr", exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          ShingleArr(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"shingle_arr width must be an integer literal, got $other")
+      }, "scala_udf")
   }
 }

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64, ToUpperCamelCase}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{DotProduct, MinHashSigs, ShingleArr, SimHash64,
+  SimHashMd5, SimHashMd564, ToUpperCamelCase}
 
 /** Session-extension wiring for graft's custom Catalyst expressions, so a
   * deployment can enable them cluster-wide without touching code:
@@ -36,5 +39,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimHashMd5(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_md5_64"),
+      new ExpressionInfo(classOf[SimHashMd564].getName, "simhash_md5_64"),
+      (exprs: Seq[Expression]) => SimHashMd564(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_arr"),
+      new ExpressionInfo(classOf[ShingleArr].getName, "shingle_arr"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        // the shingle width is part of the generated code, so it must be
+        // a literal — `shingle_arr(words, 3)`
+        case Literal(n: Int, _) => ShingleArr(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"shingle_arr width must be an integer literal, got $other")
+      }))
   }
 }

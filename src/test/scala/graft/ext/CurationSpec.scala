@@ -27,6 +27,31 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c08: short eval docs stay in the report with zero shingles and rate 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c08").toString
+    // doc 10: eval, 3 words — below the 5-gram width, zero shingles;
+    // doc 20: eval, contaminated verbatim by train doc 21;
+    // doc 30: eval, clean
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (10L, "too few words", "en", "s"),
+      (20L, evalText, "en", "s"),
+      (21L, evalText, "en", "s"),
+      (30L, "iota kappa lambda mu nu xi omicron pi rho", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.queries("c08_contamination_report")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toList
+    assert(rows == List(
+      (10L, 0L, 0L, 0L, 0.0),          // zero-shingle doc is a ROW, not absent
+      (20L, 4L, 1L, 4L, 1.0),          // fully contaminated: every 5-gram hit
+      (30L, 5L, 0L, 0L, 0.0)), s"got $rows")
+  }
+
   test("c02: split census covers every doc exactly once, ~80/10/10") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val census = Curation.queries("c02_hash_split")(spark, "/root/testdata/sf0.01")

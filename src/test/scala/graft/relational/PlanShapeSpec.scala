@@ -151,8 +151,10 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("d12_semantic_dedup")
     assert(!p.contains("CartesianProduct"), "within-cell pairing must equi-join on cell")
     // the only nested-loop joins are the broadcast-of-8-centroids scoring
-    // passes (s03's shape); the PAIR join must be keyed on cell
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+    // passes (s03's shape); the PAIR join must be keyed on cell — any
+    // hash/merge equi-join qualifies (with the assignment persisted, AQE
+    // broadcasts the small cached side at test scale)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
       "pair generation must be an equi-join on cell, not a nested loop")
     assert(p.contains("Broadcast"), "centroid set must broadcast to the assignment scan")
   }
@@ -181,6 +183,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("minhash_sigs"), "signatures must come from the codegen'd expression")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d15: overlap matrix self-joins the reduced (hash, source) table, never raw chunks") {
+    val p = plan("d15_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial"), "the (hash, source) rollup must partial-aggregate map-side")
   }
 
   test("s10: PQ encode broadcasts the codebook and partial-aggregates the argmin") {

@@ -86,6 +86,33 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming sessions ${streamed.size} vs batch sessions ${batch.size}")
   }
 
+  test("streaming incremental exact dedup admits one representative per batch-d01 group") {
+    // the arriving-corpus form of d01: dropDuplicates on the 16-byte text
+    // fingerprint keyed state — the distinct-fingerprint SET must equal
+    // the batch census exactly, with exactly one surviving row per group
+    // (which doc survives is arrival-order-dependent, unlike batch d01's
+    // deterministic min-id representative — the documented delta)
+    val batch = graft.ext.Dedup.queries("d01_dedup_exact")(spark, sf)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-dedup").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val deduped = spark.readStream.schema(schema).parquet(docsDir)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .dropDuplicates("fp")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("parity_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_dedup did not finish within 120 s")
+    val streamed = spark.table("parity_dedup").collect().map(_.getString(0))
+    assert(streamed.length == streamed.toSet.size, "a fingerprint surfaced twice")
+    assert(streamed.toSet == batch,
+      s"streaming kept ${streamed.length} fingerprints vs batch ${batch.size}")
+  }
+
   test("curation hash gates are streaming-safe: c01 selection equals batch") {
     // narrow per-row hash gates (sampling, split assignment) run unchanged
     // on a stream — no state, no watermark, selection identical to batch
