@@ -648,6 +648,25 @@ object RelationalQueries {
         .orderBy($"window_start", $"event_type")
     },
 
+    // The inverse of q23's pivot: UNPIVOT (melt) — wide measure columns
+    // to long (measure, value) rows, then a grouped rollup per measure.
+    // Dataset.unpivot plans as an Expand (q12/q22's machinery) fused into
+    // the scan stage, and the per-(flag, measure) aggregation partial-
+    // aggregates map-side — the 3×-expanded long form is never shuffled,
+    // only 9 groups are. Decimal-exact sums per the engine parity rules.
+    "q42_unpivot_measures" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_discount")
+        .unpivot(Array($"l_returnflag"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "measure", "val")
+        .groupBy($"l_returnflag", $"measure")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2($"val")), 2).cast("double").as("total"))
+        .orderBy($"l_returnflag", $"measure")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1052,6 +1071,15 @@ object RelationalQueries {
          |SELECT window_start, event_type, COUNT(*) AS n,
          |  ${sDSum(sDec2("value"))} AS total_value
          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q42_unpivot_measures" ->
+      s"""WITH u AS (
+         |  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+         |           FROM lineitem)
+         |  ON l_quantity, l_extendedprice, l_discount INTO NAME measure VALUE val)
+         |SELECT l_returnflag, measure, COUNT(*) AS n,
+         |  ${sDSum(sDec2("val"))} AS total
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,
