@@ -667,6 +667,26 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"measure")
     },
 
+    // VALUE-based RANGE frame (q29 is the interval variant): per order,
+    // how many of the same customer's orders fall within ±$500 of its
+    // price, and their exact total. The frame key is integer CENTS
+    // (round(price*100) — identical doubles→long in both engines), so
+    // the frame arithmetic is exact and tie order is irrelevant: RANGE
+    // frames include ALL peers of a boundary value by definition, which
+    // makes this deterministic where a ROWS frame would not be.
+    "q43_price_band_frame" -> { (s, d) =>
+      import s.implicits._
+      val cents = round($"o_totalprice" * 100).cast("long")
+      val w = Window.partitionBy($"o_custkey").orderBy($"cents")
+        .rangeBetween(-50000L, 50000L)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", cents.as("cents"))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          count(lit(1)).over(w).as("n_similar"),
+          round(sum(dec2($"o_totalprice")).over(w), 2).cast("double").as("band_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1080,6 +1100,16 @@ object RelationalQueries {
          |SELECT l_returnflag, measure, COUNT(*) AS n,
          |  ${sDSum(sDec2("val"))} AS total
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q43_price_band_frame" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  COUNT(*) OVER w AS n_similar,
+         |  CAST(round(SUM(${sDec2("o_totalprice")}) OVER w, 2) AS DOUBLE) AS band_total
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+         |  RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,
