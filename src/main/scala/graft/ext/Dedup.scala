@@ -297,24 +297,14 @@ object Dedup {
     // blocked by lang.
     "d04_dedup_simhash" -> { (s, d) =>
       import s.implicits._
-      // the 16 per-digit tests read NIBBLES of two conv()'d longs instead
-      // of doing 16 substring+isin string probes per word — same predicate
-      // (hex digit >= 8 ⇔ bit 3 of its nibble), 2 string ops per word
-      val hx = Tables.documents(s, d)
-        .select($"doc_id", $"lang", explode(split(trim($"text"), Tok.Ws)).as("w"))
-        .withColumn("hx", substring(md5($"w".cast("binary")), 1, 16))
-        .withColumn("hi", conv(substring($"hx", 1, 8), 16, 10).cast("long"))
-        .withColumn("lo", conv(substring($"hx", 9, 8), 16, 10).cast("long"))
-      def highBit(dd: Int): Column =
-        if (dd < 8) shiftright($"hi", (7 - dd) * 4).bitwiseAND(8)
-        else shiftright($"lo", (15 - dd) * 4).bitwiseAND(8)
-      val vAggs = (0 until 16).map(dd =>
-        sum(when(highBit(dd) =!= 0, 1).otherwise(-1)).as(s"v$dd"))
-      val v = hx.groupBy($"doc_id", $"lang").agg(vAggs.head, vAggs.tail: _*)
-      val simhash = (0 until 16)
-        .map(dd => when(col(s"v$dd") > 0, lit(1L << dd)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sh = v.select($"doc_id", $"lang", simhash.as("simhash"))
+      // one codegen'd narrow pass per doc (graft.functions.SimHashMd516)
+      // — value-identical to the former explode → 16 conditional sums →
+      // bit-recombine pipeline (and to the unchanged DuckDB oracle), but
+      // the signature fuses into the scan: no word explode, no 16-sum
+      // groupBy shuffle (the d08/d11 treatment applied at 16-bit width)
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          graft.functions.SimHashMd516(split(trim($"text"), Tok.Ws)).as("simhash"))
       // Value-space Hamming search: a 16-bit simhash has at most 2^16
       // distinct values, and in practice far fewer than there are docs —
       // so pair up the distinct (lang, value)s first (tiny quadratic,

@@ -89,6 +89,42 @@ object SimHashMd564 {
   def apply(c: Column): Column = GraftShims.column(SimHashMd564(GraftShims.expression(c)))
 }
 
+/** 16-bit md5-derived SimHash over a token array — d04's relational
+  * formula (feature d = HIGH BIT of hex digit d of md5(word), d < 16;
+  * signature bit d set iff the +1/-1 accumulator is positive) as one
+  * codegen'd narrow pass. Value-identical to the explode → 16
+  * conditional sums → bit-recombine pipeline and to its DuckDB twin
+  * (`strpos('89abcdef', substr(md5(w), d+1, 1)) > 0`), but with no word
+  * explode and no 16-sum groupBy shuffle.
+  *
+  * Null array → null; null tokens are skipped; empty array → 0L.
+  */
+case class SimHashMd516(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5_16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.compute16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5$$.MODULE$$.compute16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd516 =
+    copy(child = newChild)
+}
+
+object SimHashMd516 {
+  import org.apache.spark.sql.GraftShims
+  def apply(c: Column): Column = GraftShims.column(SimHashMd516(GraftShims.expression(c)))
+}
+
 object SimHashMd5 {
   // one digest per thread — codegen calls this per row; no per-row churn
   private val digest = new ThreadLocal[MessageDigest] {
@@ -122,6 +158,39 @@ object SimHashMd5 {
     while (b < 32) {
       if (v(b) > 0) sig |= (1L << b)
       b += 1
+    }
+    sig
+  }
+
+  /** [[SimHashMd516]]'s kernel: feature d = high bit of HEX DIGIT d of
+    * md5(token) — the high nibble of byte d/2 for even d, the low nibble
+    * for odd d ("digit ≥ 8" ⇔ nibble bit 3 set). */
+  def compute16(tokens: ArrayData): Long = {
+    val v = new Array[Int](16)
+    val n = tokens.numElements()
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val dg = md.digest()
+        var dd = 0
+        while (dd < 16) {
+          val nib =
+            if ((dd & 1) == 0) (dg(dd >> 1) >>> 4) & 0xf
+            else dg(dd >> 1) & 0xf
+          if ((nib & 8) != 0) v(dd) += 1 else v(dd) -= 1
+          dd += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var dd = 0
+    while (dd < 16) {
+      if (v(dd) > 0) sig |= (1L << dd)
+      dd += 1
     }
     sig
   }

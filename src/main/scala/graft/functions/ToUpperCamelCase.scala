@@ -107,6 +107,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_md5_64", exprs => SimHashMd564(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5_16", exprs => SimHashMd516(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_arr", exprs => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
           ShingleArr(exprs.head, n)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 import graft.functions.{DotProduct, MinHashSigs, ShingleArr, SimHash64,
-  SimHashMd5, SimHashMd564, ToUpperCamelCase}
+  SimHashMd5, SimHashMd516, SimHashMd564, ToUpperCamelCase}
 
 /** Session-extension wiring for graft's custom Catalyst expressions, so a
   * deployment can enable them cluster-wide without touching code:
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_md5_64"),
       new ExpressionInfo(classOf[SimHashMd564].getName, "simhash_md5_64"),
       (exprs: Seq[Expression]) => SimHashMd564(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_md5_16"),
+      new ExpressionInfo(classOf[SimHashMd516].getName, "simhash_md5_16"),
+      (exprs: Seq[Expression]) => SimHashMd516(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),

@@ -47,6 +47,8 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("d04_dedup_simhash")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("simhash_md5_16"),
+      "signatures must come from the codegen'd expression, not a word explode")
   }
 
   test("q36: as-of join is a keyed join + window, no cartesian/BNLJ") {
