@@ -32,6 +32,45 @@ object TextAnalysis {
     // 100 TB the pair space is tiny (≤ alphabet²) so the shuffle moves
     // partial counts, never text; further merge rounds re-run the same
     // shape over re-segmented words.
+    // KMV (k-minimum-values / bottom-k) distinct sketch WITH its own
+    // calibration row: estimate each source's distinct 3-gram shingle
+    // count from only the k=64 smallest 28-bit md5 shingle hashes —
+    // est = (k-1) * 2^28 / h_k. Unlike q20's HLL (engine-specific binary
+    // sketch, rows-only check), KMV is DETERMINISTIC and exactly
+    // oracle-checkable: both engines pick the same k-th order statistic
+    // of the same integer hashes and divide the same doubles. Scale
+    // shape: the sketch is the two-phase salted bottom-k (TopK.perKey
+    // ascending) over DISTINCT (source, hash) — per-source state is k
+    // values no matter the corpus, the mergeable-sketch property that
+    // makes KMV a distributed-systems staple. The exact countDistinct
+    // rides along per source to report the realized relative error.
+    "t09_kmv_distinct" -> { (s, d) =>
+      import s.implicits._
+      val k = 64
+      val sg = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .filter(size($"w") >= 3)
+        .select($"source", explode(expr(
+          """transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |    element_at(w, i + 2)))""".stripMargin)).as("sg"))
+      val dh = sg
+        .select($"source",
+          conv(substring(md5($"sg".cast("binary")), 1, 7), 16, 10).cast("long").as("h"))
+        .distinct()
+      val kth = graft.operators.TopK.perKey(dh, $"source", Seq($"h"), k, saltFrom = $"h")
+        .groupBy($"source").agg(max($"h").as("hk"), count(lit(1)).as("n_obs"))
+      val exact = sg.groupBy($"source").agg(countDistinct($"sg").as("n_exact"))
+      val est = when($"n_obs" < k, $"n_obs".cast("double"))
+        .otherwise(lit((k - 1).toDouble * (1L << 28).toDouble) / $"hk".cast("double"))
+      exact.join(kth, "source")
+        .select($"source", $"n_exact", $"n_obs",
+          round(est, 4).as("kmv_estimate"),
+          round(abs(est - $"n_exact".cast("double")) / $"n_exact".cast("double"), 6)
+            .as("rel_error"))
+        .orderBy($"source")
+    },
+
     "t05_bpe_pair_counts" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -232,6 +271,24 @@ object TextAnalysis {
            |  COUNT(*) FILTER (NOT inv) AS n_oov,
            |  round(CAST(COUNT(*) FILTER (NOT inv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
            |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "t09_kmv_distinct" ->
+      raw"""WITH w AS (SELECT source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |sg AS (SELECT source,
+           |    unnest(list_transform(range(1, len(w) - 1),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sg
+           |  FROM w WHERE len(w) >= 3),
+           |dh AS (SELECT DISTINCT source, ('0x' || substr(md5(sg), 1, 7))::BIGINT AS h FROM sg),
+           |r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+           |kth AS (SELECT source, MAX(h) AS hk, COUNT(*) AS n_obs FROM r WHERE rn <= 64 GROUP BY source),
+           |ex AS (SELECT source, COUNT(DISTINCT sg) AS n_exact FROM sg GROUP BY source),
+           |j AS (SELECT ex.source, n_exact, n_obs,
+           |    CASE WHEN n_obs < 64 THEN CAST(n_obs AS DOUBLE)
+           |         ELSE 63.0 * 268435456.0 / CAST(hk AS DOUBLE) END AS est
+           |  FROM ex JOIN kth ON ex.source = kth.source)
+           |SELECT source, n_exact, n_obs, round(est, 4) AS kmv_estimate,
+           |  round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error
+           |FROM j ORDER BY source""".stripMargin,
 
     "t05_bpe_pair_counts" ->
       raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
