@@ -47,20 +47,22 @@ object TextAnalysis {
     "t09_kmv_distinct" -> { (s, d) =>
       import s.implicits._
       val k = 64
-      val sg = Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), Tok.Ws))
-        .filter(size($"w") >= 3)
-        .select($"source", explode(expr(
-          """transform(sequence(1, size(w) - 2),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-            |    element_at(w, i + 2)))""".stripMargin)).as("sg"))
-      val dh = sg
+      // ShingleArr's doc-local distinct arrays shrink the explode BEFORE
+      // the cross-doc distinct shuffle; the one distinct (source, shingle)
+      // set then feeds BOTH the exact census and the sketch, persisted so
+      // neither side replays the corpus scan
+      val dsg = Tables.documents(s, d)
+        .select($"source",
+          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dh = dsg
         .select($"source",
           conv(substring(md5($"sg".cast("binary")), 1, 7), 16, 10).cast("long").as("h"))
         .distinct()
       val kth = graft.operators.TopK.perKey(dh, $"source", Seq($"h"), k, saltFrom = $"h")
         .groupBy($"source").agg(max($"h").as("hk"), count(lit(1)).as("n_obs"))
-      val exact = sg.groupBy($"source").agg(countDistinct($"sg").as("n_exact"))
+      val exact = dsg.groupBy($"source").agg(count(lit(1)).as("n_exact"))
       val est = when($"n_obs" < k, $"n_obs".cast("double"))
         .otherwise(lit((k - 1).toDouble * (1L << 28).toDouble) / $"hk".cast("double"))
       exact.join(kth, "source")
