@@ -80,8 +80,18 @@ object Bench {
       val w = new java.io.PrintWriter(outPath); try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
-    // printed LAST, after spark.stop(), so shutdown logging can't land
-    // between the JSON and end-of-output and eat the tail budget
+    // printed after spark.stop(), so shutdown logging can't land between
+    // the JSON and end-of-output and eat the tail budget
     println(json)
+    // The driver's tail capture keeps only the END of output and has
+    // truncated the ~2.4 KB full line's head in every round so far
+    // ("parsed": null in BENCH_r01..r06). A second, ~100-byte summary —
+    // headline fields only, no per-query map — printed LAST survives any
+    // tail budget; the durable file above still carries the full detail.
+    // "tainted" marks a pre-run 1-min load average high enough (> 1.5 on
+    // this 32-cpu box) that residual load inflates the total ~1.5x, so
+    // polluted driver snapshots are machine-detectable.
+    val tainted = loadAvg > 1.5
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"tainted":$tainted,"sf":"$sfDir"}""")
   }
 }
