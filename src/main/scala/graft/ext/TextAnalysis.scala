@@ -48,21 +48,31 @@ object TextAnalysis {
       import s.implicits._
       val k = 64
       // ShingleArr's doc-local distinct arrays shrink the explode BEFORE
-      // the cross-doc distinct shuffle; the one distinct (source, shingle)
-      // set then feeds BOTH the exact census and the sketch, persisted so
-      // neither side replays the corpus scan
-      val dsg = Tables.documents(s, d)
+      // the cross-doc distinct shuffle — and the shingle is hashed to a
+      // 60-bit integer (top 15 hex chars of md5) IN THE SCAN STAGE, so the
+      // one corpus-wide distinct exchanges fixed 8-byte keys, never raw
+      // 3-gram text (real-corpus shingles run 20+ UTF-8 bytes; at 100 TB
+      // the difference between an int shuffle and a text shuffle is the
+      // whole game). 60 bits keeps distinct-count fidelity (collision odds
+      // ~n²/2^61) and parity is by construction: DuckDB distincts the SAME
+      // truncated integer. The distinct (source, m) set feeds BOTH the
+      // exact census and the sketch, persisted so neither side replays the
+      // corpus scan; the sketch's 28-bit prefix is just m >> 32 (top 7 hex
+      // chars), so its distinct runs over the already-deduped set
+      // (|distinct shingles| rows, not |corpus|) with no second hash pass.
+      val dm = Tables.documents(s, d)
         .select($"source",
           explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
+        .select($"source",
+          conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dh = dsg
-        .select($"source",
-          conv(substring(md5($"sg".cast("binary")), 1, 7), 16, 10).cast("long").as("h"))
+      val dh = dm
+        .select($"source", shiftright($"m", 32).as("h"))
         .distinct()
       val kth = graft.operators.TopK.perKey(dh, $"source", Seq($"h"), k, saltFrom = $"h")
         .groupBy($"source").agg(max($"h").as("hk"), count(lit(1)).as("n_obs"))
-      val exact = dsg.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+      val exact = dm.groupBy($"source").agg(count(lit(1)).as("n_exact"))
       val est = when($"n_obs" < k, $"n_obs".cast("double"))
         .otherwise(lit((k - 1).toDouble * (1L << 28).toDouble) / $"hk".cast("double"))
       exact.join(kth, "source")
@@ -280,10 +290,11 @@ object TextAnalysis {
            |    unnest(list_transform(range(1, len(w) - 1),
            |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sg
            |  FROM w WHERE len(w) >= 3),
-           |dh AS (SELECT DISTINCT source, ('0x' || substr(md5(sg), 1, 7))::BIGINT AS h FROM sg),
+           |dm AS (SELECT DISTINCT source, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS m FROM sg),
+           |dh AS (SELECT DISTINCT source, m >> 32 AS h FROM dm),
            |r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
            |kth AS (SELECT source, MAX(h) AS hk, COUNT(*) AS n_obs FROM r WHERE rn <= 64 GROUP BY source),
-           |ex AS (SELECT source, COUNT(DISTINCT sg) AS n_exact FROM sg GROUP BY source),
+           |ex AS (SELECT source, COUNT(*) AS n_exact FROM dm GROUP BY source),
            |j AS (SELECT ex.source, n_exact, n_obs,
            |    CASE WHEN n_obs < 64 THEN CAST(n_obs AS DOUBLE)
            |         ELSE 63.0 * 268435456.0 / CAST(hk AS DOUBLE) END AS est
