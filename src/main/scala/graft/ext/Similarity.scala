@@ -391,6 +391,71 @@ object Similarity {
         .orderBy($"vec_id")
     },
 
+    // IVF-PQ asymmetric-distance (ADC) search — the step that makes s10's
+    // codes USEFUL (FAISS's IndexPQ search): the query stays uncompressed,
+    // and its distance to any corpus vector is approximated from the PQ
+    // code alone by summing, per subspace, a PRECOMPUTED distance-table
+    // entry — 8 array lookups + 7 adds per candidate instead of a 64-dim
+    // dot product, and the corpus vectors themselves are never read after
+    // encoding. Shape: the codebook is ONE broadcast row (8 centroids), so
+    // corpus PQ encoding is a pure per-row map (argmin by first-match
+    // position — s10's (d2, cent_id) tie rule — ZERO shuffle); each of the
+    // 5 queries carries its flat 64-entry table (index m*8+c, built from
+    // the same broadcast codebook); scoring joins the broadcast query side
+    // only; ranking is the two-phase salted top-k. At 100 TB the table
+    // build costs queries×64 entries (trivial), the corpus pass reads
+    // 8-byte codes instead of 512-byte vectors — the 64× scan shrink IS
+    // the ADC payoff — and nothing ever decode-joins codes back to
+    // vectors. Recall@5 vs s01's exact ranking rides along like s07/s09
+    // (measured at sf0.01: mean 0.32 — 8 subspaces × 8 centroids is a
+    // deliberately tiny codebook on near-uniform synthetic vectors;
+    // production uses 256-entry codebooks trained with s08's Lloyd shape).
+    "s11_pq_adc_search" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      // one-row broadcast codebook: the 8 seed centroids ordered by id
+      val cb = e.filter($"vec_id" < 8)
+        .agg(transform(
+          sort_array(collect_list(struct($"vec_id".as("cent_id"), $"v".as("cv")))),
+          c => c("cv")).as("cb"))
+      def subv(v: Column, m: Column): Column = slice(v, m * lit(8) + lit(1), lit(8))
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      // distances from v's m-th subvector to each of the 8 codebook
+      // entries — in-order folds, bit-identical to the s10/DuckDB pattern
+      def dists(v: Column, m: Column): Column =
+        transform(sequence(lit(0), lit(7)),
+          c => d2(subv(v, m), subv(element_at($"cb", c + 1), m)))
+      val enc = e.crossJoin(broadcast(cb))
+        .select($"vec_id", transform(sequence(lit(0), lit(7)), m => {
+          val ds = dists($"v", m)
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        }).as("code"))
+      val qt = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
+        .select($"vec_id".as("query_id"),
+          flatten(transform(sequence(lit(0), lit(7)), m => dists($"v", m))).as("tq"))
+      // ADC: in-order fold over subspaces of table lookups on the code
+      val cand = enc.join(broadcast(qt), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(7)), lit(0.0),
+            (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
+            .as("adc"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"adc", $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      // approx is ≤ queries×5 rows — broadcast it so the recall join never
+      // plans a sort-merge exchange of the exact side
+      exact.join(broadcast(approx),
+          $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+
     // ANN quality evaluation — the recall@5 report every approximate
     // index build ends with: per query, how much of the EXACT top-5
     // (s01's brute-force ranking, cut to 5) the bucketed s02 search
@@ -598,6 +663,43 @@ object Similarity {
            |  round(($errSum) / 64.0, 6) AS mse
            |FROM w ORDER BY vec_id""".stripMargin
     },
+
+    "s11_pq_adc_search" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |sub AS (SELECT vec_id, cent_id, m,
+           |    list_sum(list_transform(range(1, 9),
+           |      i -> (v[m*8+i] - cv[m*8+i]) * (v[m*8+i] - cv[m*8+i]))) AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |r AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM r WHERE rn = 1 GROUP BY vec_id),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE $SqlQueryPred GROUP BY vec_id),
+           |sc AS (SELECT query_id, vec_id,
+           |    list_sum(list_transform(range(0, 8),
+           |      m -> tq[(m*8 + code[m+1] + 1)::INT])) AS adc
+           |  FROM (SELECT t.query_id, c.vec_id, t.tq, c.code
+           |        FROM codes c CROSS JOIN tqf t WHERE c.vec_id <> t.query_id)),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

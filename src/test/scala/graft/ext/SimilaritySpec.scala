@@ -41,6 +41,23 @@ class SimilaritySpec extends SparkSuite {
       s"got $r")
   }
 
+  test("s11: ADC ranking is internally consistent — hits are a subset of exact top-5") {
+    // recall@5 per query is n_hits/5 with n_hits in [0, 5]; the composed
+    // report must cover every query exactly once
+    val sf = "/root/testdata/sf0.01"
+    val r = Similarity.queries("s11_pq_adc_search")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toList
+    assert(r.map(_._1) == List(0L, 1L, 2L, 3L, 4L))
+    r.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 5, s"query $q n_hits $h out of range")
+      assert(math.abs(rec - h / 5.0) < 1e-9, s"query $q recall $rec != $h/5")
+    }
+    // the 8x8 codebook is tiny, but ADC must still find SOMETHING overall
+    // on 500 vectors — an all-zero recall would mean the table lookup or
+    // code indexing is broken
+    assert(r.map(_._2).sum > 0, s"ADC found no exact neighbors at all: $r")
+  }
+
   test("dequantMae is bounded by half a quantization step") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

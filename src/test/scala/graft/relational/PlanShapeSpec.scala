@@ -201,6 +201,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s11: ADC search broadcasts tables; corpus side is scan-bound, no decode join") {
+    val p = plan("s11_pq_adc_search")
+    assert(p.contains("Broadcast"), "codebook + query tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus is never shuffle-joined: PQ encode is a pure per-row map
+    // over the scan and every join keeps the corpus side streamed against
+    // a broadcast; a SortMergeJoin would mean codes were decode-joined
+    // back to vectors or the corpus was exchanged
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
