@@ -581,6 +581,57 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // Cleaned-corpus MATERIALIZATION — the step every report-producing
+    // dedup operator here feeds: actually emit the transformed corpus.
+    // Two rules compose: (1) d01's exact-doc convention — only the
+    // min-doc_id representative of each md5(text) group survives; (2)
+    // span dedup over d13's 20-word chunk unit — a chunk INSTANCE
+    // survives iff it is the lexicographic-first (doc_id, idx) occurrence
+    // of its hash corpus-wide (Dolma's duplicated-paragraph removal,
+    // keep-first). Output per surviving doc: chunk census + the cleaned
+    // text rebuilt from its surviving chunks.
+    //
+    // Scale shape: the rep set is a map-side-combinable (fp → min doc_id)
+    // agg (16+8-byte partials) semi-joined back on doc_id; the span
+    // winner set is a map-side-combinable min(struct(doc_id, idx)) agg
+    // keyed on the 16-byte chunk hash — text NEVER rides a dedup
+    // shuffle; the only exchange that carries text is the final
+    // doc_id-keyed join that re-slices the kept chunks out of the kept
+    // docs (at 100 TB: one text pass, co-partitioned by doc_id, vs the
+    // instance stream's 28-byte rows).
+    "d16_cleaned_corpus" -> { (s, d) =>
+      import s.implicits._
+      val cw = 20
+      val docs = Tables.documents(s, d)
+      val reps = docs
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("rep_id"))
+      val kept = docs.join(reps, $"doc_id" === $"rep_id", "leftsemi")
+        .select($"doc_id", split(trim($"text"), Tok.Ws).as("ws"))
+        .filter(size($"ws") > 0)
+        .select($"doc_id", transform(
+          sequence(lit(0L), ceil(size($"ws") / lit(cw.toDouble)).cast("long") - 1),
+          i => concat_ws(" ", slice($"ws", (i * cw + 1).cast("int"), lit(cw))))
+          .as("chunks"))
+      val inst = kept
+        .select($"doc_id", posexplode($"chunks").as(Seq("idx", "ctext")))
+        .select($"doc_id", $"idx", md5($"ctext".cast("binary")).as("h"))
+      val winners = inst.groupBy($"h")
+        .agg(min(struct($"doc_id", $"idx")).as("w"))
+        .select($"w.doc_id".as("wdoc"), $"w.idx".as("widx"))
+      val keptIdx = winners.groupBy($"wdoc")
+        .agg(sort_array(collect_list($"widx")).as("ki0"))
+      kept.join(keptIdx, $"doc_id" === $"wdoc", "left")
+        .withColumn("ki", coalesce($"ki0", array().cast("array<int>")))
+        .select($"doc_id",
+          size($"chunks").cast("long").as("n_chunks"),
+          size($"ki").cast("long").as("kept_chunks"),
+          (size($"chunks") - size($"ki")).cast("long").as("n_dropped_chunks"),
+          concat_ws(" ", transform($"ki", i => element_at($"chunks", i + 1)))
+            .as("cleaned_text"))
+        .orderBy($"doc_id")
+    },
+
     // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
     // paragraph breaks, so the span unit is the fixed 20-word chunk — the
     // same technique as duplicated-paragraph removal, keyed on md5(chunk).
@@ -818,6 +869,28 @@ object Dedup {
              |  CAST(SUM(a.nd * b.nd) AS BIGINT) AS doc_pairs
              |FROM fs a JOIN fs b ON a.h = b.h AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "d16_cleaned_corpus" ->
+        raw"""WITH reps AS (SELECT md5(text) AS fp, min(doc_id) AS rep_id
+             |  FROM documents GROUP BY md5(text)),
+             |k2 AS (SELECT d.doc_id,
+             |    string_split_regex(trim(d.text), '[ \t\n\x0B\f\r]+') AS ws
+             |  FROM documents d JOIN reps r ON d.doc_id = r.rep_id
+             |  WHERE len(string_split_regex(trim(d.text), '[ \t\n\x0B\f\r]+')) > 0),
+             |ch AS (SELECT doc_id,
+             |    unnest(list_transform(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT)),
+             |      i -> struct_pack(idx := i,
+             |        ctext := array_to_string(list_slice(ws, (i*20 + 1)::INT, (i*20 + 20)::INT), ' ')))) AS c
+             |  FROM k2),
+             |ci AS (SELECT doc_id, CAST(c.idx AS INTEGER) AS idx, c.ctext AS ctext,
+             |    md5(c.ctext) AS h FROM ch),
+             |rn AS (SELECT doc_id, idx, ctext,
+             |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM ci)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |  COUNT(*) FILTER (rn = 1) AS kept_chunks,
+             |  COUNT(*) FILTER (rn > 1) AS n_dropped_chunks,
+             |  coalesce(string_agg(ctext, ' ' ORDER BY idx) FILTER (rn = 1), '') AS cleaned_text
+             |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

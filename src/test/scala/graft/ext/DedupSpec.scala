@@ -101,6 +101,35 @@ class DedupSpec extends SparkSuite {
     assert(capped == Set((101L, 102L)), s"got ${capped.toList.sorted}")
   }
 
+  test("d16: cleaned corpus reconciles with d13's chunk census and d01's reps") {
+    import org.apache.spark.sql.functions._
+    val d16 = Dedup.queries("d16_cleaned_corpus")(spark, sf).collect()
+    // one output row per d01 representative (at sf0.01 every doc is its
+    // own rep — asserted, so the chunk-total reconciliation below is exact)
+    val d01 = Dedup.queries("d01_dedup_exact")(spark, sf).collect()
+    assert(d16.length == d01.length)
+    assert(d01.forall(_.getLong(1) == 1L), "sf0.01 corpus grew exact dupes")
+    // kept + dropped partitions each doc's chunks, and the totals match
+    // d13's census over the same chunk unit
+    // (a doc CAN keep zero chunks — every one of its spans first occurred
+    // in an earlier doc; that full-drop is the operator's point)
+    d16.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    val d13 = Dedup.queries("d13_chunk_dedup")(spark, sf).collect()
+    assert(d16.map(_.getLong(1)).sum == d13.map(_.getLong(1)).sum)
+    // span drops exist iff d13 saw cross-doc duplicate spans (keep-first
+    // drops strictly fewer instances than d13 flags, never more)
+    val dropped = d16.map(_.getLong(3)).sum
+    val flagged = d13.map(_.getLong(2)).sum
+    assert(dropped > 0 == flagged > 0)
+    assert(dropped <= flagged, s"dropped $dropped > flagged $flagged")
+    // the materialized text is exactly the kept chunks: 20 words per kept
+    // chunk except possibly each doc's tail chunk
+    d16.filter(_.getLong(2) > 0).foreach { r =>
+      val words = r.getString(4).split(" ").length.toLong
+      assert(words <= r.getLong(2) * 20 && words > (r.getLong(2) - 1) * 20)
+    }
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()
