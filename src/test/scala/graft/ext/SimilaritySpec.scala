@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSuite {
     assert(r.map(_._2).sum > 0, s"ADC found no exact neighbors at all: $r")
   }
 
+  test("s12: Lloyd rounds converge — centroid movement shrinks every round") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("s12_kmeans_lloyd3")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(7)))
+    assert(rows.length == 24, s"expected 3 rounds x 8 cells, got ${rows.length}")
+    // every round keeps all 500 vectors assigned somewhere
+    (1 to 3).foreach { r =>
+      assert(rows.filter(_._1 == r).map(_._3).sum == 500L, s"round $r lost vectors")
+    }
+    // mean L1 centroid movement strictly decreases round over round
+    val mean = (1 to 3).map(r => rows.filter(_._1 == r).map(_._4).sum / 8.0)
+    assert(mean(0) > mean(1) && mean(1) > mean(2), s"no convergence: $mean")
+  }
+
   test("dequantMae is bounded by half a quantization step") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -212,6 +212,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("s12: 3-round Lloyd never shuffle-joins the vector table; rounds reuse cached cells") {
+    val p = plan("s12_kmeans_lloyd3")
+    // assignment is a per-row map against the one-row broadcast codebook —
+    // a SortMergeJoin anywhere would mean the corpus got exchanged for a
+    // join; the only exchanges allowed carry (cell, dim) fixed-point
+    // partials (hence the partial-aggregate marker)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "fixed-point sums must partial-aggregate map-side")
+    // the 8-row per-cell tables are persisted between rounds — that cache
+    // is what holds the composed plan to one corpus scan per round
+    assert(p.contains("InMemoryTableScan"), "per-round cell tables must be cached")
+    assert(!p.contains("collect_list(v"), "member vectors must never be collected")
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
