@@ -118,17 +118,24 @@ object Dedup {
     * groupBy-over-exploded-words; the span unit of d13's dedup census and
     * d15's cross-source overlap matrix (the corpus has no paragraph
     * breaks, so the fixed chunk stands in for the paragraph). */
-  private def chunkHashes(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def chunkHashes(s: SparkSession, d: String): DataFrame =
+    chunkHashesOf(Tables.documents(s, d))
+
+  /** The chunking transform itself, on an arbitrary `documents`-shaped
+    * DataFrame. Narrow per-row ops only, so it runs UNCHANGED on a
+    * streaming scan — `StreamingParitySpec` composes it with
+    * `dropDuplicatesWithinWatermark` to extend the streaming==batch proof
+    * to the span-dedup family. */
+  private[graft] def chunkHashesOf(docs: DataFrame): DataFrame = {
     val chunkWords = 20
-    Tables.documents(s, d)
-      .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id", $"source",
+    docs
+      .select(col("doc_id"), col("source"), split(trim(col("text")), Tok.Ws).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
         explode(transform(
-          sequence(lit(0L), ceil(size($"ws") / lit(chunkWords.toDouble)).cast("long") - 1),
+          sequence(lit(0L), ceil(size(col("ws")) / lit(chunkWords.toDouble)).cast("long") - 1),
           i => md5(concat_ws(" ",
-            slice($"ws", (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
+            slice(col("ws"), (i * chunkWords + 1).cast("int"), lit(chunkWords))))))
           .as("h"))
   }
 

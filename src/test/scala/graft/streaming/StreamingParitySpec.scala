@@ -113,6 +113,41 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming kept ${streamed.length} fingerprints vs batch ${batch.size}")
   }
 
+  test("streaming span dedup admits one row per batch chunk hash (d13's unit)") {
+    // the arriving-corpus form of the d13/d16 span family: the SAME narrow
+    // chunking transform over a streaming scan, deduped by
+    // dropDuplicatesWithinWatermark on the 16-byte chunk hash — the
+    // surviving hash SET must equal the batch distinct set, with exactly
+    // one surviving row per hash (which instance survives is
+    // arrival-order-dependent, like the d01 streaming twin above)
+    val batch = graft.ext.Dedup.chunkHashesOf(Tables.documents(spark, sf))
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-chunks").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val deduped = graft.ext.Dedup.chunkHashesOf(
+        spark.readStream.schema(schema).parquet(docsDir))
+      // synthesized arrival time (docs carry none): doc_id seconds past a
+      // fixed epoch — spread ≪ the 1 h horizon, so no state evicts and the
+      // stream dedups globally, making batch equality exact
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2026-01-01 00:00:00')"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("h"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("parity_chunks")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_chunks did not finish within 120 s")
+    val streamed = spark.table("parity_chunks").collect().map(_.getString(0))
+    assert(streamed.length == streamed.toSet.size, "a chunk hash surfaced twice")
+    assert(streamed.toSet == batch,
+      s"streaming kept ${streamed.length} chunk hashes vs batch ${batch.size}")
+  }
+
   test("curation hash gates are streaming-safe: c01 selection equals batch") {
     // narrow per-row hash gates (sampling, split assignment) run unchanged
     // on a stream — no state, no watermark, selection identical to batch
