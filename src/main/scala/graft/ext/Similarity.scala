@@ -233,16 +233,42 @@ object Similarity {
     "s12_kmeans_lloyd3" -> { (s, d) =>
       import s.implicits._
       val e = vectors(s, d)
+      // codebook entries carry their squared norm so the per-row pass does
+      // ONE dot product per centroid (cosineWithNorms, like s01/s03)
       val seeds = e.filter($"vec_id" < 8)
+        .select($"vec_id", $"v", dot($"v", $"v").as("cnrm"))
         .agg(sort_array(collect_list(
-          struct($"vec_id".cast("int").as("cell"), $"v".as("cv")))).as("cb"))
+          struct($"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm"))).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one Lloyd round → 8-row (cell, n_members, marr) table
       def step(cb: DataFrame): DataFrame = {
-        val ds = transform($"cb", x => cosine($"v", x.getField("cv")))
-        val cellCol = element_at($"cb", array_position(ds, array_max(ds)).cast("int"))
-          .getField("cell")
-        e.crossJoin(broadcast(cb))
+        // UNROLLED argmax, not a transform() over the codebook: lambdas in
+        // higher-order functions evaluate interpreted (boxed, no codegen),
+        // which measured 3x slower here — 8 explicit codegen'd DotProducts
+        // + a first-match when-chain keep the whole corpus pass inside
+        // whole-stage codegen. Entries beyond the live cell count score
+        // -inf (and their element_at never evaluates — CaseWhen branches
+        // are lazy), so an emptied cell still vanishes consistently.
+        // The scores MUST land as real columns in their own projection:
+        // inlining them into the argmax would copy each cosine into every
+        // when-branch and into greatest() (~72 evaluations/row — measured
+        // 25x slower); CollapseProject keeps the split because non-cheap
+        // aliases referenced more than once are not collapsed.
+        val scored = e.crossJoin(broadcast(cb))
+          .withColumn("nrm", dot($"v", $"v"))
+          .select($"v" +: $"cb" +: (0 until 8).map { i =>
+            when(lit(i) < size($"cb"),
+              cosineWithNorms($"v", element_at($"cb", i + 1).getField("cv"),
+                $"nrm", element_at($"cb", i + 1).getField("cnrm")))
+              .otherwise(lit(Double.NegativeInfinity)).as(s"c$i")
+          }: _*)
+        val cs = (0 until 8).map(i => col(s"c$i"))
+        val best = greatest(cs: _*)
+        val cellCol = (0 until 8).foldRight(lit(-1)) { (i, els) =>
+          when(cs(i) === best, element_at($"cb", i + 1).getField("cell"))
+            .otherwise(els)
+        }
+        scored
           .select(cellCol.as("cell"), posexplode($"v").as(Seq("dim", "x")))
           .select($"cell", $"dim", round($"x" * lit(1e6)).cast("long").as("fx"))
           .groupBy($"cell", $"dim")
@@ -258,7 +284,8 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       def toCb(pc: DataFrame): DataFrame =
-        pc.agg(sort_array(collect_list(struct($"cell", $"marr".as("cv")))).as("cb"))
+        pc.agg(sort_array(collect_list(struct($"cell", $"marr".as("cv"),
+          dot($"marr", $"marr").as("cnrm")))).as("cb"))
       def report(r: Int, pc: DataFrame, oldCb: DataFrame): DataFrame =
         pc.crossJoin(broadcast(oldCb))
           .withColumn("oldcv",
