@@ -546,6 +546,105 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // IVF-PQ — the full FAISS IndexIVFPQ composition, closing the vector
+    // story: s03's coarse cells bound WHERE to look (only the query's
+    // top-nprobe cells are scored), s11's ADC bounds HOW each candidate is
+    // scored (8 table lookups over its 8-byte code). At 100 TB this is the
+    // billion-vector serving layout: the corpus pass reads nprobe/#cells
+    // of the codes — here 4/8, production 1-5% — and never touches a raw
+    // vector after encoding. Encode shape: the one-row codebook carries
+    // per-entry full norms AND per-subspace self-dots, so the per-row
+    // coarse argmax (s12's unrolled when-chain) and the per-subspace
+    // argmin over the norm-expansion distance xsn − 2·x·c + csn are ALL
+    // codegen'd DotProducts over 8-dim slices — zero shuffle, zero HOF in
+    // the corpus pass, distances as materialized columns (s12's lesson).
+    // Probe ranking and ADC tables live on the 5-row query side. Measured
+    // at sf0.01: recall@5 identical to s11's full-corpus ADC — the
+    // quantization error dominates, so probing 4 of 8 cells loses nothing
+    // while scanning half the codes.
+    "s13_ivfpq_search" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d)
+      def subv(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
+      val cb = e.filter($"vec_id" < 8)
+        .select($"vec_id", $"v", dot($"v", $"v").as("cnrm"),
+          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"))
+        .agg(sort_array(collect_list(struct(
+          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn"))).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def cbe(i: Int): Column = element_at($"cb", i + 1)
+      // corpus encode: norms + per-subspace self-dots first, then the 8
+      // coarse cosines and 64 subspace distances as real columns, then the
+      // argmax cell + argmin code when-chains over plain attributes
+      val p0 = e.crossJoin(broadcast(cb)).select(
+        Seq($"vec_id", $"v", $"cb", dot($"v", $"v").as("nrm")) ++
+          (0 until 8).map(m => dot(subv($"v", m), subv($"v", m)).as(s"xsn$m")): _*)
+      val ccCols = (0 until 8).map { i =>
+        when(lit(i) < size($"cb"),
+          cosineWithNorms($"v", cbe(i).getField("cv"), $"nrm", cbe(i).getField("cnrm")))
+          .otherwise(lit(Double.NegativeInfinity)).as(s"cc$i")
+      }
+      val dCols = for { m <- 0 until 8; c <- 0 until 8 } yield
+        when(lit(c) < size($"cb"),
+          col(s"xsn$m") - lit(2.0) * dot(subv($"v", m), subv(cbe(c).getField("cv"), m))
+            + element_at(cbe(c).getField("csn"), m + 1))
+          .otherwise(lit(Double.PositiveInfinity)).as(s"d${m}_$c")
+      val p1 = p0.select(Seq($"vec_id", $"cb") ++ ccCols ++ dCols: _*)
+      val ccs = (0 until 8).map(i => col(s"cc$i"))
+      val bestC = greatest(ccs: _*)
+      val cellCol = (0 until 8).foldRight(lit(-1)) { (i, els) =>
+        when(ccs(i) === bestC, cbe(i).getField("cell")).otherwise(els)
+      }
+      val codeCols = (0 until 8).map { m =>
+        val ds = (0 until 8).map(c => col(s"d${m}_$c"))
+        val bm = least(ds: _*)
+        (0 until 8).foldRight(lit(-1)) { (c, els) =>
+          when(ds(c) === bm, cbe(c).getField("cell")).otherwise(els)
+        }
+      }
+      val enc = p1.select($"vec_id", cellCol.as("cell"), array(codeCols: _*).as("code"))
+      // query side: probe ranking + flat ADC tables (5 rows — HOFs fine)
+      val qs = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
+        .withColumn("nrm", dot($"v", $"v"))
+      val probes = qs
+        .select($"vec_id".as("query_id"), $"v", $"nrm", explode($"cb").as("ce"))
+        .select($"query_id", col("ce").getField("cell").as("cent_id"),
+          cosineWithNorms($"v", col("ce").getField("cv"),
+            $"nrm", col("ce").getField("cnrm")).as("ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cent_id")))
+        .filter($"crn" <= 4)
+        .select($"query_id", $"cent_id".as("probe"))
+      val tqf = qs.select($"vec_id".as("query_id"),
+        flatten(transform(sequence(lit(0), lit(7)), m =>
+          transform(sequence(lit(0), lit(7)), c => {
+            val xm = slice($"v", m * lit(8) + lit(1), lit(8))
+            val ce = element_at($"cb", c + 1)
+            val cm = slice(ce.getField("cv"), m * lit(8) + lit(1), lit(8))
+            dot(xm, xm) - lit(2.0) * dot(xm, cm) + element_at(ce.getField("csn"), m + 1)
+          }))).as("tq"))
+      val cand = enc
+        .join(broadcast(probes), $"cell" === $"probe" && $"vec_id" =!= $"query_id")
+        .join(broadcast(tqf), Seq("query_id"))
+        .select($"query_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(7)), lit(0.0),
+            (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
+            .as("adc"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"adc", $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      exact.join(broadcast(approx),
+          $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+
     // ANN quality evaluation — the recall@5 report every approximate
     // index build ends with: per query, how much of the EXACT top-5
     // (s01's brute-force ranking, cut to 5) the bucketed s02 search
@@ -786,6 +885,58 @@ object Similarity {
            |${roundCtes(3, "cb2")}
            |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
            |ORDER BY round, cell""".stripMargin
+    },
+
+    "s13_ivfpq_search" -> {
+      // subspace squared distance via the same norm expansion the Spark
+      // side computes: x·x − 2·x·c + c·c over the 8-dim slices
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS (SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND $SqlQueryPred),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE $SqlQueryPred GROUP BY vec_id),
+           |sc AS (SELECT query_id, vec_id,
+           |    list_sum(list_transform(range(0, 8),
+           |      m -> tq[(m*8 + code[m+1] + 1)::INT])) AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id)),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
     },
 
     "s11_pq_adc_search" ->

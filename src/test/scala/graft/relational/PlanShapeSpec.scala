@@ -227,6 +227,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("collect_list(v"), "member vectors must never be collected")
   }
 
+  test("s13: IVF-PQ search is broadcast-only — corpus never exchanged for a join") {
+    val p = plan("s13_ivfpq_search")
+    assert(p.contains("Broadcast"), "codebook, probes and ADC tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
