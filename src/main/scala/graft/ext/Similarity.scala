@@ -500,6 +500,9 @@ object Similarity {
     // (measured at sf0.01: mean 0.32 — 8 subspaces × 8 centroids is a
     // deliberately tiny codebook on near-uniform synthetic vectors;
     // production uses 256-entry codebooks trained with s08's Lloyd shape).
+    // This is the ADC-only baseline over the FULL corpus; s13 is the
+    // production composition (cells restrict the scan, fully codegen'd
+    // encode) and measures the same recall at half the codes scanned.
     "s11_pq_adc_search" -> { (s, d) =>
       import s.implicits._
       val e = vectors(s, d)
