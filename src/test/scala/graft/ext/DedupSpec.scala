@@ -130,6 +130,24 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("d16: planted duplicates — exact-dup doc vanishes, shared span drops once") {
+    // 25-word docs → chunks = [w1..w20], [w21..w25]
+    val first20 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val tailA = (1 to 5).map(i => s"t$i").mkString(" ")
+    val tailC = (1 to 5).map(i => s"u$i").mkString(" ")
+    val dir = stage(Seq(
+      (1L, s"$first20 $tailA", "en", "web"),   // representative
+      (2L, s"$first20 $tailA", "en", "web"),   // exact dup of 1 → no output row
+      (3L, s"$first20 $tailC", "en", "web")))  // shares chunk 0 with doc 1
+    val rows = Dedup.queries("d16_cleaned_corpus")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toList == List(
+      // doc 1 keeps both chunks (first occurrence of each)
+      (1L, 2L, 2L, 0L, s"$first20 $tailA"),
+      // doc 3 loses the shared leading chunk, keeps only its tail
+      (3L, 2L, 1L, 1L, tailC)))
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()
