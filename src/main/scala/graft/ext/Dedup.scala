@@ -139,6 +139,53 @@ object Dedup {
           .as("h"))
   }
 
+  /** d01's representative convention as a corpus filter: only each
+    * md5(text) group's min-doc_id row survives. Map-side-combinable
+    * (fp → min id) agg, semi-joined back on doc_id. */
+  private[ext] def repsOnly(docs: DataFrame): DataFrame = {
+    val reps = docs
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    docs.join(reps, col("doc_id") === col("rep_id"), "leftsemi")
+  }
+
+  /** The span-dedup + rebuild core shared by d16 and c09: chunk `text`
+    * into 20-word spans, keep only each chunk hash's lexicographic-first
+    * (doc_id, idx) occurrence corpus-wide, and rebuild the cleaned text
+    * from the surviving chunks. All non-`text` input columns pass
+    * through; adds n_chunks / kept_chunks / n_dropped_chunks /
+    * cleaned_text. The winner set is a map-side-combinable
+    * min(struct(doc_id, idx)) agg over 16-byte hashes — text never rides
+    * a dedup shuffle; the only text exchange is the final doc_id-keyed
+    * join that re-slices kept chunks. */
+  private[ext] def spanCleaned(docs: DataFrame): DataFrame = {
+    val cw = 20
+    val kept = docs
+      .withColumn("ws", split(trim(col("text")), Tok.Ws))
+      .filter(size(col("ws")) > 0)
+      .withColumn("chunks", transform(
+        sequence(lit(0L), ceil(size(col("ws")) / lit(cw.toDouble)).cast("long") - 1),
+        i => concat_ws(" ", slice(col("ws"), (i * cw + 1).cast("int"), lit(cw)))))
+      .drop("ws", "text")
+    val inst = kept
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "ctext")))
+      .select(col("doc_id"), col("idx"), md5(col("ctext").cast("binary")).as("h"))
+    val winners = inst.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("wdoc"), col("w.idx").as("widx"))
+    val keptIdx = winners.groupBy(col("wdoc"))
+      .agg(sort_array(collect_list(col("widx"))).as("ki0"))
+    kept.join(keptIdx, col("doc_id") === col("wdoc"), "left")
+      .withColumn("ki", coalesce(col("ki0"), array().cast("array<int>")))
+      .withColumn("n_chunks", size(col("chunks")).cast("long"))
+      .withColumn("kept_chunks", size(col("ki")).cast("long"))
+      .withColumn("n_dropped_chunks",
+        (size(col("chunks")) - size(col("ki"))).cast("long"))
+      .withColumn("cleaned_text",
+        concat_ws(" ", transform(col("ki"), i => element_at(col("chunks"), i + 1))))
+      .drop("chunks", "ki0", "ki", "wdoc", "widx")
+  }
+
   /** Multi-index SimHash block pairing (d11's candidate join): 4×8-bit
     * block keys → multi-index equi-join (pigeonhole: a Hamming ≤ 3 pair
     * agrees exactly on ≥1 of the 4 blocks) → popcount verify → pair
@@ -608,34 +655,10 @@ object Dedup {
     // instance stream's 28-byte rows).
     "d16_cleaned_corpus" -> { (s, d) =>
       import s.implicits._
-      val cw = 20
       val docs = Tables.documents(s, d)
-      val reps = docs
-        .groupBy(md5($"text".cast("binary")).as("fp"))
-        .agg(min($"doc_id").as("rep_id"))
-      val kept = docs.join(reps, $"doc_id" === $"rep_id", "leftsemi")
-        .select($"doc_id", split(trim($"text"), Tok.Ws).as("ws"))
-        .filter(size($"ws") > 0)
-        .select($"doc_id", transform(
-          sequence(lit(0L), ceil(size($"ws") / lit(cw.toDouble)).cast("long") - 1),
-          i => concat_ws(" ", slice($"ws", (i * cw + 1).cast("int"), lit(cw))))
-          .as("chunks"))
-      val inst = kept
-        .select($"doc_id", posexplode($"chunks").as(Seq("idx", "ctext")))
-        .select($"doc_id", $"idx", md5($"ctext".cast("binary")).as("h"))
-      val winners = inst.groupBy($"h")
-        .agg(min(struct($"doc_id", $"idx")).as("w"))
-        .select($"w.doc_id".as("wdoc"), $"w.idx".as("widx"))
-      val keptIdx = winners.groupBy($"wdoc")
-        .agg(sort_array(collect_list($"widx")).as("ki0"))
-      kept.join(keptIdx, $"doc_id" === $"wdoc", "left")
-        .withColumn("ki", coalesce($"ki0", array().cast("array<int>")))
-        .select($"doc_id",
-          size($"chunks").cast("long").as("n_chunks"),
-          size($"ki").cast("long").as("kept_chunks"),
-          (size($"chunks") - size($"ki")).cast("long").as("n_dropped_chunks"),
-          concat_ws(" ", transform($"ki", i => element_at($"chunks", i + 1)))
-            .as("cleaned_text"))
+      spanCleaned(repsOnly(docs).select($"doc_id", $"text"))
+        .select($"doc_id", $"n_chunks", $"kept_chunks", $"n_dropped_chunks",
+          $"cleaned_text")
         .orderBy($"doc_id")
     },
 

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Tok}
@@ -17,13 +17,38 @@ import graft.core.{Tables, Tok}
   */
 object TextAnalysis {
 
-  private val Stop = Map(
+  private[ext] val Stop = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "los", "de", "y", "que"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[ext] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // ---- shared formula helpers (t02 / t03 / c09 use ONE definition so the
+  // quality and language gates can never drift between queries) ----
+
+  /** Marker-stopword hit count for `lang` over a token-array column. */
+  private[ext] def hitsCol(w: Column, lang: String): Column =
+    size(filter(w, x => x.isin(Stop(lang): _*)))
+
+  /** Punctuation-mark count over the raw text. */
+  private[ext] def punctCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** t02's heuristic quality score from its integer ingredients. */
+  private[ext] def qualityCol(
+      text: Column, nTokens: Column, punctCnt: Column, stopCnt: Column): Column =
+    (stopCnt.cast("double") / nTokens) * 0.4 +
+      (lit(1.0) - punctCnt.cast("double") / length(text)) * 0.3 +
+      least(lit(1.0), nTokens.cast("double") / 100.0) * 0.3
+
+  /** t03's argmax language with its fixed preference order. */
+  private[ext] def predictedCol(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE vocabulary induction, step one: corpus-wide adjacent character
@@ -121,16 +146,13 @@ object TextAnalysis {
       Tables.documents(s, d)
         .withColumn("w", split(trim($"text"), Tok.Ws))
         .withColumn("n_tokens", size($"w"))
-        .withColumn("punct_cnt", size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0))))
-        .withColumn("stop_cnt",
-          expr(s"size(filter(w, x -> x IN (${sqlList(Stop("en"))})))"))
+        .withColumn("punct_cnt", punctCol($"text"))
+        .withColumn("stop_cnt", hitsCol($"w", "en"))
         .select(
           $"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
           ($"stop_cnt".cast("double") / $"n_tokens").as("stop_ratio"),
           ($"punct_cnt".cast("double") / length($"text")).as("punct_ratio"),
-          (($"stop_cnt".cast("double") / $"n_tokens") * 0.4
-            + (lit(1.0) - $"punct_cnt".cast("double") / length($"text")) * 0.3
-            + least(lit(1.0), $"n_tokens".cast("double") / 100.0) * 0.3).as("quality"))
+          qualityCol($"text", $"n_tokens", $"punct_cnt", $"stop_cnt").as("quality"))
         .orderBy($"doc_id")
     },
 
@@ -141,16 +163,12 @@ object TextAnalysis {
       val df = Tables.documents(s, d)
         .withColumn("w", split(trim($"text"), Tok.Ws))
       val withHits = Stop.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
-        acc.withColumn(s"${lang}_hits",
-          expr(s"size(filter(w, x -> x IN (${sqlList(Stop(lang))})))"))
+        acc.withColumn(s"${lang}_hits", hitsCol($"w", lang))
       }
       withHits.select(
           $"doc_id", $"lang",
           $"en_hits", $"de_hits", $"es_hits", $"fr_hits",
-          when($"en_hits" >= $"de_hits" && $"en_hits" >= $"es_hits" && $"en_hits" >= $"fr_hits", "en")
-            .when($"de_hits" >= $"es_hits" && $"de_hits" >= $"fr_hits", "de")
-            .when($"es_hits" >= $"fr_hits", "es")
-            .otherwise("fr").as("predicted"))
+          predictedCol($"en_hits", $"de_hits", $"es_hits", $"fr_hits").as("predicted"))
         .orderBy($"doc_id")
     },
 
