@@ -52,6 +52,33 @@ class CurationSpec extends SparkSuite {
       (30L, 5L, 0L, 0L, 0.0)), s"got $rows")
   }
 
+  test("c09: the corpus build is consistent with the report queries it composes") {
+    val sf01 = "/root/testdata/sf0.01"
+    val c09 = Curation.queries("c09_corpus_build")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every shipped doc passed the quality gate it claims
+    c09.values.foreach(r => assert(r.getDouble(3) >= 0.5, s"doc ${r.getLong(0)}"))
+    // language gate: the shipped lang equals t03's prediction for that doc
+    val predicted = TextAnalysis.queries("t03_text_langid")(spark, sf01)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    c09.values.foreach { r =>
+      assert(predicted(r.getLong(0)) == r.getString(2),
+        s"doc ${r.getLong(0)} shipped with lang ${r.getString(2)} but predicted ${predicted(r.getLong(0))}")
+    }
+    // span-dedup pool monotonicity: d16 dedups over ALL reps, c09 only
+    // over the gated survivors — a smaller competition pool can only keep
+    // MORE of a doc's chunks, never fewer
+    val d16 = Dedup.queries("d16_cleaned_corpus")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    c09.values.foreach { r =>
+      val (n16, k16) = d16(r.getLong(0))
+      assert(r.getLong(4) == n16, s"doc ${r.getLong(0)} chunk count differs from d16")
+      assert(r.getLong(5) >= k16,
+        s"doc ${r.getLong(0)} kept ${r.getLong(5)} < d16's $k16 despite the smaller pool")
+    }
+  }
+
   test("c02: split census covers every doc exactly once, ~80/10/10") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val census = Curation.queries("c02_hash_split")(spark, "/root/testdata/sf0.01")
