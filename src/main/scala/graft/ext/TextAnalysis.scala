@@ -29,22 +29,22 @@ object TextAnalysis {
   // quality and language gates can never drift between queries) ----
 
   /** Marker-stopword hit count for `lang` over a token-array column. */
-  private[ext] def hitsCol(w: Column, lang: String): Column =
+  private[graft] def hitsCol(w: Column, lang: String): Column =
     size(filter(w, x => x.isin(Stop(lang): _*)))
 
   /** Punctuation-mark count over the raw text. */
-  private[ext] def punctCol(text: Column): Column =
+  private[graft] def punctCol(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
 
   /** t02's heuristic quality score from its integer ingredients. */
-  private[ext] def qualityCol(
+  private[graft] def qualityCol(
       text: Column, nTokens: Column, punctCnt: Column, stopCnt: Column): Column =
     (stopCnt.cast("double") / nTokens) * 0.4 +
       (lit(1.0) - punctCnt.cast("double") / length(text)) * 0.3 +
       least(lit(1.0), nTokens.cast("double") / 100.0) * 0.3
 
   /** t03's argmax language with its fixed preference order. */
-  private[ext] def predictedCol(en: Column, de: Column, es: Column, fr: Column): Column =
+  private[graft] def predictedCol(en: Column, de: Column, es: Column, fr: Column): Column =
     when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")
       .when(es >= fr, "es")

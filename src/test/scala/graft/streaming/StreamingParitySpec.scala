@@ -148,6 +148,55 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming kept ${streamed.length} chunk hashes vs batch ${batch.size}")
   }
 
+  test("streaming corpus build ships exactly the batch c09 span set") {
+    // the FULL pipeline as one stream: quality gate + language-agreement
+    // gate (narrow, stateless) → exact-dup dropDuplicates on the text
+    // fingerprint → chunking → span dropDuplicatesWithinWatermark. The
+    // set of shipped chunk hashes must equal the batch build's kept set
+    // (batch keeps exactly one instance per hash, so kept = distinct)
+    import graft.ext.{Dedup, TextAnalysis}
+    val gates = { df: DataFrame =>
+      df.withColumn("w", split(trim(col("text")), graft.core.Tok.Ws))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("punct_cnt", TextAnalysis.punctCol(col("text")))
+        .withColumn("en_hits", TextAnalysis.hitsCol(col("w"), "en"))
+        .withColumn("de_hits", TextAnalysis.hitsCol(col("w"), "de"))
+        .withColumn("es_hits", TextAnalysis.hitsCol(col("w"), "es"))
+        .withColumn("fr_hits", TextAnalysis.hitsCol(col("w"), "fr"))
+        .filter(TextAnalysis.qualityCol(col("text"), col("n_tokens"),
+            col("punct_cnt"), col("en_hits")) >= 0.5
+          && TextAnalysis.predictedCol(col("en_hits"), col("de_hits"),
+            col("es_hits"), col("fr_hits")) === col("lang"))
+        .select(col("doc_id"), col("source"), col("text"))
+    }
+    val batch = Dedup.chunkHashesOf(gates(Tables.documents(spark, sf)))
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty, "gates filtered out the whole sf0.001 corpus")
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-build").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val shipped = Dedup.chunkHashesOf(
+        gates(spark.readStream.schema(schema).parquet(docsDir))
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .dropDuplicates("fp"))
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2026-01-01 00:00:00')"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("h"))
+    val q = shipped.writeStream.outputMode("append")
+      .format("memory").queryName("parity_build")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_build did not finish within 120 s")
+    val streamed = spark.table("parity_build").collect().map(_.getString(0))
+    assert(streamed.length == streamed.toSet.size, "a span shipped twice")
+    assert(streamed.toSet == batch,
+      s"streaming shipped ${streamed.length} spans vs batch ${batch.size}")
+  }
+
   test("curation hash gates are streaming-safe: c01 selection equals batch") {
     // narrow per-row hash gates (sampling, split assignment) run unchanged
     // on a stream — no state, no watermark, selection identical to batch
