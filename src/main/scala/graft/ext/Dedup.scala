@@ -218,6 +218,19 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band_idx, band_key) LSH band rows from signatures — the
+    * bucket-key half of [[lshCandidates]], factored out so d17 can build
+    * an ASYMMETRIC (increment→base) band join instead of the self-join.
+    * Sentinel signatures are dropped here (see [[lshCandidates]]'s note). */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b => struct(
+      lit(b).as("band_idx"),
+      (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
+    sigs.filter(col("s0") =!= Long.MaxValue)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+  }
+
   /** LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
     * 4 bands × 2 rows, integer band keys, equi-join. Sentinel signatures
     * (all Long.MaxValue — docs with no shingles, see [[graft.functions
@@ -226,12 +239,7 @@ object Dedup {
     * band-key product would overflow. Current producers filter
     * `size(w) >= 3` already, so this changes nothing for them. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until 4).map(b => struct(
-      lit(b).as("band_idx"),
-      (col(s"s${2 * b}") * MinhashP + col(s"s${2 * b + 1}")).as("band_key")))
-    val sigsReal = sigs.filter(col("s0") =!= Long.MaxValue)
-    val bands = sigsReal.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val bands = bandKeys(sigs)
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_key") === col("b.band_key")

@@ -78,6 +78,45 @@ object Similarity {
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
   }
 
+  /** Stage shared by s11 (ADC top-5) and s14 (ADC top-20 → exact rerank):
+    * PQ-encode the corpus against the one-row broadcast codebook of the 8
+    * seed centroids (pure per-row map, zero shuffle), build each query's
+    * flat 64-entry distance table from the same codebook, and ADC-score
+    * every (query, candidate) pair — 8 table lookups + 7 adds per
+    * candidate. Returns (query_id, vec_id, adc). See s11's scaladoc for
+    * the full scale framing. */
+  private def pqAdcCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vectors(s, d)
+    // one-row broadcast codebook: the 8 seed centroids ordered by id
+    val cb = e.filter($"vec_id" < 8)
+      .agg(transform(
+        sort_array(collect_list(struct($"vec_id".as("cent_id"), $"v".as("cv")))),
+        c => c("cv")).as("cb"))
+    def subv(v: Column, m: Column): Column = slice(v, m * lit(8) + lit(1), lit(8))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    // distances from v's m-th subvector to each of the 8 codebook
+    // entries — in-order folds, bit-identical to the s10/DuckDB pattern
+    def dists(v: Column, m: Column): Column =
+      transform(sequence(lit(0), lit(7)),
+        c => d2(subv(v, m), subv(element_at($"cb", c + 1), m)))
+    val enc = e.crossJoin(broadcast(cb))
+      .select($"vec_id", transform(sequence(lit(0), lit(7)), m => {
+        val ds = dists($"v", m)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }).as("code"))
+    val qt = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
+      .select($"vec_id".as("query_id"),
+        flatten(transform(sequence(lit(0), lit(7)), m => dists($"v", m))).as("tq"))
+    // ADC: in-order fold over subspaces of table lookups on the code
+    enc.join(broadcast(qt), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        aggregate(sequence(lit(0), lit(7)), lit(0.0),
+          (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
+          .as("adc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-10 for queries vec_id < 5. Ranking uses
     // the two-phase salted top-k: with only 5 query keys, a naive window
@@ -505,34 +544,7 @@ object Similarity {
     // encode) and measures the same recall at half the codes scanned.
     "s11_pq_adc_search" -> { (s, d) =>
       import s.implicits._
-      val e = vectors(s, d)
-      // one-row broadcast codebook: the 8 seed centroids ordered by id
-      val cb = e.filter($"vec_id" < 8)
-        .agg(transform(
-          sort_array(collect_list(struct($"vec_id".as("cent_id"), $"v".as("cv")))),
-          c => c("cv")).as("cb"))
-      def subv(v: Column, m: Column): Column = slice(v, m * lit(8) + lit(1), lit(8))
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      // distances from v's m-th subvector to each of the 8 codebook
-      // entries — in-order folds, bit-identical to the s10/DuckDB pattern
-      def dists(v: Column, m: Column): Column =
-        transform(sequence(lit(0), lit(7)),
-          c => d2(subv(v, m), subv(element_at($"cb", c + 1), m)))
-      val enc = e.crossJoin(broadcast(cb))
-        .select($"vec_id", transform(sequence(lit(0), lit(7)), m => {
-          val ds = dists($"v", m)
-          (array_position(ds, array_min(ds)) - 1).cast("int")
-        }).as("code"))
-      val qt = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
-        .select($"vec_id".as("query_id"),
-          flatten(transform(sequence(lit(0), lit(7)), m => dists($"v", m))).as("tq"))
-      // ADC: in-order fold over subspaces of table lookups on the code
-      val cand = enc.join(broadcast(qt), $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id",
-          aggregate(sequence(lit(0), lit(7)), lit(0.0),
-            (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
-            .as("adc"))
+      val cand = pqAdcCandidates(s, d)
       val approx = graft.operators.TopK.perKey(
           cand, $"query_id", Seq($"adc", $"vec_id"), 5, saltFrom = $"vec_id")
         .select($"query_id".as("aq"), $"vec_id".as("an"))
@@ -540,6 +552,49 @@ object Similarity {
         .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
       // approx is ≤ queries×5 rows — broadcast it so the recall join never
       // plans a sort-merge exchange of the exact side
+      exact.join(broadcast(approx),
+          $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+
+    // Two-stage retrieval (candidate generation → exact rerank) — the
+    // production serving pattern that closes the recall gap quantization
+    // opens: stage 1 scans only the 8-byte PQ codes (s11's ADC, shared
+    // pqAdcCandidates stage) but keeps a GENEROUS top-20 per query instead
+    // of the final top-5; stage 2 re-reads the full vectors for those
+    // ≤ queries×20 survivors and re-ranks them with the exact cosine. At
+    // 100 TB the exact stage is constant work regardless of corpus size —
+    // the candidate-id set is broadcast, so the vector table sees one
+    // scan-with-broadcast-hash-join (a semi-join by shape: only candidate
+    // rows survive the probe), never a shuffle, and the expensive 64-dim
+    // math runs on a few hundred rows. Measured at sf0.01: mean recall@5
+    // rises from s11's 0.32 to 0.52 at identical code-scan cost (the rest
+    // of the gap is candidates the tiny 8×8 codebook never surfaces into
+    // the top-20 — production widens the codebook, not the rerank).
+    "s14_pq_rerank" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cand20 = graft.operators.TopK.perKey(
+          pqAdcCandidates(s, d), $"query_id", Seq($"adc", $"vec_id"), 20,
+          saltFrom = $"vec_id")
+        .select($"query_id", $"vec_id")
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      // exact stage: one scan of the vector table, probed by the broadcast
+      // candidate ids; query vectors join in as a second broadcast
+      val rr = e.join(broadcast(cand20), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      val approx = graft.operators.TopK.perKey(
+          rr, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
       exact.join(broadcast(approx),
           $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
         .groupBy($"query_id")
@@ -967,6 +1022,52 @@ object Similarity {
            |  FROM sc),
            |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
            |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    // s11's pipeline cut at top-20, then exact-cosine rerank of those
+    // candidates (same cosine form as s01's oracle) before the recall tail
+    "s14_pq_rerank" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |sub AS (SELECT vec_id, cent_id, m,
+           |    list_sum(list_transform(range(1, 9),
+           |      i -> (v[m*8+i] - cv[m*8+i]) * (v[m*8+i] - cv[m*8+i]))) AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |r AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM r WHERE rn = 1 GROUP BY vec_id),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE $SqlQueryPred GROUP BY vec_id),
+           |sc AS (SELECT query_id, vec_id,
+           |    list_sum(list_transform(range(0, 8),
+           |      m -> tq[(m*8 + code[m+1] + 1)::INT])) AS adc
+           |  FROM (SELECT t.query_id, c.vec_id, t.tq, c.code
+           |        FROM codes c CROSS JOIN tqf t WHERE c.vec_id <> t.query_id)),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |cand AS (SELECT query_id, vec_id FROM ar WHERE rn <= 20),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |rr AS (SELECT c.query_id, c.vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+           |  JOIN q ON q.query_id = c.query_id),
+           |rrk AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM rr),
+           |approx AS (SELECT query_id, vec_id FROM rrk WHERE rn <= 5),
            |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
            |  FROM e JOIN q ON vec_id <> query_id),
            |xr AS (SELECT query_id, vec_id,

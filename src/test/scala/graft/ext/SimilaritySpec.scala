@@ -58,6 +58,28 @@ class SimilaritySpec extends SparkSuite {
     assert(r.map(_._2).sum > 0, s"ADC found no exact neighbors at all: $r")
   }
 
+  test("s14: exact rerank never loses recall vs the raw ADC ranking (s11)") {
+    // the rerank picks the best-5-by-TRUE-cosine out of the ADC top-20;
+    // since the ADC top-5 is a subset of that candidate set and every
+    // exact-top-5 member in the candidates outranks every non-member in
+    // true cosine, per-query rerank recall >= ADC recall — an invariant,
+    // not a tuning accident
+    val sf = "/root/testdata/sf0.01"
+    val adc = Similarity.queries("s11_pq_adc_search")(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val rr = Similarity.queries("s14_pq_rerank")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toList
+    assert(rr.map(_._1) == List(0L, 1L, 2L, 3L, 4L))
+    rr.foreach { case (q, rec) =>
+      assert(rec >= adc(q) - 1e-9, s"query $q rerank $rec < ADC ${adc(q)}")
+    }
+    // and the rerank must actually add recall somewhere on this data —
+    // equality everywhere would mean the top-20 cut is not recovering
+    // anything the top-5 ADC cut lost
+    assert(rr.map(_._2).sum > adc.values.sum + 1e-9,
+      s"rerank added nothing: rr=$rr adc=$adc")
+  }
+
   test("s12: Lloyd rounds converge — centroid movement shrinks every round") {
     val sf = "/root/testdata/sf0.01"
     val rows = Similarity.queries("s12_kmeans_lloyd3")(spark, sf).collect()
