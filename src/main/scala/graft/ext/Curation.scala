@@ -155,6 +155,42 @@ object Curation {
         .orderBy($"source")
     },
 
+    // Temperature-based source mixing — the p_s ∝ n_s^τ rule every
+    // multilingual / multi-domain LLM mixture uses (τ = 0.5 here): low
+    // temperature FLATTENS the mixture, so small sources keep relatively
+    // more and dominant sources are downsampled harder than c04's
+    // equal-share rule. The source weight sqrt(src_toks) is carried as a
+    // FIXED-POINT integer (round(sqrt·1e6)) so the cross-source weight
+    // sum is an exact integer in both engines — sqrt is IEEE
+    // correctly-rounded everywhere, but a cross-source DOUBLE sum would
+    // depend on add order. Per-source rate = min(1, budget·p_s/src_toks)
+    // as one shared left-associative double formula; the gate is the
+    // salted content-stable hash. Same two-scan 100 TB shape as c04.
+    "c10_temperature_mix" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+      val stats = toks.groupBy($"source").agg(sum($"tk").as("src_toks"))
+        .withColumn("wfx", round(sqrt($"src_toks".cast("double")) * 1e6).cast("long"))
+      val tot = stats.agg(sum($"src_toks").as("all_toks"), sum($"wfx").as("swfx"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .select($"source".as("rsrc"), $"src_toks",
+          least(lit(1.0),
+            $"all_toks".cast("double") * 0.5 * $"wfx".cast("double")
+              / $"swfx".cast("double") / $"src_toks".cast("double")).as("rate"))
+      val kept = toks.join(broadcast(rates), $"source" === $"rsrc")
+        .filter(unitHash($"doc_id", salt = "temp") < $"rate")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_kept"), sum($"tk").as("toks_kept"))
+      rates
+        .join(kept, $"rsrc" === $"source", "left")
+        .select($"rsrc".as("source"), $"src_toks", round($"rate", 6).as("rate"),
+          coalesce($"docs_kept", lit(0L)).as("docs_kept"),
+          coalesce($"toks_kept", lit(0L)).as("toks_kept"))
+        .orderBy($"source")
+    },
+
     // Token-packed training shards: deterministic doc order (doc_id),
     // exclusive running token sum, shard = prefix DIV capacity — the
     // greedy packing every sequence-packing loader runs. The prefix sum
@@ -428,6 +464,30 @@ object Curation {
            |FROM toks JOIN rates ON source = rsrc
            |WHERE (${sqlU28("doc_id", "mix")} / 268435456.0) < rate
            |GROUP BY source ORDER BY source""".stripMargin,
+
+    "c10_temperature_mix" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |stats AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS src_toks,
+           |    CAST(round(sqrt(CAST(SUM(tk) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wfx
+           |  FROM toks GROUP BY source),
+           |tot AS (SELECT CAST(SUM(src_toks) AS BIGINT) AS all_toks,
+           |    CAST(SUM(wfx) AS BIGINT) AS swfx FROM stats),
+           |rates AS (SELECT source AS rsrc, src_toks,
+           |    least(1.0, CAST(all_toks AS DOUBLE) * 0.5 * CAST(wfx AS DOUBLE)
+           |      / CAST(swfx AS DOUBLE) / CAST(src_toks AS DOUBLE)) AS rate
+           |  FROM stats CROSS JOIN tot),
+           |kept AS (SELECT source, COUNT(*) AS docs_kept,
+           |    CAST(SUM(tk) AS BIGINT) AS toks_kept
+           |  FROM toks JOIN rates ON source = rsrc
+           |  WHERE (${sqlU28("doc_id", "temp")} / 268435456.0) < rate
+           |  GROUP BY source)
+           |SELECT r.rsrc AS source, r.src_toks, round(r.rate, 6) AS rate,
+           |  COALESCE(k.docs_kept, 0) AS docs_kept,
+           |  COALESCE(k.toks_kept, 0) AS toks_kept
+           |FROM rates r LEFT JOIN kept k ON r.rsrc = k.source
+           |ORDER BY source""".stripMargin,
 
     "c05_token_shards" ->
       raw"""WITH t AS (SELECT doc_id,

@@ -670,6 +670,58 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Incremental (batch-vs-base) dedup — the production shape for a
+    // corpus that GROWS: tonight's increment must be deduped against
+    // everything already ingested WITHOUT re-deduping the base against
+    // itself. The increment here is the deterministic ~10% slice
+    // doc_id % 10 = 7; the base is everyone else. Stage 1 (exact):
+    // md5 fingerprints, increment fp's equi-joined against the base fp
+    // set — at 100 TB the base fingerprints are the bucketed dedup
+    // "ledger" sidecar every ingest run maintains, and the join shuffles
+    // 16-byte keys for the increment only. Stage 2 (near): the codegen'd
+    // MinHash signatures (one narrow row per doc, d03's constants), LSH
+    // band keys, and an ASYMMETRIC band join increment→base — the base
+    // side is never self-paired, so nightly near-dup cost is driven by
+    // the increment's band buckets, not O(corpus²). A candidate is a
+    // near-dup when ≥ 4 of 8 signature components agree (d03's
+    // est_sim ≥ 0.5). Verdict precedence exact > near > kept; match_id
+    // is the smallest matching base doc (deterministic).
+    "d17_incremental_dedup" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 7
+      val fps = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      val exact = fps.filter(isNew).as("n")
+        .join(fps.filter(!isNew).as("o"), col("n.fp") === col("o.fp"))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(min(col("o.doc_id")).as("exact_match"))
+      val sigs = minhashSigs(s, d)
+      val cand = bandKeys(sigs.filter(isNew)).as("a")
+        .join(bandKeys(sigs.filter(!isNew)).as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("nid"), col("b.doc_id").as("oid"))
+        .distinct()
+      val agree: Column = (0 until 8)
+        .map(j => when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val near = cand
+        .join(sigs.as("x"), $"nid" === col("x.doc_id"))
+        .join(sigs.as("y"), $"oid" === col("y.doc_id"))
+        .filter(agree >= 4)
+        .groupBy($"nid".as("doc_id"))
+        .agg(min($"oid").as("near_match"))
+      docs.filter(isNew).select($"doc_id", $"source")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id", $"source",
+          when($"exact_match".isNotNull, lit("exact_dup"))
+            .when($"near_match".isNotNull, lit("near_dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          coalesce($"exact_match", $"near_match").as("match_id"))
+        .orderBy($"doc_id")
+    },
+
     // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
     // paragraph breaks, so the span unit is the fixed 20-word chunk — the
     // same technique as duplicated-paragraph removal, keyed on md5(chunk).
@@ -929,6 +981,35 @@ object Dedup {
              |  COUNT(*) FILTER (rn > 1) AS n_dropped_chunks,
              |  coalesce(string_agg(ctext, ' ' ORDER BY idx) FILTER (rn = 1), '') AS cleaned_text
              |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d17_incremental_dedup" -> {
+        val agree = (0 until 8).map(j =>
+          s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        raw"""WITH $sqlMinhashCtes,
+             |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |ex AS (SELECT n.doc_id, MIN(o.doc_id) AS exact_match
+             |  FROM fp n JOIN fp o ON n.fp = o.fp
+             |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+             |  GROUP BY n.doc_id),
+             |cio AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+             |    AND a.band_key = b.band_key
+             |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+             |nr AS (SELECT nid AS doc_id, MIN(oid) AS near_match
+             |  FROM cio JOIN sigs x ON nid = x.doc_id JOIN sigs y ON oid = y.doc_id
+             |  WHERE ($agree) >= 4
+             |  GROUP BY nid)
+             |SELECT d.doc_id, d.source,
+             |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+             |       WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+             |       ELSE 'kept' END AS verdict,
+             |  CAST(coalesce(ex.exact_match, nr.near_match) AS BIGINT) AS match_id
+             |FROM documents d
+             |LEFT JOIN ex ON d.doc_id = ex.doc_id
+             |LEFT JOIN nr ON d.doc_id = nr.doc_id
+             |WHERE d.doc_id % 10 = 7
+             |ORDER BY d.doc_id""".stripMargin
+      },
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

@@ -91,6 +91,38 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(bySplit("test") / n - 0.1) < 0.05)
   }
 
+  test("c10: temperature flattens the mixture — rate falls as source size grows") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Curation.queries("c10_temperature_mix")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, toks, rate, kept, keptToks) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+      assert(keptToks <= toks, s"$src kept $keptToks of $toks")
+      assert(kept >= 0)
+    }
+    // p ∝ sqrt(tokens) ⇒ uncapped rate ∝ 1/sqrt(tokens): strictly larger
+    // sources never get a strictly larger rate (ties only via the cap)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((sa, ta, ra, _, _), (sb, tb, rb, _, _)) if ta < tb =>
+        assert(rb <= ra + 1e-9, s"$sb ($tb toks, rate $rb) > $sa ($ta toks, rate $ra)")
+      case _ =>
+    }
+    // τ = 0.5 sits between proportional (τ=1: all rates equal) and c04's
+    // equal-share (τ=0): the small/large rate ratio under temperature is
+    // sqrt of the equal-share ratio, so it must be COMPRESSED vs c04
+    val c04 = Curation.queries("c04_token_budget_mix")(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    if (smallest._3 < 1.0 && largest._3 < 1.0) {
+      val tempRatio = smallest._3 / largest._3
+      val eqRatio = c04(smallest._1) / c04(largest._1)
+      assert(tempRatio <= eqRatio + 1e-9,
+        s"temperature should compress the small/large rate ratio: $tempRatio vs $eqRatio")
+    }
+  }
+
   test("s04: refined means are finite and cells partition the vectors") {
     val rows = Similarity.queries("s04_kmeans_refine")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 8)

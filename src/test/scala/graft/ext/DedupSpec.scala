@@ -148,6 +148,56 @@ class DedupSpec extends SparkSuite {
       (3L, 2L, 1L, 1L, tailC)))
   }
 
+  test("d17: incremental dedup agrees with d03's boundary-crossing pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.queries("d17_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // output covers exactly the increment slice, verdicts are the 3-value
+    // enum, and match_id points at a BASE doc iff the doc is a dup
+    assert(rows.forall(_._1 % 10 == 7))
+    rows.foreach { case (id, v, m) =>
+      assert(Set("exact_dup", "near_dup", "kept")(v), s"doc $id verdict $v")
+      assert((v == "kept") == m.isEmpty, s"doc $id $v match=$m")
+      m.foreach(mid => assert(mid % 10 != 7 && mid != id, s"doc $id match $mid"))
+    }
+    // any d03 pair crossing the increment/base boundary with est_sim >= 0.5
+    // (d17's near threshold) must have flagged its increment member
+    val verdict = rows.map(r => r._1 -> r._2).toMap
+    val crossing = Dedup.queries("d03_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.5)
+      .flatMap { case (a, b, _) =>
+        Seq(a, b).filter(x => x % 10 == 7 && (a % 10 == 7) != (b % 10 == 7)) }
+    crossing.foreach(id =>
+      assert(verdict(id) != "kept", s"doc $id crosses the boundary but kept"))
+  }
+
+  test("d17: planted increment — exact copy, near copy, unique, within-batch pair") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"x$i").mkString(" ")
+    val batchOnly = (1 to 60).map(i => s"z$i").mkString(" ")
+    val dir = stage(Seq(
+      (1L, base, "en", "web"),              // base
+      (2L, other, "en", "web"),             // base
+      (7L, base, "en", "web"),              // exact copy of base doc 1
+      (17L, other + " tail", "en", "web"),  // near copy of base doc 2
+      (27L, (1 to 60).map(i => s"q$i").mkString(" "), "en", "web"), // unique
+      (37L, batchOnly, "en", "web"),        // within-increment pair —
+      (47L, batchOnly, "en", "web")))       //   NOT this operator's job
+    val rows = Dedup.queries("d17_incremental_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    assert(rows == List(
+      (7L, "exact_dup", Some(1L)),
+      (17L, "near_dup", Some(2L)),
+      (27L, "kept", None),
+      // the increment is deduped against the BASE only; 37/47 dedupe
+      // against each other in the d01/d03 pass over the ingested batch
+      (37L, "kept", None),
+      (47L, "kept", None)), s"got $rows")
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()
