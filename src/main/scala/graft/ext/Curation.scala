@@ -184,7 +184,7 @@ object Curation {
         .groupBy($"source")
         .agg(count(lit(1)).as("docs_kept"), sum($"tk").as("toks_kept"))
       rates
-        .join(kept, $"rsrc" === $"source", "left")
+        .join(broadcast(kept), $"rsrc" === $"source", "left")
         .select($"rsrc".as("source"), $"src_toks", round($"rate", 6).as("rate"),
           coalesce($"docs_kept", lit(0L)).as("docs_kept"),
           coalesce($"toks_kept", lit(0L)).as("toks_kept"))

@@ -76,15 +76,23 @@ object Dedup {
     * to the relational form, see its Scaladoc). Persisted — every consumer
     * joins it at least twice, and nothing upstream is cacheable since the
     * whole computation fused into the scan. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sig = Tables.documents(s, d)
-      .select($"doc_id", split(trim($"text"), Tok.Ws).as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", graft.functions.MinHashSigs($"w").as("sig"))
-    sig.select(($"doc_id" +:
-        (0 until 8).map(j => element_at($"sig", j + 1).as(s"s$j"))): _*)
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    sigsOf(Tables.documents(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The signature derivation itself, on an arbitrary `documents`-shaped
+    * DataFrame: (doc_id, s0..s7) via the codegen'd expression. All narrow
+    * per-row ops, so it runs UNCHANGED on a streaming scan —
+    * `StreamingParitySpec`'s d17 twin runs the increment side of the
+    * incremental dedup as a stream against the static base. (The batch
+    * path adds a persist, which a streaming plan must not.) */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), split(trim(col("text")), Tok.Ws).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), graft.functions.MinHashSigs(col("w")).as("sig"))
+    sig.select((col("doc_id") +:
+      (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"s$j"))): _*)
   }
 
   /** Jaccard-verified near-dup pairs (doc_a, doc_b, jaccard >= 0.2),

@@ -234,6 +234,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("s14: rerank stage broadcasts the candidate-id set — no corpus exchange") {
+    val p = plan("s14_pq_rerank")
+    assert(p.contains("Broadcast"), "candidate ids + query vectors must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // stage 2 must probe the vector scan with the broadcast top-20 set; a
+    // SortMergeJoin would mean the corpus was exchanged to fetch vectors
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d17: incremental dedup joins are equi-joins; signatures codegen'd") {
+    val p = plan("d17_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("minhash_sigs"),
+      "near stage must reuse the codegen'd signature expression")
+  }
+
+  test("c10: temperature mix is two scans — stats agg partials + broadcast-rate gate") {
+    val p = plan("c10_temperature_mix")
+    assert(p.contains("partial"), "per-source token sums must partial-aggregate")
+    assert(!p.contains("SortMergeJoin"),
+      "the rates table must broadcast to the gate scan, never shuffle-join")
+    // (the 1-row totals table legitimately joins as a broadcast NLJ —
+    // same documented shape as c04's)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")

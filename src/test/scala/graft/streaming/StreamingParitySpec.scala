@@ -197,6 +197,73 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming shipped ${streamed.length} spans vs batch ${batch.size}")
   }
 
+  test("incremental dedup runs as a stream: static-base hits reproduce batch d17") {
+    // d17's production mode is CONTINUOUS ingest: the increment arrives as
+    // a stream and joins the STATIC base ledger (fingerprints + LSH
+    // bands + signatures) — both stages are stream-static equi-joins, so
+    // the plan is append-mode with zero streaming state. The streamed hit
+    // set, reduced by d17's verdict rules (exact > near, min base match),
+    // must reproduce the batch operator's verdict for every increment doc.
+    import graft.ext.Dedup
+    val batch = Dedup.queries("d17_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val isNew = col("doc_id") % 10 === 7
+    val docs = Tables.documents(spark, sf)
+    val P = Dedup.MinhashP
+    def bandsOf(sigs: DataFrame, idAs: String) = {
+      val bandCols = (0 until 4).map(b => struct(
+        lit(b).as("bi"), (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("bk")))
+      sigs.filter(col("s0") =!= Long.MaxValue)
+        .select((col("doc_id").as(idAs) +: explode(array(bandCols: _*)).as("band") +:
+          (0 until 8).map(j => col(s"s$j"))): _*)
+        .select((col(idAs) +: col("band.bi") +: col("band.bk") +:
+          (0 until 8).map(j => col(s"s$j"))): _*)
+    }
+    // the static base ledger a real pipeline maintains between ingests
+    val baseFp = docs.filter(!isNew)
+      .select(md5(col("text").cast("binary")).as("fp"), col("doc_id").as("oid"))
+    val baseBands = bandsOf(Dedup.sigsOf(docs.filter(!isNew)), "oid")
+      .withColumnsRenamed((0 until 8).map(j => s"s$j" -> s"t$j").toMap)
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-incr").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val inc = spark.readStream.schema(schema).parquet(docsDir).filter(isNew)
+    val exactHits = inc
+      .select(col("doc_id").as("nid"), md5(col("text").cast("binary")).as("fp"))
+      .join(baseFp, "fp")
+      .select(col("nid"), col("oid"), lit("exact").as("kind"))
+    val agree = (0 until 8)
+      .map(j => when(col(s"s$j") === col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
+    val nearHits = bandsOf(Dedup.sigsOf(inc), "nid")
+      .join(baseBands, Seq("bi", "bk"))
+      .filter(agree >= 4)
+      .select(col("nid"), col("oid"), lit("near").as("kind"))
+    val q = exactHits.union(nearHits).writeStream.outputMode("append")
+      .format("memory").queryName("parity_incr")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_incr did not finish within 120 s")
+    // batch epilogue (in production a foreachBatch upsert into the ledger):
+    // reduce hits to d17's per-doc verdict
+    val hits = spark.table("parity_incr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = hits.groupBy(_._1)
+    val streamedVerdicts = docs.filter(isNew).select("doc_id").collect()
+      .map(_.getLong(0)).map { id =>
+        byDoc.get(id) match {
+          case Some(hs) if hs.exists(_._3 == "exact") =>
+            (id, "exact_dup", Some(hs.filter(_._3 == "exact").map(_._2).min))
+          case Some(hs) => (id, "near_dup", Some(hs.map(_._2).min))
+          case None => (id, "kept", None)
+        }
+      }.toSet
+    assert(streamedVerdicts == batch,
+      s"stream ${streamedVerdicts.size} verdicts != batch ${batch.size}")
+  }
+
   test("curation hash gates are streaming-safe: c01 selection equals batch") {
     // narrow per-row hash gates (sampling, split assignment) run unchanged
     // on a stream — no state, no watermark, selection identical to batch
