@@ -561,6 +561,138 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // PQ with LEARNED codebooks — the training step s11's scaladoc
+    // defers to ("production uses codebooks trained with the Lloyd
+    // shape"): per SUBSPACE, 3 rounds of k-means over the corpus's 8-dim
+    // subvectors, then s11's ADC search with the TRAINED codebook and
+    // recall@5 vs s01. This is FAISS's IndexPQ train()+search(): k-means
+    // in each subspace independently, codes = per-subspace argmin cells.
+    //
+    // Shape: the corpus rides in the LONG subspace form — 8 NARROW rows
+    // per vector (vec_id, m, 8-dim slice) from one generator — and joins
+    // the 8-row broadcast codebook on `m`, so each row scores only its
+    // own subspace's 8 entries: 8 materialized distance columns + one
+    // argmin when-chain, all inside whole-stage codegen. (The wide form —
+    // 64 distance columns over 8 codebook arrays in one fused stage —
+    // blew janino's 64 KB method limit and silently fell back to
+    // interpreted; the long form is both compiled AND narrower in
+    // flight.) Training rounds never aggregate per vector: the argmin
+    // rows posexplode straight into s12's fixed-point (m, cell, dim)
+    // partial sums — per round ONE corpus scan whose only exchange is
+    // 512 integer partials per input partition, with the 64-row cell
+    // table persisted between rounds. The final encode is the one place
+    // a per-vector row is rebuilt: codes collapse map-side via
+    // collect_list to a single 8-struct row per vector before the
+    // exchange. Search side is s11's: dense 64-entry per-query tables
+    // broadcast (vanished cells hold +inf and are unreachable by any
+    // code), in-order ADC fold, salted top-5, recall@5 vs s01.
+    //
+    // Measured at sf0.01, honestly: mean recall@5 0.20 vs 0.32 from the
+    // seed codebooks — on these NEAR-UNIFORM synthetic vectors, training
+    // HURTS. K-means on structure-less data contracts every centroid
+    // toward the subspace mean, shrinking the distance-table dynamic
+    // range until ADC ranking is mostly quantization noise; the seed
+    // codebook (real corpus vectors) keeps more spread. The operator
+    // proves the train+encode+search machinery end-to-end; the measured
+    // lesson is that codebook training pays off only when the data has
+    // cluster structure — which real embedding corpora do and this
+    // synthetic one deliberately does not.
+    "s15_pq_trained" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      def subv(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
+      // long subspace form: (vec_id, m, sv[8]) — 8 narrow rows per vector
+      val eSub = e.select($"vec_id", explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), subv($"v", m).as("sv"))): _*)).as("a"))
+        .select($"vec_id", $"a.m".as("m"), $"a.sv".as("sv"))
+      // codebook: 8-row table (m, ents: array<(cell, cv, csn)> by cell);
+      // csn is the in-order self-dot both engines' norm-expansion reuses
+      val cb0 = e.filter($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cell"), explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), subv($"v", m).as("cv"))): _*)).as("a"))
+        .select($"cell", $"a.m".as("m"), $"a.cv".as("cv"))
+        .withColumn("csn", dot($"cv", $"cv"))
+        .groupBy($"m")
+        .agg(sort_array(collect_list(struct($"cell", $"cv", $"csn"))).as("ents"))
+      // per-(vec, m) argmin against the row's own subspace entries: the 8
+      // norm-expansion distances land as real columns (s12's lesson),
+      // ties go to the lowest position = lowest cell (the sort order)
+      def assignLong(cb: DataFrame): DataFrame = {
+        val p0 = eSub.join(broadcast(cb), Seq("m"))
+          .withColumn("xsn", dot($"sv", $"sv"))
+        val dCols = (0 until 8).map { k =>
+          val ent = element_at($"ents", k + 1)
+          when(lit(k) < size($"ents"),
+            $"xsn" - lit(2.0) * dot($"sv", ent.getField("cv")) + ent.getField("csn"))
+            .otherwise(lit(Double.PositiveInfinity)).as(s"d$k")
+        }
+        val p1 = p0.select(Seq($"vec_id", $"m", $"sv", $"ents") ++ dCols: _*)
+        val ds = (0 until 8).map(k => col(s"d$k"))
+        val bm = least(ds: _*)
+        val cellCol = (0 until 8).foldRight(lit(-1)) { (k, els) =>
+          when(ds(k) === bm, element_at($"ents", k + 1).getField("cell")).otherwise(els)
+        }
+        p1.select($"vec_id", $"m", $"sv", cellCol.as("cell"))
+      }
+      // one Lloyd round: argmin rows → fixed-point per-(m, cell, dim)
+      // partial sums → next 64-entry codebook (8 rows, persisted)
+      def step(cb: DataFrame): DataFrame = assignLong(cb)
+        .select($"m", $"cell", posexplode($"sv").as(Seq("dim", "x")))
+        .select($"m", $"cell", $"dim", round($"x" * lit(1e6)).cast("long").as("fx"))
+        .groupBy($"m", $"cell", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"fx").as("sfx"))
+        .select($"m", $"cell", $"dim",
+          round($"sfx".cast("double") / ($"n" * lit(1e6)), 6).as("mean"))
+        .groupBy($"m", $"cell")
+        .agg(transform(sort_array(collect_list(struct($"dim", $"mean"))),
+          x => x.getField("mean")).as("cv"))
+        .withColumn("csn", dot($"cv", $"cv"))
+        .groupBy($"m")
+        .agg(sort_array(collect_list(struct($"cell", $"cv", $"csn"))).as("ents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb3 = step(step(step(cb0)))
+      // encode with the trained codebook — the one per-vector collapse:
+      // collect_list partial-aggregates map-side, so the exchange carries
+      // one 8-struct row per vector, not 8 rows
+      val enc = assignLong(cb3)
+        .groupBy($"vec_id")
+        .agg(transform(sort_array(collect_list(struct($"m", $"cell"))),
+          x => x.getField("cell")).as("code"))
+      // per-query dense 64-entry table, flat-indexed by m*8 + cell
+      val qrows = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), subv($"v", m).as("qsv"))): _*)).as("a"))
+        .select($"query_id", $"a.m".as("m"), $"a.qsv".as("qsv"))
+      val qt = qrows.join(broadcast(cb3), Seq("m"))
+        .select($"query_id", $"m", transform(sequence(lit(0), lit(7)), c => {
+          val ent = element_at(filter($"ents", x => x.getField("cell") === c), 1)
+          when(ent.isNotNull,
+            dot($"qsv", $"qsv") - lit(2.0) * dot($"qsv", ent.getField("cv"))
+              + ent.getField("csn"))
+            .otherwise(lit(Double.PositiveInfinity))
+        }).as("tqm"))
+        .groupBy($"query_id")
+        .agg(flatten(transform(sort_array(collect_list(struct($"m", $"tqm"))),
+          x => x.getField("tqm"))).as("tq"))
+      val cand = enc.join(broadcast(qt), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(7)), lit(0.0),
+            (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
+            .as("adc"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"adc", $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      exact.join(broadcast(approx),
+          $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
+        .orderBy($"query_id")
+    },
+
     // Two-stage retrieval (candidate generation → exact rerank) — the
     // production serving pattern that closes the recall gap quantization
     // opens: stage 1 scans only the 8-byte PQ codes (s11's ADC, shared
@@ -625,43 +757,77 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d)
       def subv(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
+      // entries carry the full vector (coarse cosines), per-subspace
+      // self-dots, AND the pre-sliced subvectors — slicing the 8 rows
+      // once here keeps 64 slice() loops out of the fused corpus stage
+      // (part of holding its generated code under the method limit)
       val cb = e.filter($"vec_id" < 8)
         .select($"vec_id", $"v", dot($"v", $"v").as("cnrm"),
-          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"))
+          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"),
+          array((0 until 8).map(m => subv($"v", m)): _*).as("svs"))
         .agg(sort_array(collect_list(struct(
-          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn"))).as("cb"))
+          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn", $"svs")))
+          .as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def cbe(i: Int): Column = element_at($"cb", i + 1)
-      // corpus encode: norms + per-subspace self-dots first, then the 8
-      // coarse cosines and 64 subspace distances as real columns, then the
-      // argmax cell + argmin code when-chains over plain attributes
+      // corpus encode: subvector slices land as real columns first, then
+      // norms + per-subspace self-dots, then the 8 coarse cosines and 64
+      // subspace distances, then the per-chain best values, and ONLY then
+      // the argmax/argmin when-chains — each projection references plain
+      // attributes of the previous one. This staging is what keeps every
+      // generated method under janino's 64 KB limit: with slices and
+      // best-values inlined, the fused stage failed to compile and the
+      // whole corpus pass silently ran interpreted. No per-entry size
+      // guards: the codebook is the fixed 8 seed vectors (vec_id < 8),
+      // it cannot shrink — unlike s15's trained codebook, which can.
+      // KNOWN LIMIT, measured: this stage's 72 distance expressions +
+      // two argmin/argmax chains exceed whole-stage fusion's 64 KB
+      // method budget no matter how the operators are staged, so Spark
+      // logs one "codegen disabled" for it and runs the stage with
+      // PER-OPERATOR codegen instead (each projection below compiles on
+      // its own — verified; only the fusion attempt fails). The staging
+      // here still matters: it is what keeps each individual operator
+      // compilable. s15's long subspace form — 8 narrow rows per vector,
+      // 8 distances per row — is the shape that stays fully fused, and
+      // at production codebook widths (256 entries) it is the only
+      // option; s13 keeps the wide form because its fixed 8-seed
+      // codebook pairs cell + code in one pass with zero exchanges.
       val p0 = e.crossJoin(broadcast(cb)).select(
+        Seq($"vec_id", $"v", $"cb") ++
+          (0 until 8).map(m => subv($"v", m).as(s"sv$m")): _*)
+      val p0b = p0.select(
         Seq($"vec_id", $"v", $"cb", dot($"v", $"v").as("nrm")) ++
-          (0 until 8).map(m => dot(subv($"v", m), subv($"v", m)).as(s"xsn$m")): _*)
+          (0 until 8).map(m => col(s"sv$m")) ++
+          (0 until 8).map(m => dot(col(s"sv$m"), col(s"sv$m")).as(s"xsn$m")): _*)
       val ccCols = (0 until 8).map { i =>
-        when(lit(i) < size($"cb"),
-          cosineWithNorms($"v", cbe(i).getField("cv"), $"nrm", cbe(i).getField("cnrm")))
-          .otherwise(lit(Double.NegativeInfinity)).as(s"cc$i")
+        cosineWithNorms($"v", cbe(i).getField("cv"), $"nrm", cbe(i).getField("cnrm"))
+          .as(s"cc$i")
       }
       val dCols = for { m <- 0 until 8; c <- 0 until 8 } yield
-        when(lit(c) < size($"cb"),
-          col(s"xsn$m") - lit(2.0) * dot(subv($"v", m), subv(cbe(c).getField("cv"), m))
-            + element_at(cbe(c).getField("csn"), m + 1))
-          .otherwise(lit(Double.PositiveInfinity)).as(s"d${m}_$c")
-      val p1 = p0.select(Seq($"vec_id", $"cb") ++ ccCols ++ dCols: _*)
+        (col(s"xsn$m") - lit(2.0) * dot(col(s"sv$m"),
+            element_at(cbe(c).getField("svs"), m + 1))
+          + element_at(cbe(c).getField("csn"), m + 1)).as(s"d${m}_$c")
+      val p1 = p0b.select(Seq($"vec_id", $"cb") ++ ccCols ++ dCols: _*)
       val ccs = (0 until 8).map(i => col(s"cc$i"))
-      val bestC = greatest(ccs: _*)
-      val cellCol = (0 until 8).foldRight(lit(-1)) { (i, els) =>
-        when(ccs(i) === bestC, cbe(i).getField("cell")).otherwise(els)
-      }
+      val bests = greatest(ccs: _*).as("bc") +: (0 until 8).map(m =>
+        least((0 until 8).map(c => col(s"d${m}_$c")): _*).as(s"bm$m"))
+      val p2 = p1.select(Seq($"vec_id", $"cb") ++ ccs ++
+        (for { m <- 0 until 8; c <- 0 until 8 } yield col(s"d${m}_$c")) ++ bests: _*)
+      // coalesce makes the chain NON-NULLABLE (element_at is type-nullable
+      // even though i < 8 can never miss an 8-entry list): without it the
+      // downstream equi-join on `cell` infers isnotnull(cell), and
+      // predicate pushdown substitutes the ENTIRE when-chain into the
+      // broadcast-join condition — the duplicated expression blew janino's
+      // 64 KB method limit and the whole encode stage ran interpreted
+      val cellCol = coalesce((0 until 8).foldRight(lit(-1)) { (i, els) =>
+        when(ccs(i) === $"bc", cbe(i).getField("cell")).otherwise(els)
+      }, lit(-1))
       val codeCols = (0 until 8).map { m =>
-        val ds = (0 until 8).map(c => col(s"d${m}_$c"))
-        val bm = least(ds: _*)
         (0 until 8).foldRight(lit(-1)) { (c, els) =>
-          when(ds(c) === bm, cbe(c).getField("cell")).otherwise(els)
+          when(col(s"d${m}_$c") === col(s"bm$m"), cbe(c).getField("cell")).otherwise(els)
         }
       }
-      val enc = p1.select($"vec_id", cellCol.as("cell"), array(codeCols: _*).as("code"))
+      val enc = p2.select($"vec_id", cellCol.as("cell"), array(codeCols: _*).as("code"))
       // query side: probe ranking + flat ADC tables (5 rows — HOFs fine)
       val qs = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
         .withColumn("nrm", dot($"v", $"v"))
@@ -1079,6 +1245,76 @@ object Similarity {
            |FROM exact x LEFT JOIN approx a
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    // per-subspace 3-round Lloyd as CTE rounds (s12's replay pattern with
+    // an extra m dimension; codebook as a (m, cell, cv) TABLE), then
+    // s11's ADC tail over a dense (m, cell) distance grid — vanished
+    // cells hold +inf and are unreachable by any code
+    "s15_pq_trained" -> {
+      def d2q(v: String, cv: String, m: String) = {
+        val sv = s"$v[($m*8+1)::INT:($m*8+8)::INT]"
+        s"list_dot_product($sv, $sv) - 2*list_dot_product($sv, $cv) + list_dot_product($cv, $cv)"
+      }
+      def roundCtes(r: Int, prev: String): String =
+        raw"""a$r AS (SELECT vec_id, m, cell FROM (
+             |    SELECT e.vec_id, c.m, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+             |        ORDER BY ${d2q("e.v", "c.cv", "c.m")}, c.cell) AS rn
+             |    FROM e CROSS JOIN $prev c) s WHERE rn = 1),
+             |f$r AS (SELECT a.m, a.cell, t.dim,
+             |    CAST(round(e.v[(a.m*8 + t.dim)::INT] * 1000000.0) AS BIGINT) AS fx
+             |  FROM a$r a JOIN e USING (vec_id) CROSS JOIN dims t),
+             |g$r AS (SELECT m, cell, dim, COUNT(*) AS n, SUM(fx) AS sfx
+             |  FROM f$r GROUP BY m, cell, dim),
+             |cb$r AS (SELECT m, cell,
+             |    list(round(CAST(sfx AS DOUBLE) / (n * 1000000.0), 6) ORDER BY dim) AS cv
+             |  FROM g$r GROUP BY m, cell)""".stripMargin
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ms AS (SELECT unnest(range(0, 8)) AS m),
+           |dims AS (SELECT unnest(range(1, 9)) AS dim),
+           |cb0 AS (SELECT m, CAST(vec_id AS INT) AS cell,
+           |    v[(m*8+1)::INT:(m*8+8)::INT] AS cv
+           |  FROM e CROSS JOIN ms WHERE vec_id < 8),
+           |${roundCtes(1, "cb0")},
+           |${roundCtes(2, "cb1")},
+           |${roundCtes(3, "cb2")},
+           |codes AS (SELECT vec_id, list(cell ORDER BY m) AS code FROM (
+           |    SELECT e.vec_id, c.m, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+           |        ORDER BY ${d2q("e.v", "c.cv", "c.m")}, c.cell) AS rn
+           |    FROM e CROSS JOIN cb3 c) s WHERE rn = 1 GROUP BY vec_id),
+           |grid AS (SELECT m.m, c.cell FROM ms m
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cell) c),
+           |tqd AS (SELECT q.vec_id AS query_id, g.m, g.cell,
+           |    CASE WHEN c.cell IS NOT NULL THEN ${d2q("q.v", "c.cv", "g.m")}
+           |         ELSE 'infinity'::DOUBLE END AS d2
+           |  FROM (SELECT vec_id, v FROM e WHERE $SqlQueryPred) q
+           |  CROSS JOIN grid g
+           |  LEFT JOIN cb3 c ON c.m = g.m AND c.cell = g.cell),
+           |tqf AS (SELECT query_id, list(d2 ORDER BY m, cell) AS tq
+           |  FROM tqd GROUP BY query_id),
+           |sc AS (SELECT query_id, vec_id,
+           |    list_sum(list_transform(range(0, 8),
+           |      m -> tq[(m*8 + code[m+1] + 1)::INT])) AS adc
+           |  FROM (SELECT t.query_id, c.vec_id, t.tq, c.code
+           |        FROM codes c CROSS JOIN tqf t WHERE c.vec_id <> t.query_id)),
+           |ar AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |approx AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+    },
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

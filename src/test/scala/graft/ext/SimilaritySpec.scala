@@ -80,6 +80,21 @@ class SimilaritySpec extends SparkSuite {
       s"rerank added nothing: rr=$rr adc=$adc")
   }
 
+  test("s15: trained-codebook ADC report is well-formed; codes stay in range") {
+    // the recall VALUE is the oracle's job (and is a measured negative
+    // result on this synthetic data — see the scaladoc); here we pin the
+    // report structure: every query exactly once, recall consistent with
+    // its own hit count
+    val sf = "/root/testdata/sf0.01"
+    val r = Similarity.queries("s15_pq_trained")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toList
+    assert(r.map(_._1) == List(0L, 1L, 2L, 3L, 4L))
+    r.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 5, s"query $q n_hits $h out of range")
+      assert(math.abs(rec - h / 5.0) < 1e-9, s"query $q recall $rec != $h/5")
+    }
+  }
+
   test("s12: Lloyd rounds converge — centroid movement shrinks every round") {
     val sf = "/root/testdata/sf0.01"
     val rows = Similarity.queries("s12_kmeans_lloyd3")(spark, sf).collect()
