@@ -116,6 +116,40 @@ object Multimodal {
         .select($"doc_id".as("media_id"), $"source".as("kind"),
           $"text".cast("binary").as("content"))
       sampleFrames(s, media).orderBy($"media_id")
+    },
+
+    // Media near-dup via perceptual hash — the image-dedup pipeline shape
+    // (pHash/dHash + bucketed pairing) through the SAME typed
+    // mapPartitions decode plumbing as m01: blobs → stub features → a
+    // 16-bit signature (4 bits per feature) → d04's VALUE-SPACE Hamming
+    // pairing (the ≤2^16 distinct (kind, phash) values pair in value
+    // space, never the media rows) → expand back to media pairs with two
+    // equi-joins. At 100 TB the blobs are decoded once in the feature
+    // pass, the pairing input is one 2-byte signature per blob, and the
+    // quadratic is bounded by the value-space size — swap decodeStub for
+    // a real decoder + DCT and this IS production image dedup.
+    "m03_media_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          $"text".cast("binary").as("content"))
+      val ph = extractFeatures(s, media)
+        .select($"media_id", $"kind",
+          (($"f0" % 16) + ($"f1" % 16) * 16 + ($"f2" % 16) * 256
+            + ($"f3" % 16) * 4096).cast("bigint").as("phash"))
+      val vals = ph.select($"kind", $"phash").distinct()
+      val vp = vals.as("va").join(vals.as("vb"),
+          col("va.kind") === col("vb.kind") &&
+            bit_count(col("va.phash").bitwiseXOR(col("vb.phash"))) <= 2)
+        .select(col("va.kind").as("vk"),
+          col("va.phash").as("ha"), col("vb.phash").as("hb"))
+      vp.join(ph.as("x"), $"vk" === col("x.kind") && $"ha" === col("x.phash"))
+        .join(ph.as("y"), $"vk" === col("y.kind") && $"hb" === col("y.phash")
+          && col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+          $"vk".as("kind"),
+          bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("hamming"))
+        .orderBy($"media_a", $"media_b")
     }
   )
 
@@ -129,6 +163,26 @@ object Multimodal {
            |  CAST(length(text) AS BIGINT) AS n_bytes,
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
            |FROM documents ORDER BY media_id""".stripMargin
+    },
+
+    // same stub features as m01, folded to the 16-bit signature; the
+    // oracle pairs directly (the semantic spec) — the Spark side's
+    // value-space pairing is plan shape, not semantics
+    "m03_media_phash_dedup" -> {
+      def f(j: Int) =
+        s"CAST(list_sum(list_transform(range(1, length(text) + 1), i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS f$j"
+      raw"""WITH feats AS (SELECT doc_id AS media_id, source AS kind,
+           |    ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |  FROM documents),
+           |ph AS (SELECT media_id, kind,
+           |    CAST(f0 % 16 + (f1 % 16) * 16 + (f2 % 16) * 256 + (f3 % 16) * 4096
+           |      AS BIGINT) AS phash
+           |  FROM feats)
+           |SELECT x.media_id AS media_a, y.media_id AS media_b, x.kind AS kind,
+           |  CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+           |FROM ph x JOIN ph y ON x.kind = y.kind AND x.media_id < y.media_id
+           |WHERE bit_count(xor(x.phash, y.phash)) <= 2
+           |ORDER BY media_a, media_b""".stripMargin
     },
 
     // resize = prefix-truncate to 64 bytes; frames = bytes 0,4,8,… of the

@@ -35,6 +35,30 @@ class MultimodalSpec extends SparkSuite {
       (2L, "audio", 2L, 'z'.toLong, 'z'.toLong)))
   }
 
+  test("m03: identical blobs pair at Hamming 0; cross-kind pairs never form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant two identical image blobs, one near blob (same phash nibbles
+    // except one feature), and an identical AUDIO blob that must NOT pair
+    // with the images despite an equal hash
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Seq(
+      (1L, "aaaabbbb", "en", "image"),
+      (2L, "aaaabbbb", "en", "image"),   // exact dup of 1
+      (3L, "aaaabbbb", "en", "audio"),   // same bytes, different kind
+      (4L, "zzzz", "en", "image"))       // distant
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.queries("m03_media_phash_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toList
+    assert(rows.contains((1L, 2L, "image", 0)), s"missing exact pair: $rows")
+    rows.foreach { case (a, b, _, h) =>
+      assert(Set(a, b).intersect(Set(3L)).isEmpty, s"cross-kind pair leaked: $rows")
+      assert(h >= 0 && h <= 2)
+    }
+  }
+
   test("m01 query runs over the harness documents table") {
     val df = Multimodal.queries("m01_media_features")(spark, "/root/testdata/sf0.001")
     val rows = df.limit(5).collect()
