@@ -56,6 +56,29 @@ object Curation {
     * future explicit eval table swap. */
   def isEvalDoc(id: Column): Column = id % 10 === 0
 
+  /** c09's quality + language-agreement gate stage (the same shared
+    * column definitions t02/t03 audit), factored so the full build (c09)
+    * and the incremental build (c11) can never drift apart. In:
+    * documents-shaped rows; out: (doc_id, source, lang, quality, text)
+    * for docs passing quality >= 0.5 AND predicted == lang. Narrow
+    * per-row ops only. */
+  private def gateStage(docs: DataFrame): DataFrame = docs
+    .withColumn("w", split(trim(col("text")), Tok.Ws))
+    .withColumn("n_tokens", size(col("w")))
+    .withColumn("punct_cnt", TextAnalysis.punctCol(col("text")))
+    .withColumn("en_hits", TextAnalysis.hitsCol(col("w"), "en"))
+    .withColumn("de_hits", TextAnalysis.hitsCol(col("w"), "de"))
+    .withColumn("es_hits", TextAnalysis.hitsCol(col("w"), "es"))
+    .withColumn("fr_hits", TextAnalysis.hitsCol(col("w"), "fr"))
+    .withColumn("quality",
+      TextAnalysis.qualityCol(col("text"), col("n_tokens"),
+        col("punct_cnt"), col("en_hits")))
+    .withColumn("predicted",
+      TextAnalysis.predictedCol(col("en_hits"), col("de_hits"),
+        col("es_hits"), col("fr_hits")))
+    .filter(col("quality") >= 0.5 && col("predicted") === col("lang"))
+    .select(col("doc_id"), col("source"), col("lang"), col("quality"), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
@@ -290,21 +313,36 @@ object Curation {
     // a realistic ~20% high-quality cut).
     "c09_corpus_build" -> { (s, d) =>
       import s.implicits._
-      val docs = Dedup.repsOnly(Tables.documents(s, d))
-        .withColumn("w", split(trim($"text"), Tok.Ws))
-        .withColumn("n_tokens", size($"w"))
-        .withColumn("punct_cnt", TextAnalysis.punctCol($"text"))
-        .withColumn("en_hits", TextAnalysis.hitsCol($"w", "en"))
-        .withColumn("de_hits", TextAnalysis.hitsCol($"w", "de"))
-        .withColumn("es_hits", TextAnalysis.hitsCol($"w", "es"))
-        .withColumn("fr_hits", TextAnalysis.hitsCol($"w", "fr"))
-        .withColumn("quality",
-          TextAnalysis.qualityCol($"text", $"n_tokens", $"punct_cnt", $"en_hits"))
-        .withColumn("predicted",
-          TextAnalysis.predictedCol($"en_hits", $"de_hits", $"es_hits", $"fr_hits"))
-        .filter($"quality" >= 0.5 && $"predicted" === $"lang")
-        .select($"doc_id", $"source", $"lang", $"quality", $"text")
-      Dedup.spanCleaned(docs)
+      Dedup.spanCleaned(gateStage(Dedup.repsOnly(Tables.documents(s, d))))
+        .select($"doc_id", $"source", $"lang", round($"quality", 6).as("quality"),
+          $"n_chunks", $"kept_chunks", $"cleaned_text")
+        .orderBy($"doc_id")
+    },
+
+    // The INCREMENTAL corpus build — c09's nightly form, composing three
+    // audited operators end-to-end on the arriving slice only:
+    // (1) d17's batch-vs-base dedup verdicts gate the increment (exact +
+    // near dups of already-ingested docs drop; the base is NEVER
+    // re-processed); (2) c09's quality + language-agreement gates run on
+    // the survivors; (3) span dedup ships a chunk iff the BASE chunk
+    // ledger has never seen its hash AND it is the first occurrence
+    // within tonight's increment (spanCleaned's external-ledger
+    // anti-join). At 100 TB the nightly cost follows the increment:
+    // the base contributes its fingerprint/band/chunk-hash ledgers —
+    // maintained sidecars, 16-byte keys — and none of its text ever
+    // moves. Output = c09's shape for the shipped increment docs
+    // (kept_chunks = 0 means the doc survived dedup+gates but every
+    // span was already in the corpus — a row the ingest log wants).
+    "c11_incremental_build" -> { (s, d) =>
+      import s.implicits._
+      val docsAll = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 7
+      val kept1 = Dedup.queries("d17_incremental_dedup")(s, d)
+        .filter($"verdict" === "kept").select($"doc_id")
+      val inc = docsAll.join(kept1, Seq("doc_id"), "leftsemi")
+      val ledger = Dedup.chunkHashesOf(docsAll.filter(!isNew))
+        .select($"h").distinct()
+      Dedup.spanCleaned(gateStage(inc), excludeHashes = Some(ledger))
         .select($"doc_id", $"source", $"lang", round($"quality", 6).as("quality"),
           $"n_chunks", $"kept_chunks", $"cleaned_text")
         .orderBy($"doc_id")
@@ -389,6 +427,82 @@ object Curation {
            |  coalesce(string_agg(ctext, ' ' ORDER BY idx) FILTER (rn = 1), '') AS cleaned_text
            |FROM rn GROUP BY doc_id, source, lang, quality
            |ORDER BY doc_id""".stripMargin
+    },
+
+    // d17's dedup verdicts (exact fp + LSH/sig-agreement near) gate the
+    // increment, then c09's gate CTEs, then the span winners computed
+    // over instances NOT present in the base chunk ledger
+    "c11_incremental_build" -> {
+      val hits = Seq("en", "de", "es", "fr").map(l =>
+        s"CAST(len(list_filter(w, x -> x IN (${TextAnalysis.sqlList(TextAnalysis.Stop(l))}))) AS INTEGER) AS ${l}_hits")
+        .mkString(",\n    ")
+      val agree = (0 until 8).map(j =>
+        s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      raw"""WITH ${Dedup.sqlMinhashCtes},
+           |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+           |ex AS (SELECT n.doc_id FROM fp n JOIN fp o ON n.fp = o.fp
+           |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7 GROUP BY n.doc_id),
+           |cio AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+           |    AND a.band_key = b.band_key
+           |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+           |nr AS (SELECT nid AS doc_id FROM cio
+           |  JOIN sigs x ON nid = x.doc_id JOIN sigs y ON oid = y.doc_id
+           |  WHERE ($agree) >= 4 GROUP BY nid),
+           |keptids AS (SELECT d.doc_id FROM documents d
+           |  LEFT JOIN ex ON d.doc_id = ex.doc_id
+           |  LEFT JOIN nr ON d.doc_id = nr.doc_id
+           |  WHERE d.doc_id % 10 = 7 AND ex.doc_id IS NULL AND nr.doc_id IS NULL),
+           |t AS (SELECT d.doc_id, d.source, d.lang, d.text,
+           |    string_split_regex(trim(d.text), '[ \t\n\x0B\f\r]+') AS w
+           |  FROM documents d JOIN keptids k ON d.doc_id = k.doc_id),
+           |gc AS (SELECT doc_id, source, lang, text,
+           |    CAST(len(w) AS INTEGER) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS punct_cnt,
+           |    $hits
+           |  FROM t),
+           |g AS (SELECT doc_id, source, lang, text,
+           |    (CAST(en_hits AS DOUBLE) / n_tokens) * 0.4
+           |      + (1.0 - CAST(punct_cnt AS DOUBLE) / length(text)) * 0.3
+           |      + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3 AS quality,
+           |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |         WHEN es_hits >= fr_hits THEN 'es'
+           |         ELSE 'fr' END AS predicted
+           |  FROM gc),
+           |gd AS (SELECT doc_id, source, lang, quality, text FROM g
+           |  WHERE quality >= 0.5 AND predicted = lang),
+           |k2 AS (SELECT doc_id, source, lang, quality,
+           |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+           |  FROM gd
+           |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) > 0),
+           |ch AS (SELECT doc_id, source, lang, quality,
+           |    unnest(list_transform(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT)),
+           |      i -> struct_pack(idx := i,
+           |        ctext := array_to_string(list_slice(ws, (i*20 + 1)::INT, (i*20 + 20)::INT), ' ')))) AS c
+           |  FROM k2),
+           |ci AS (SELECT doc_id, source, lang, quality, CAST(c.idx AS INTEGER) AS idx,
+           |    c.ctext AS ctext, md5(c.ctext) AS h FROM ch),
+           |bw AS (SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+           |  FROM documents WHERE doc_id % 10 <> 7),
+           |bh AS (SELECT DISTINCT
+           |    unnest(list_transform(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT)),
+           |      i -> md5(array_to_string(list_slice(ws, (i*20 + 1)::INT, (i*20 + 20)::INT), ' ')))) AS h
+           |  FROM bw WHERE len(ws) > 0),
+           |fi AS (SELECT ci.doc_id, ci.idx, ci.h FROM ci
+           |  LEFT JOIN bh ON ci.h = bh.h WHERE bh.h IS NULL),
+           |wnr AS (SELECT doc_id, idx,
+           |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM fi),
+           |winners AS (SELECT doc_id, idx FROM wnr WHERE rn = 1)
+           |SELECT ci.doc_id, ci.source, ci.lang, round(ci.quality, 6) AS quality,
+           |  COUNT(*) AS n_chunks,
+           |  COUNT(winners.idx) AS kept_chunks,
+           |  coalesce(string_agg(ci.ctext, ' ' ORDER BY ci.idx)
+           |    FILTER (winners.idx IS NOT NULL), '') AS cleaned_text
+           |FROM ci LEFT JOIN winners
+           |  ON ci.doc_id = winners.doc_id AND ci.idx = winners.idx
+           |GROUP BY ci.doc_id, ci.source, ci.lang, ci.quality
+           |ORDER BY ci.doc_id""".stripMargin
     },
 
     "c01_stratified_sample" ->

@@ -166,7 +166,8 @@ object Dedup {
     * min(struct(doc_id, idx)) agg over 16-byte hashes — text never rides
     * a dedup shuffle; the only text exchange is the final doc_id-keyed
     * join that re-slices kept chunks. */
-  private[ext] def spanCleaned(docs: DataFrame): DataFrame = {
+  private[ext] def spanCleaned(
+      docs: DataFrame, excludeHashes: Option[DataFrame] = None): DataFrame = {
     val cw = 20
     val kept = docs
       .withColumn("ws", split(trim(col("text")), Tok.Ws))
@@ -175,9 +176,16 @@ object Dedup {
         sequence(lit(0L), ceil(size(col("ws")) / lit(cw.toDouble)).cast("long") - 1),
         i => concat_ws(" ", slice(col("ws"), (i * cw + 1).cast("int"), lit(cw)))))
       .drop("ws", "text")
-    val inst = kept
+    val inst0 = kept
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "ctext")))
       .select(col("doc_id"), col("idx"), md5(col("ctext").cast("binary")).as("h"))
+    // optional external ledger (a `h` column of already-shipped chunk
+    // hashes): instances whose span the ledger already holds can never
+    // win — c11's incremental build anti-joins the BASE corpus's chunk
+    // ledger here, so only never-seen spans ship. 16-byte-key anti-join;
+    // the text never rides it.
+    val inst = excludeHashes.fold(inst0)(ex =>
+      inst0.join(ex.select(col("h")), Seq("h"), "left_anti"))
     val winners = inst.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
       .select(col("w.doc_id").as("wdoc"), col("w.idx").as("widx"))
@@ -258,7 +266,7 @@ object Dedup {
 
   /** Shared oracle CTEs: words → raw shingles → hashes → signatures →
     * bands → candidate pairs (the SQL twin of minhashSigs + lshCandidates). */
-  private def sqlMinhashCtes: String = {
+  private[graft] def sqlMinhashCtes: String = {
     val sigCols = (0 until 8).map(j =>
       s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
     val bandSelects = (0 until 4).map(b =>

@@ -123,6 +123,35 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c11: planted increment — exact dup drops, shared span drops, novel span ships") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20-word chunks; 'the' every other word keeps the docs past the
+    // quality + language gates (en_hits/tokens = 0.5)
+    def c20(tag: String) =
+      (1 to 20).map(i => if (i % 2 == 0) "the" else s"$tag$i").mkString(" ")
+    val shared = c20("s"); val tailA = c20("a"); val novel = c20("n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-build").toString
+    Seq(
+      (2L, s"$shared $tailA", "en", "web"),  // base: owns the shared span
+      (7L, s"$shared $novel", "en", "web"),  // increment: 1 seen + 1 novel span
+      (17L, s"$shared $tailA", "en", "web")) // increment: exact dup of base 2
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: doc 7 must clear d17 (sharing ONE of two spans is
+    // below the near-dup signature-agreement bar) — assert, don't assume
+    val verdicts = Dedup.queries("d17_incremental_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts(17L) == "exact_dup", s"got $verdicts")
+    assert(verdicts(7L) == "kept", s"got $verdicts")
+    val rows = Curation.queries("c11_incremental_build")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getString(6))).toList
+    // only doc 7 ships; the base's span is excluded by the ledger, the
+    // novel span survives as the cleaned text
+    assert(rows == List((7L, 2L, 1L, novel)), s"got $rows")
+  }
+
   test("s04: refined means are finite and cells partition the vectors") {
     val rows = Similarity.queries("s04_kmeans_refine")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 8)
