@@ -261,6 +261,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("m03: phash pairing is value-space — no cartesian, signature pass narrow") {
+    val p = plan("m03_media_phash_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the only non-equi comparison runs over the distinct (kind, phash)
+    // values (a BNLJ over the tiny value set is acceptable, like d04's);
+    // media rows must only ever equi-join back on (kind, phash)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") == false)
+  }
+
+  test("c11: incremental build never moves base text — ledger joins are hash-keyed") {
+    val p = plan("c11_incremental_build")
+    assert(!p.contains("CartesianProduct"))
+    // the span-ledger exclusion must be an anti join on the 16-byte hash
+    assert(p.contains("LeftAnti"), "base chunk ledger must anti-join")
+  }
+
   test("t08: bigram scoring shingles via ShingleArr and two-phases the df count") {
     val p = plan("t08_bigram_fluency")
     assert(p.contains("shingle_arr"), "bigrams must come from the codegen'd expression")
