@@ -62,7 +62,7 @@ object Curation {
     * documents-shaped rows; out: (doc_id, source, lang, quality, text)
     * for docs passing quality >= 0.5 AND predicted == lang. Narrow
     * per-row ops only. */
-  private def gateStage(docs: DataFrame): DataFrame = docs
+  private[graft] def gateStage(docs: DataFrame): DataFrame = docs
     .withColumn("w", split(trim(col("text")), Tok.Ws))
     .withColumn("n_tokens", size(col("w")))
     .withColumn("punct_cnt", TextAnalysis.punctCol(col("text")))

@@ -264,6 +264,58 @@ class StreamingParitySpec extends SparkSuite {
       s"stream ${streamedVerdicts.size} verdicts != batch ${batch.size}")
   }
 
+  test("incremental corpus build runs as a stream: shipped spans equal batch c11") {
+    // c11's production mode: the increment streams through (1) a
+    // stream-static LEFT SEMI join against the dedup-verdict table (the
+    // d17 stage — its own streaming parity is proven above, and real
+    // pipelines gate ingest against exactly such a maintained table),
+    // (2) the narrow quality + language gates, (3) chunking, (4) a
+    // stream-static LEFT ANTI join against the base chunk ledger, and
+    // (5) within-increment span dedup via dropDuplicatesWithinWatermark.
+    // The shipped chunk-hash SET must equal the batch build's kept set
+    // (batch keeps exactly one instance per never-seen hash; which
+    // instance is arrival-order-dependent, as in the other span twins).
+    import graft.ext.{Curation, Dedup}
+    val isNew = col("doc_id") % 10 === 7
+    val docs = Tables.documents(spark, sf)
+    // batch reference: md5 every kept chunk of c11's cleaned output
+    val batch = Curation.queries("c11_incremental_build")(spark, sf)
+      .filter(col("kept_chunks") > 0)
+      .select(col("doc_id"), split(col("cleaned_text"), " ").as("ws"))
+      .select(explode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 20.0) AS INT) - 1),
+          |  i -> md5(CAST(concat_ws(' ', slice(ws, i * 20 + 1, 20)) AS BINARY)))"""
+          .stripMargin)).as("h"))
+      .collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty, "batch c11 shipped nothing at sf0.001")
+    val verdictTable = Dedup.queries("d17_incremental_dedup")(spark, sf)
+      .filter(col("verdict") === "kept").select("doc_id")
+    val ledger = Dedup.chunkHashesOf(docs.filter(!isNew)).select("h").distinct()
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-c11").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val inc = spark.readStream.schema(schema).parquet(docsDir).filter(isNew)
+      .join(verdictTable, Seq("doc_id"), "leftsemi")
+    val shipped = Dedup.chunkHashesOf(Curation.gateStage(inc))
+      .join(ledger, Seq("h"), "leftanti")
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2026-01-01 00:00:00')"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("h"))
+    val q = shipped.writeStream.outputMode("append")
+      .format("memory").queryName("parity_c11")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_c11 did not finish within 120 s")
+    val streamed = spark.table("parity_c11").collect().map(_.getString(0))
+    assert(streamed.length == streamed.toSet.size, "a span shipped twice")
+    assert(streamed.toSet == batch,
+      s"streaming shipped ${streamed.length} spans vs batch ${batch.size}")
+  }
+
   test("curation hash gates are streaming-safe: c01 selection equals batch") {
     // narrow per-row hash gates (sampling, split assignment) run unchanged
     // on a stream — no state, no watermark, selection identical to batch
