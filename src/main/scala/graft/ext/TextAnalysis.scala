@@ -274,6 +274,31 @@ object TextAnalysis {
           round(sum($"lg").cast("double") / count(lit(1)).cast("double"), 6)
             .as("mean_log2_df"))
         .orderBy($"doc_id")
+    },
+
+    // Per-source lexical-diversity census — the corpus-health dashboard
+    // numbers (Heaps-law style): total tokens, vocabulary size, hapax
+    // legomena (words seen exactly once), type-token ratio and hapax
+    // fraction. A boilerplate-flooded source shows a collapsing TTR; an
+    // OCR-noisy one shows a hapax fraction spiking toward 1 — the two
+    // cheap tripwires a data-quality monitor watches per ingest. All
+    // aggregates are exact integers until the two final divisions
+    // (engine-exact); the shuffle is the (source, word) wordcount —
+    // map-side combinable, keyed on the word like t07's vocab pass, so
+    // corpus text never moves and per-key width is bounded by the
+    // source count.
+    "t10_lexical_census" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.documents(s, d)
+        .select($"source", explode(split(trim($"text"), Tok.Ws)).as("wd"))
+        .groupBy($"source", $"wd").agg(count(lit(1)).as("f"))
+      c.groupBy($"source")
+        .agg(sum($"f").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when($"f" === 1, 1L).otherwise(0L)).as("hapax"))
+        .select($"source", $"n_tokens", $"vocab", $"hapax",
+          round($"vocab".cast("double") / $"n_tokens".cast("double"), 6).as("ttr"),
+          round($"hapax".cast("double") / $"vocab".cast("double"), 6).as("hapax_frac"))
+        .orderBy($"source")
     }
   )
 
@@ -288,6 +313,19 @@ object TextAnalysis {
            |  round(CAST(SUM(length(bin(df)) - 1) AS DOUBLE) / COUNT(*), 6) AS mean_log2_df
            |FROM sh JOIN df USING (s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t10_lexical_census" ->
+      raw"""WITH w AS (SELECT source,
+           |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS wd
+           |  FROM documents),
+           |c AS (SELECT source, wd, COUNT(*) AS f FROM w GROUP BY source, wd)
+           |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+           |  COUNT(*) AS vocab,
+           |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE), 6) AS ttr,
+           |  round(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac
+           |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "t07_oov_rate" ->
       raw"""WITH toks AS (SELECT source,
