@@ -80,6 +80,21 @@ class SimilaritySpec extends SparkSuite {
       s"rerank added nothing: rr=$rr adc=$adc")
   }
 
+  test("s16: SQ8's 64-byte codes beat PQ's 8-byte codes on recall — the ladder") {
+    val sf = "/root/testdata/sf0.01"
+    val sq8 = Similarity.queries("s16_sq8_search")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toList
+    assert(sq8.map(_._1) == List(0L, 1L, 2L, 3L, 4L))
+    val pq = Similarity.queries("s11_pq_adc_search")(spark, sf).collect()
+      .map(x => x.getDouble(2))
+    // 8x the code budget must not lose to the coarser quantizer in the
+    // aggregate (per-query ties are fine)
+    assert(sq8.map(_._2).sum >= pq.sum - 1e-9,
+      s"SQ8 ${sq8.map(_._2).sum} < PQ ${pq.sum}")
+    // and int8 should stay near-exact on this data
+    assert(sq8.map(_._2).sum / 5 >= 0.8, s"SQ8 mean recall collapsed: $sq8")
+  }
+
   test("s15: trained-codebook ADC report is well-formed; codes stay in range") {
     // the recall VALUE is the oracle's job (and is a measured negative
     // result on this synthetic data — see the scaladoc); here we pin the
