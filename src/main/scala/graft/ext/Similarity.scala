@@ -693,6 +693,33 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // Filtered (metadata-predicate) ANN — the production query every
+    // vector store names explicitly (FAISS IDSelector, pgvector WHERE,
+    // "pre-filtered search"): exact top-5 among only the corpus vectors
+    // whose metadata passes a predicate (label < 3 here). In an engine
+    // whose vectors live in parquet the filter is FREE: it pushes into
+    // the scan (PushedFilters, plan-guarded), so the search reads only
+    // qualifying row groups — no post-filtering a larger candidate set,
+    // no index-side selector plumbing. Ranking is s01's broadcast +
+    // salted two-phase top-k over the pruned scan. Queries come from the
+    // UNFILTERED table (a query needn't satisfy its own predicate).
+    "s17_ann_filtered" -> { (s, d) =>
+      import s.implicits._
+      val all = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val q = all.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val corpus = vectors(s, d).filter($"label" < 3)
+        .withColumn("nrm", dot($"v", $"v"))
+      val cand = corpus.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", $"label",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"cos".desc, $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+          round($"cos", 6).as("cos_sim"), $"rn")
+        .orderBy($"query_id", $"rn")
+    },
+
     // Scalar-quantized (int8) search — FAISS's SQ8: s05 defined the
     // encoding, this searches with it, completing the quantization
     // family's accuracy/size ladder (raw 512 B → SQ8 64 B → PQ 8 B per
@@ -1357,6 +1384,18 @@ object Similarity {
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
     },
+
+    "s17_ann_filtered" ->
+      raw"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |c AS (SELECT query_id, vec_id, label, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id
+           |  WHERE label < 3),
+           |r AS (SELECT query_id, vec_id, label, cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS INTEGER) AS rn
+           |  FROM c)
+           |SELECT query_id, vec_id AS neighbor_id, label, round(cos, 6) AS cos_sim, rn
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // quantized-cosine ranking: int8 dots are exact integers in doubles,
     // so no fold-order discipline is needed anywhere in this oracle

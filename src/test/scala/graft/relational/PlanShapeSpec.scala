@@ -261,6 +261,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s17: the metadata predicate reaches the parquet scan of the vector table") {
+    val p = plan("s17_ann_filtered")
+    assert(p.contains("LessThan(label,3)"),
+      "label filter must push into the parquet scan, not post-filter rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("m03: phash pairing is value-space — no cartesian, signature pass narrow") {
     val p = plan("m03_media_phash_dedup")
     assert(!p.contains("CartesianProduct"))
