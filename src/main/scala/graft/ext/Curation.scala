@@ -79,6 +79,15 @@ object Curation {
     .filter(col("quality") >= 0.5 && col("predicted") === col("lang"))
     .select(col("doc_id"), col("source"), col("lang"), col("quality"), col("text"))
 
+  /** c12's bottom-k core, parameterized by k: the k smallest salted
+    * content-stable hashes are a uniform sample, and samples of growing
+    * k NEST — `CurationSpec` proves sample(k) ⊆ sample(k') for k < k'. */
+  private[graft] def fixedSample(docs: DataFrame, k: Int): DataFrame = docs
+    .select(col("doc_id"), col("source"), col("lang"),
+      unitHash(col("doc_id"), salt = "fix").as("u"))
+    .orderBy(col("u"), col("doc_id"))
+    .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
@@ -176,6 +185,22 @@ object Curation {
         .agg(count(lit(1)).as("docs_kept"), sum($"tk").as("toks_kept"),
           round(max($"rate"), 6).as("rate"))
         .orderBy($"source")
+    },
+
+    // Fixed-SIZE reproducible sample — the complement of c01's rate
+    // gates: "give me exactly N documents" (an eval set, a labeling
+    // batch) with no rate arithmetic and full reproducibility. Bottom-k
+    // by salted content-stable hash: the k smallest hashes ARE a uniform
+    // sample, any engine re-derives the identical set, and two samples
+    // with k < k' nest (the bigger one contains the smaller — handy for
+    // growing an eval set without resampling). Plans as
+    // TakeOrderedAndProject (plan-guarded): per-partition heaps of k,
+    // no global sort — the same scale shape as q08's top-k.
+    "c12_fixed_sample" -> { (s, d) =>
+      import s.implicits._
+      fixedSample(Tables.documents(s, d), 100)
+        .select($"doc_id", $"source", $"lang", round($"u", 6).as("u"))
+        .orderBy($"doc_id")
     },
 
     // Temperature-based source mixing — the p_s ∝ n_s^τ rule every
@@ -578,6 +603,13 @@ object Curation {
            |FROM toks JOIN rates ON source = rsrc
            |WHERE (${sqlU28("doc_id", "mix")} / 268435456.0) < rate
            |GROUP BY source ORDER BY source""".stripMargin,
+
+    "c12_fixed_sample" ->
+      raw"""SELECT doc_id, source, lang, round(u, 6) AS u FROM (
+           |  SELECT doc_id, source, lang,
+           |    ${sqlU28("doc_id", "fix")} / 268435456.0 AS u
+           |  FROM documents ORDER BY u, doc_id LIMIT 100)
+           |ORDER BY doc_id""".stripMargin,
 
     "c10_temperature_mix" ->
       raw"""WITH toks AS (SELECT doc_id, source,

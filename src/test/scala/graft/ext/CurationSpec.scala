@@ -123,6 +123,15 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("c12: fixed-size samples are exact-size and NEST as k grows") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    def ids(k: Int) = Curation.fixedSample(docs, k)
+      .collect().map(_.getLong(0)).toSet
+    val s50 = ids(50); val s100 = ids(100)
+    assert(s50.size == 50 && s100.size == 100)
+    assert(s50.subsetOf(s100), "growing k must only ADD documents")
+  }
+
   test("c11: planted increment — exact dup drops, shared span drops, novel span ships") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -261,6 +261,11 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c12: fixed-size sample plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("c12_fixed_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("s17: the metadata predicate reaches the parquet scan of the vector table") {
     val p = plan("s17_ann_filtered")
     assert(p.contains("LessThan(label,3)"),
