@@ -276,6 +276,25 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Log-bucketed document-length histogram per source — the length
+    // DISTRIBUTION view every corpus dashboard has (truncation shows up
+    // as a hole in the high buckets; boilerplate as a spike in one
+    // bucket). Bucket = floor(log2(n_tokens)) via t08's binary-length
+    // trick, so the whole histogram is exact integer arithmetic — no
+    // float log whose last bit could differ between engines. One scan,
+    // map-side-combinable (source, bucket) partials; at 100 TB this is
+    // a free rider on any other per-doc pass.
+    "t11_length_histogram" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", size(split(trim($"text"), Tok.Ws)).cast("long").as("n"))
+        .withColumn("bucket", (length(conv($"n", 10, 2)) - 1).cast("long"))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"),
+          min($"n").as("min_tokens"), max($"n").as("max_tokens"))
+        .orderBy($"source", $"bucket")
+    },
+
     // Per-source lexical-diversity census — the corpus-health dashboard
     // numbers (Heaps-law style): total tokens, vocabulary size, hapax
     // legomena (words seen exactly once), type-token ratio and hapax
@@ -313,6 +332,15 @@ object TextAnalysis {
            |  round(CAST(SUM(length(bin(df)) - 1) AS DOUBLE) / COUNT(*), 6) AS mean_log2_df
            |FROM sh JOIN df USING (s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_length_histogram" ->
+      raw"""WITH t AS (SELECT source,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n
+           |  FROM documents)
+           |SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+           |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |  min(n) AS min_tokens, max(n) AS max_tokens
+           |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     "t10_lexical_census" ->
       raw"""WITH w AS (SELECT source,
