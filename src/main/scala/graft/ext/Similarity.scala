@@ -665,7 +665,10 @@ object Similarity {
         .select($"query_id", $"a.m".as("m"), $"a.qsv".as("qsv"))
       val qt = qrows.join(broadcast(cb3), Seq("m"))
         .select($"query_id", $"m", transform(sequence(lit(0), lit(7)), c => {
-          val ent = element_at(filter($"ents", x => x.getField("cell") === c), 1)
+          // try_element_at: a Lloyd round can empty a cell, leaving the
+          // filter empty; element_at would throw under ANSI mode before the
+          // isNotNull guard ran. try_element_at yields null → +inf branch.
+          val ent = try_element_at(filter($"ents", x => x.getField("cell") === c), lit(1))
           when(ent.isNotNull,
             dot($"qsv", $"qsv") - lit(2.0) * dot($"qsv", ent.getField("cv"))
               + ent.getField("csn"))

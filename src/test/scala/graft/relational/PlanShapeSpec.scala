@@ -279,7 +279,10 @@ class PlanShapeSpec extends SparkSuite {
     // the only non-equi comparison runs over the distinct (kind, phash)
     // values (a BNLJ over the tiny value set is acceptable, like d04's);
     // media rows must only ever equi-join back on (kind, phash)
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") == false)
+    assert(p.contains("BroadcastHashJoin"),
+      "media rows must equi-join back on (kind, phash) via broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "media rows must never sort-merge-join")
   }
 
   test("c11: incremental build never moves base text — ledger joins are hash-keyed") {
