@@ -47,20 +47,47 @@ object Bench {
     // projections in the measured plan (count() lets Catalyst drop them)
     // — the honest absolute total, at the cost of round comparability.
     val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
+    // reps > 1 takes the MIN per query across repetitions: the min is the
+    // least-polluted observation (first-run codegen/IO and stolen-CPU noise
+    // only ever ADD time), so committed artifacts become comparable across
+    // rounds. Default 1 keeps the driver's invocation unchanged.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    // process CPU time alongside wall time: cpu/wall per query exposes runs
+    // polluted by OTHER processes (wall stretches, our cpu doesn't) even
+    // when the pre-run load average looked clean — load_avg alone mis-
+    // flagged a fast run in round 7
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val cpu0 = cpuNanos()
+    val wall0 = System.nanoTime()
     // sorted name order: deterministic execution order keeps per-query
     // numbers comparable across rounds (Map order shifts as keys are added)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query records -1, NOT its time-to-failure: a breakage
-      // must stand out in the JSON, never read as a speedup
-      val ok =
-        try {
-          val df = fn(spark, sfDir)
-          if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
-          true
-        } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // must stand out in the JSON, never read as a speedup. Any failed
+      // rep fails the query — partial success must not read as a min.
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val df = fn(spark, sfDir)
+            if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
+            true
+          } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpu1 = cpuNanos()
+    // cpu_wall_ratio in "effective cores": ~cpus when we own the machine,
+    // lower when descheduled. -1 when the platform bean is unavailable.
+    val cpuWallRatio =
+      if (cpu0 < 0 || cpu1 < 0 || wallSec <= 0) -1.0
+      else (cpu1 - cpu0) / 1e9 / wallSec
     // per-query seconds rounded to 1 ms: full-precision doubles made the
     // line ~4.5 KB and the driver's 4 KB tail capture truncated it every
     // round ("parsed": null in BENCH_r01..r04) — 3 dp keeps it ~2.4 KB
@@ -72,7 +99,7 @@ object Bench {
     // a breakage must never read as a speedup: "failed" is explicit, and the
     // headline total is -1 whenever any query failed
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"queries":$qs,"sf":"$sfDir"}"""
     // durable full copy: the printed line competes with sbt noise for the
     // driver's tail capture; the file never does
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
@@ -91,7 +118,12 @@ object Bench {
     // "tainted" marks a pre-run 1-min load average high enough (> 1.5 on
     // this 32-cpu box) that residual load inflates the total ~1.5x, so
     // polluted driver snapshots are machine-detectable.
+    // cpu_wall_ratio is RECORDED, not used for taint: planning/codegen is
+    // single-threaded, so the clean-run ratio sits far below the requested
+    // core count and no absolute threshold separates clean from starved.
+    // Judges compare the ratio across rounds instead (it only drops when
+    // another process steals the machine).
     val tainted = loadAvg > 1.5
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"tainted":$tainted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"tainted":$tainted,"sf":"$sfDir"}""")
   }
 }
