@@ -120,6 +120,72 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // BPE merge TRAINING, the step t05 stops short of: three merge rounds,
+    // each counting adjacent symbol pairs, merging the argmax pair
+    // corpus-wide (left-to-right, non-overlapping — real BPE semantics),
+    // and recounting over the re-segmented words. Output is the training
+    // trace a tokenizer build logs: per round the top-5 pairs with the
+    // rank-1 winner that got merged — round 2's counts only come out
+    // right if round 1's merge was actually APPLIED (e.g. "m er" enters
+    // the top-5 only after "e r" fuses).
+    //
+    // Segmentation rides IN THE STRING, not in an array: a word is its
+    // symbols each wrapped in single spaces (" h  e  r  e " — double space
+    // between symbols, single at the ends), so one codegen'd replace() of
+    // " a  b " with " ab " performs the exact left-to-right non-overlap
+    // merge — the shared boundary space consumed by a match is re-supplied
+    // by the replacement's trailing space, so back-to-back pairs
+    // ("abab" -> ab|ab) still merge while "aaa" correctly yields aa|a.
+    // DuckDB's replace() has identical forward-scan semantics, making the
+    // whole 3-round trace exactly replayable (parity by construction).
+    //
+    // Scale shape mirrors s12's Lloyd rounds: the corpus is scanned once
+    // per round (narrow map + pair explode), the only shuffle carries
+    // map-side-combined (pair, count) partials (pair space ≤ vocab², tiny),
+    // the argmax is TakeOrderedAndProject (per-partition heaps), and the
+    // 5-row winner tables are persisted and broadcast back — the corpus
+    // itself is never exchanged and never cached. At 100 TB each round is
+    // one scan-bound pass; real trainers run this exact loop to ~30k
+    // merges with the same per-round plan.
+    "t12_bpe_merge_train" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim($"text"), Tok.Ws)).as("word"))
+        // single-symbol words produce no pairs and can never merge —
+        // dropping them changes no count (same filter in the oracle)
+        .filter(length($"word") >= 2)
+        .select(regexp_replace($"word", "(.)", " $1 ").as("seq"))
+      // one round's pair census → 5-row (pair, cnt, rnk) table. Persisted:
+      // each downstream round references it (merge pattern + final trace),
+      // and without the cache every reference would replay a corpus scan.
+      def top5(w: DataFrame): DataFrame = {
+        val counts = w
+          .select(explode(graft.functions.ShingleArr(split(trim($"seq"), "  "), 2)).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        counts.orderBy($"cnt".desc, $"pair").limit(5)
+          .withColumn("rnk", row_number().over(Window.orderBy($"cnt".desc, $"pair")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      // apply the rank-1 merge: 1-row broadcast against the corpus scan
+      // (BroadcastNestedLoopJoin — the documented small-stage shape), then
+      // one literal replace() per word
+      def merge(w: DataFrame, t5: DataFrame): DataFrame =
+        w.crossJoin(broadcast(t5.filter($"rnk" === 1).select($"pair".as("bp"))))
+          .select(expr(
+            "replace(seq, ' ' || replace(bp, ' ', '  ') || ' ', ' ' || replace(bp, ' ', '') || ' ')")
+            .as("seq"))
+      val t1 = top5(words)
+      val t2 = top5(merge(words, t1))
+      val t3 = top5(merge(merge(words, t1), t2))
+      t1.withColumn("round", lit(1))
+        .union(t2.withColumn("round", lit(2)))
+        .union(t3.withColumn("round", lit(3)))
+        .select($"round", $"rnk", $"pair", $"cnt",
+          expr("replace(pair, ' ', '')").as("merged"))
+        .orderBy($"round", $"rnk")
+    },
+
     // Token/char statistics per document.
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -386,6 +452,36 @@ object TextAnalysis {
            |SELECT source, n_exact, n_obs, round(est, 4) AS kmv_estimate,
            |  round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error
            |FROM j ORDER BY source""".stripMargin,
+
+    "t12_bpe_merge_train" ->
+      raw"""WITH w0 AS (
+           |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS seq
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word FROM documents)
+           |  WHERE length(word) >= 2),
+           |c1 AS (SELECT pair, COUNT(*) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+           |    FROM (SELECT string_split(trim(seq), '  ') AS s FROM w0) WHERE len(s) >= 2) GROUP BY pair),
+           |t1 AS (SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rnk
+           |       FROM c1 ORDER BY cnt DESC, pair LIMIT 5),
+           |w1 AS (SELECT replace(seq,
+           |         ' ' || replace((SELECT pair FROM t1 WHERE rnk = 1), ' ', '  ') || ' ',
+           |         ' ' || replace((SELECT pair FROM t1 WHERE rnk = 1), ' ', '') || ' ') AS seq FROM w0),
+           |c2 AS (SELECT pair, COUNT(*) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+           |    FROM (SELECT string_split(trim(seq), '  ') AS s FROM w1) WHERE len(s) >= 2) GROUP BY pair),
+           |t2 AS (SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rnk
+           |       FROM c2 ORDER BY cnt DESC, pair LIMIT 5),
+           |w2 AS (SELECT replace(seq,
+           |         ' ' || replace((SELECT pair FROM t2 WHERE rnk = 1), ' ', '  ') || ' ',
+           |         ' ' || replace((SELECT pair FROM t2 WHERE rnk = 1), ' ', '') || ' ') AS seq FROM w1),
+           |c3 AS (SELECT pair, COUNT(*) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+           |    FROM (SELECT string_split(trim(seq), '  ') AS s FROM w2) WHERE len(s) >= 2) GROUP BY pair),
+           |t3 AS (SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rnk
+           |       FROM c3 ORDER BY cnt DESC, pair LIMIT 5),
+           |u AS (SELECT 1 AS round, * FROM t1 UNION ALL SELECT 2, * FROM t2 UNION ALL SELECT 3, * FROM t3)
+           |SELECT round, rnk, pair, cnt, replace(pair, ' ', '') AS merged
+           |FROM u ORDER BY round, rnk""".stripMargin,
 
     "t05_bpe_pair_counts" ->
       raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word

@@ -33,4 +33,46 @@ class TextAnalysisSpec extends SparkSuite {
       .agg(sum(col("n"))).head().getLong(0)
     assert(t10.map(_._2).sum == docs, "sources must partition the corpus tokens")
   }
+
+  test("t12: the in-string merge implements exact left-to-right BPE") {
+    import spark.implicits._
+    // the same replace() shape t12 uses: " a  b " -> " ab " over the
+    // space-wrapped symbol encoding
+    def enc(word: String): String = word.map(c => s" $c ").mkString
+    def merge(seq: String, a: String, b: String): String =
+      Seq((seq, a, b)).toDF("seq", "a", "b")
+        .selectExpr("replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")
+        .head().getString(0)
+    def syms(seq: String): Seq[String] = seq.trim.split("  ").toSeq
+    // back-to-back occurrences BOTH merge (the shared boundary space is
+    // re-supplied by the replacement's trailing space)
+    assert(syms(merge(enc("abab"), "a", "b")) == Seq("ab", "ab"))
+    // same-symbol runs merge left-to-right, non-overlapping: aaa -> aa|a
+    assert(syms(merge(enc("aaa"), "a", "a")) == Seq("aa", "a"))
+    assert(syms(merge(enc("aaaa"), "a", "a")) == Seq("aa", "aa"))
+    // no false mid-symbol match: merging (a, b) must not touch symbol "ab"
+    val twoRound = merge(merge(enc("xaby"), "a", "b"), "b", "y")
+    assert(syms(twoRound) == Seq("x", "ab", "y"),
+      "round-2 pattern must not split or re-match inside the merged symbol")
+    // a merged symbol pairs with its neighbors in the next round
+    assert(syms(merge(merge(enc("her"), "e", "r"), "h", "er")) == Seq("her"))
+  }
+
+  test("t12: round-1 census reconciles with t05 and merges are applied") {
+    val t12 = TextAnalysis.queries("t12_bpe_merge_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(t12.length == 15, "3 rounds x top-5")
+    // round 1 counts characters — must agree with t05's independent
+    // substr-based pair census (identical ordering: single-char symbols)
+    val t05 = TextAnalysis.queries("t05_bpe_pair_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val r1 = t12.filter(_._1 == 1).sortBy(_._2).map(t => (t._5, t._4)).toSeq
+    assert(r1 == t05.take(5).toSeq, s"round-1 top-5 $r1 != t05 ${t05.take(5).toSeq}")
+    // the winner is merged away: round r's rank-1 pair never recurs later
+    for (r <- 1 to 2) {
+      val winner = t12.find(t => t._1 == r && t._2 == 1).get._3
+      assert(!t12.exists(t => t._1 > r && t._3 == winner),
+        s"round-$r winner '$winner' still counted after its merge")
+    }
+  }
 }

@@ -298,4 +298,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial"), "df wordcount must partial-aggregate map-side")
   }
+
+  test("t12: merge rounds broadcast the winner back — the corpus is never exchanged") {
+    val p = plan("t12_bpe_merge_train")
+    // applying a merge is a 1-row broadcast against the corpus scan; a
+    // SortMergeJoin anywhere would mean word sequences rode a shuffle
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "winner pair must broadcast")
+    assert(p.contains("partial"), "pair counts must partial-aggregate map-side")
+    assert(p.contains("TakeOrderedAndProject"), "argmax via per-partition heaps")
+    // 5-row round tables are persisted — that cache holds the composed
+    // 3-round plan to one corpus scan per round
+    assert(p.contains("InMemoryTableScan"), "per-round winner tables must be cached")
+  }
 }
