@@ -723,6 +723,97 @@ object Similarity {
         .orderBy($"query_id", $"rn")
     },
 
+    // Incremental vector ingest — d17's analog for embeddings, completing
+    // the nightly-increment story (d17 text, c11 corpus, s18 vectors): new
+    // vectors (the deterministic ~10% slice vec_id % 10 = 7, d17's
+    // convention) are admitted against an EXISTING IVF-PQ index built from
+    // the base slice, without the base ever being re-clustered or
+    // re-scored against itself. The 8 coarse cells are seeded from the
+    // lowest 8 base ids (0-6, 8) and double as the PQ codebook (s11's demo
+    // config). Every vector gets its cell from a per-row codegen'd cosine
+    // argmax against the one-row broadcast codebook (s12's unrolled
+    // pattern — the corpus is NEVER exchanged for assignment); base
+    // vectors are PQ-encoded in the same scan projection (8-byte codes,
+    // s11's form). The screen is the asymmetric join d17 uses: increment
+    // ADC tables are BROADCAST against the streamed base codes,
+    // equi-joined on the cell key only — so nightly cost follows the
+    // increment's cell occupancy, and base codes are read, never decoded
+    // or re-encoded. Verdict per new vector: near-dup when the best ADC
+    // distance to any same-cell base code is ≤ 1.2 (the observed
+    // distribution at sf0.01 runs 0.98–1.43, so the gate splits it
+    // meaningfully), novel otherwise; match_id is the argmin base vector
+    // with a (adc, vec_id) total-order tie-break.
+    "s18_incremental_ingest" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      val isNew = $"vec_id" % 10 === 7
+      // one-row broadcast codebook: (cell, cv, cnrm) structs sorted by
+      // cell id; cnrm feeds cosineWithNorms, cv the subspace distances
+      val cb = e.filter(!isNew && $"vec_id" < 9)
+        .select($"vec_id".cast("int").as("cell"), $"v",
+          dot($"v", $"v").as("cnrm"))
+        .agg(sort_array(collect_list(struct($"cell", $"v".as("cv"), $"cnrm")))
+          .as("cb"))
+      def subv(v: Column, m: Column): Column = slice(v, m * lit(8) + lit(1), lit(8))
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      def dists(v: Column, m: Column): Column =
+        transform(sequence(lit(0), lit(7)),
+          c => d2(subv(v, m), subv(element_at($"cb", c + 1).getField("cv"), m)))
+      // per-row coarse assignment: 8 cosines as REAL COLUMNS (s12's
+      // measured lesson), first-match argmax; the chain is wrapped in
+      // coalesce because `cell` becomes a JOIN KEY and a nullable chain
+      // would get the full chain substituted into an inferred isnotnull
+      // (the s13 method-limit incident)
+      def withCell(df: DataFrame): DataFrame = {
+        val scored = df.crossJoin(broadcast(cb))
+          .withColumn("nrm", dot($"v", $"v"))
+          .select($"vec_id" +: $"v" +: $"cb" +: (0 until 8).map { i =>
+            cosineWithNorms($"v", element_at($"cb", i + 1).getField("cv"),
+              $"nrm", element_at($"cb", i + 1).getField("cnrm")).as(s"c$i")
+          }: _*)
+        val cs = (0 until 8).map(i => col(s"c$i"))
+        val best = greatest(cs: _*)
+        val cellCol = (0 until 8).foldRight(lit(-1)) { (i, els) =>
+          when(cs(i) === best, element_at($"cb", i + 1).getField("cell"))
+            .otherwise(els)
+        }
+        scored.select($"vec_id", $"v", $"cb", coalesce(cellCol, lit(-1)).as("cell"))
+      }
+      // base: cell + 8-byte PQ code in ONE scan projection — the stored
+      // "ledger" sidecar a real ingest run maintains
+      val baseCodes = withCell(e.filter(!isNew))
+        .select($"vec_id", $"cell", transform(sequence(lit(0), lit(7)), m => {
+          val ds = dists($"v", m)
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        }).as("code"))
+      // increment: cell + flat 64-entry ADC distance table, persisted —
+      // it feeds both the broadcast screen side and the output spine
+      val inc = withCell(e.filter(isNew))
+        .select($"vec_id".as("new_id"), $"cell".as("ncell"),
+          flatten(transform(sequence(lit(0), lit(7)), m => dists($"v", m)))
+            .as("tq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val screened = baseCodes.join(broadcast(inc), $"cell" === $"ncell")
+        .select($"new_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(7)), lit(0.0),
+            (acc, m) => acc + element_at($"tq", m * 8 + element_at($"code", m + 1) + 1))
+            .as("adc"))
+        .groupBy($"new_id")
+        .agg(count(lit(1)).as("n_cands"), min($"adc").as("best"),
+          min_by($"vec_id", struct($"adc", $"vec_id")).as("arg"))
+      inc.select($"new_id".as("vec_id"), $"ncell".as("cell"))
+        .join(broadcast(screened), $"vec_id" === $"new_id", "left")
+        .select($"vec_id", $"cell",
+          coalesce($"n_cands", lit(0L)).as("n_cands"),
+          round($"best", 6).as("best_adc"),
+          when($"best" <= 1.2, $"arg").as("match_id"),
+          when($"best".isNull, lit("empty_cell"))
+            .when($"best" <= 1.2, lit("near_dup"))
+            .otherwise(lit("novel")).as("verdict"))
+        .orderBy($"vec_id")
+    },
+
     // Scalar-quantized (int8) search — FAISS's SQ8: s05 defined the
     // encoding, this searches with it, completing the quantization
     // family's accuracy/size ladder (raw 512 B → SQ8 64 B → PQ 8 B per
@@ -1399,6 +1490,53 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, vec_id AS neighbor_id, label, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // full replay of the incremental ingest: cells by cosine argmax (tie
+    // to the lowest cell), PQ codes by per-subspace argmin over the SAME
+    // per-dim squared-diff folds the Spark side computes (s11's pairing),
+    // cidx = position in the cell-sorted codebook so ADC table indexing
+    // matches Spark's array positions even though cell ids skip 7
+    "s18_incremental_ingest" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cell, v AS cv,
+           |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx
+           |  FROM e WHERE vec_id < 9 AND vec_id % 10 <> 7),
+           |ac AS (SELECT vec_id, cell, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS (SELECT vec_id, cell, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, CAST(cell AS INT) AS cell FROM ranked WHERE crn = 1),
+           |sub AS (SELECT e.vec_id, cidx, m,
+           |    list_sum(list_transform(range(1, 9),
+           |      i -> (v[m*8+i] - cv[m*8+i]) * (v[m*8+i] - cv[m*8+i]))) AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |r AS (SELECT vec_id, m, cidx, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cidx) AS rn FROM sub),
+           |codes AS (SELECT vec_id, list(cidx ORDER BY m) AS code
+           |  FROM r WHERE rn = 1 GROUP BY vec_id),
+           |tqf AS (SELECT vec_id, list(d2 ORDER BY m, cidx) AS tq
+           |  FROM sub WHERE vec_id % 10 = 7 GROUP BY vec_id),
+           |binc AS (SELECT a.vec_id, a.cell, t.tq FROM assigned a JOIN tqf t USING (vec_id)),
+           |bbase AS (SELECT a.vec_id, a.cell, c.code
+           |  FROM assigned a JOIN codes c USING (vec_id) WHERE a.vec_id % 10 <> 7),
+           |sc AS (SELECT i.vec_id, b.vec_id AS bid,
+           |    list_sum(list_transform(range(0, 8),
+           |      m -> tq[(m*8 + code[m+1] + 1)::INT])) AS adc
+           |  FROM binc i JOIN bbase b ON i.cell = b.cell),
+           |scr AS (SELECT vec_id, adc, bid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adc, bid) AS rn FROM sc),
+           |agg AS (SELECT vec_id, COUNT(*) AS n_cands, MIN(adc) AS best,
+           |    MIN(CASE WHEN rn = 1 THEN bid END) AS arg
+           |  FROM scr GROUP BY vec_id)
+           |SELECT i.vec_id, i.cell, COALESCE(n_cands, 0) AS n_cands,
+           |  round(best, 6) AS best_adc,
+           |  CASE WHEN best <= 1.2 THEN arg END AS match_id,
+           |  CASE WHEN best IS NULL THEN 'empty_cell'
+           |       WHEN best <= 1.2 THEN 'near_dup' ELSE 'novel' END AS verdict
+           |FROM binc i LEFT JOIN agg USING (vec_id)
+           |ORDER BY i.vec_id""".stripMargin,
 
     // quantized-cosine ranking: int8 dots are exact integers in doubles,
     // so no fold-order discipline is needed anywhere in this oracle

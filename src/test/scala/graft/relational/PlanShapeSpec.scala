@@ -234,6 +234,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("s18: ingest screens increment-vs-base on the cell key, increment broadcast") {
+    val p = plan("s18_incremental_ingest")
+    // the screen must be a cell-keyed equi-join with the increment side
+    // broadcast against streamed base codes — a SortMergeJoin would mean
+    // the base ledger got exchanged; assignment is the per-row broadcast
+    // argmax, so no exchange carries vectors at all
+    assert(p.contains("BroadcastHashJoin"), "cell-keyed screen must broadcast the increment")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the increment's ADC tables are persisted (they feed the broadcast
+    // side and the output spine from one computation)
+    assert(p.contains("InMemoryTableScan"), "increment tables must be cached")
+  }
+
   test("s14: rerank stage broadcasts the candidate-id set — no corpus exchange") {
     val p = plan("s14_pq_rerank")
     assert(p.contains("Broadcast"), "candidate ids + query vectors must broadcast")
