@@ -277,6 +277,64 @@ object Curation {
         .orderBy($"shard")
     },
 
+    // Shard MATERIALIZATION — the write side c05 stops short of: a real
+    // pipeline doesn't just compute shard assignments, it lays the shards
+    // down as files a trainer can read independently. This writes each
+    // token-budget shard as its own parquet partition
+    // (`partitionBy(shard)`, one file per shard, rows in deterministic
+    // doc_id order via sortWithinPartitions), then RE-READS the files and
+    // reports the per-shard census — n_docs/tokens/bounds recomputed from
+    // the round-tripped text plus a 40-bit md5 content checksum. The
+    // DuckDB oracle replays the census directly from `documents`, so a
+    // hash match proves the materialized shards carry exactly the right
+    // documents with byte-intact text — the write-side twin of d16.
+    //
+    // Scale shape: assignment is c05's plan (bucket-local prefix sums +
+    // broadcast bucket offsets — no global-window bottleneck). The write
+    // adds the one exchange a shard layout genuinely requires
+    // (repartition on the shard key co-locates each shard into one
+    // writer → one file per shard); at 100 TB you'd RANGE-partition on
+    // the cumulative-token offset instead, so each writer emits a
+    // contiguous run of shards and file counts stay bounded — the same
+    // plan with a different partitioner, not a different algorithm.
+    "c13_shard_materialize" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"text",
+          size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+        .withColumn("bucket", expr("doc_id div 100"))
+      val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBuckets = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy($"bucket").agg(sum($"tk").as("btk"))
+        .select($"bucket".as("obucket"),
+          coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
+      val assigned = docs.join(broadcast(offsets), $"bucket" === $"obucket")
+        .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
+        .withColumn("shard", expr("cum0 div 2000"))
+        .select($"shard", $"doc_id", $"source", $"text")
+      // per-sfDir path: a census must never read another scale's shards
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_c13_shards_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      assigned
+        .repartition($"shard")
+        .sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      // census strictly from the RE-READ files (partition-column type
+      // inference reads `shard` back as int — restore the long)
+      s.read.parquet(path)
+        .select(col("shard").cast("long").as("shard"), $"doc_id", $"text")
+        .withColumn("tk", size(split(trim($"text"), Tok.Ws)).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"),
+          sum(conv(substring(md5($"text".cast("binary")), 1, 10), 16, 10)
+            .cast("long")).as("text_checksum"))
+        .orderBy($"shard")
+    },
+
     // Per-DOCUMENT importance-weighted sampling — the gate c01/c04 can't
     // express: each doc's keep probability is its own quality weight
     // (here min(1, tokens/100) — favor longer docs), not a per-stratum
@@ -645,6 +703,21 @@ object Curation {
            |SELECT CAST(cum0 // 2000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
            |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // same census as c05's oracle, computed directly from `documents` —
+    // matching the Spark side's re-read census proves the files round-trip
+    "c13_shard_materialize" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |c AS (SELECT doc_id, text, tk,
+           |    SUM(tk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS cum0
+           |  FROM t)
+           |SELECT CAST(cum0 // 2000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           |  CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS text_checksum
            |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "c02_hash_split" ->

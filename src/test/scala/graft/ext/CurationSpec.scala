@@ -161,6 +161,34 @@ class CurationSpec extends SparkSuite {
     assert(rows == List((7L, 2L, 1L, novel)), s"got $rows")
   }
 
+  test("c13: shards land one-file-per-shard, doc-sorted, reconciling with c05") {
+    import org.apache.spark.sql.functions._
+    val census = Curation.queries("c13_shard_materialize")(spark, sf).collect()
+    // the re-read census must agree with c05's pure-assignment census on
+    // the shared columns (shard, n_docs, total_tokens, first/last doc)
+    val c05 = Curation.queries("c05_token_shards")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val c13 = census
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(c13 == c05, "re-read census must equal the assignment census")
+    // write-layout invariants: exactly one data file per shard, rows
+    // inside each file in ascending doc_id order (deterministic layout a
+    // trainer can stream without sorting)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_c13_shards_" + sf.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val rows = spark.read.parquet(path)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        input_file_name().as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._3).distinct.length == c05.length, "one file per shard")
+    assert(rows.groupBy(_._3).values.forall(_.map(_._1).distinct.length == 1),
+      "a file never mixes shards")
+    rows.groupBy(_._3).values.foreach { fr =>
+      val ids = fr.map(_._2).toSeq
+      assert(ids == ids.sorted, "rows within a shard file must be doc-sorted")
+    }
+  }
+
   test("s04: refined means are finite and cells partition the vectors") {
     val rows = Similarity.queries("s04_kmeans_refine")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 8)
