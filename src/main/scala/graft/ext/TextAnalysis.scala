@@ -186,6 +186,47 @@ object TextAnalysis {
         .orderBy($"round", $"rnk")
     },
 
+    // Learned-filter scoring — the fastText/CCNet quality-classifier
+    // SHAPE: hashed word n-gram features (unigrams + bigrams, disjoint by
+    // construction — unigrams never contain a space) looked up in a
+    // 64-bucket weight vector, mean weight as the per-doc logit, a
+    // threshold as the keep/drop gate. The weight table here is a small
+    // deterministic literal ((j*37+11) % 101 - 50, scaled /100) standing
+    // in for trained parameters — the PLUMBING is the operator: feature
+    // hashing, the broadcast-literal lookup, and the exact-integer
+    // accumulation are what a real classifier sweep runs at 100 TB.
+    // Weights stay INTEGER until one final division (order-free exact sum
+    // — no float accumulation to drift between engines); the sigmoid is
+    // monotone so the gate compares the logit directly and no
+    // transcendental ever reaches the hash check. One scan, explode,
+    // map-side-combinable (doc_id, count, sum) partials — text never
+    // rides the shuffle. Zero UDFs: md5/conv/element_at are codegen'd.
+    "t13_quality_classifier" -> { (s, d) =>
+      import s.implicits._
+      val warr = array((0 until 64).map(j => lit((j * 37 + 11) % 101 - 50)): _*)
+      val logit = $"sum_w".cast("double") / (lit(100.0) * $"n_feats")
+      Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        // bag-of-features semantics: every bigram OCCURRENCE counts, so
+        // this uses the t06-style transform, NOT ShingleArr (which
+        // dedupes doc-locally by design)
+        .withColumn("bg", when(size($"w") >= 2, expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+          .otherwise(array().cast("array<string>")))
+        .select($"doc_id", explode(concat($"w", $"bg")).as("feat"))
+        .select($"doc_id",
+          element_at(warr,
+            (conv(substring(md5($"feat".cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 64 + 1).cast("int")).as("wi"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum($"wi").cast("long").as("sum_w"))
+        .select($"doc_id", $"n_feats", $"sum_w",
+          round(logit, 6).as("logit"),
+          when(logit >= 0.02, lit("keep")).otherwise(lit("drop")).as("label"))
+        .orderBy($"doc_id")
+    },
+
     // Token/char statistics per document.
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -490,6 +531,20 @@ object TextAnalysis {
            |  FROM words WHERE length(word) >= 2)
            |SELECT pair, COUNT(*) AS cnt FROM p
            |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "t13_quality_classifier" ->
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |feats AS (SELECT doc_id, unnest(list_concat(w,
+           |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |         ELSE CAST([] AS VARCHAR[]) END)) AS feat FROM w),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(feat), 1, 7))::BIGINT % 64 AS j FROM feats),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_feats,
+           |    CAST(SUM((j * 37 + 11) % 101 - 50) AS BIGINT) AS sum_w FROM h GROUP BY doc_id)
+           |SELECT doc_id, n_feats, sum_w,
+           |  round(CAST(sum_w AS DOUBLE) / (100.0 * n_feats), 6) AS logit,
+           |  CASE WHEN CAST(sum_w AS DOUBLE) / (100.0 * n_feats) >= 0.02
+           |       THEN 'keep' ELSE 'drop' END AS label
+           |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t01_text_stats" ->
       raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)

@@ -34,6 +34,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(t10.map(_._2).sum == docs, "sources must partition the corpus tokens")
   }
 
+  test("t13: feature counts reconcile with t01 and the gate splits the corpus") {
+    val t13 = TextAnalysis.queries("t13_quality_classifier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    val nTok = TextAnalysis.queries("t01_text_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    t13.foreach { case (id, nFeats, sumW, logit, label) =>
+      // unigrams + bigrams: n + (n-1) features for n >= 2 tokens
+      val n = nTok(id)
+      assert(nFeats == (if (n >= 2) 2 * n - 1 else n), s"doc $id: $nFeats feats for $n tokens")
+      // per-feature weights live in [-50, 50] -> logit in [-0.5, 0.5]
+      assert(math.abs(logit) <= 0.5 && math.abs(logit - sumW.toDouble / (100.0 * nFeats)) < 1e-6)
+      assert(label == (if (sumW.toDouble / (100.0 * nFeats) >= 0.02) "keep" else "drop"))
+    }
+    // a useful gate splits the corpus, not rubber-stamps it
+    val kept = t13.count(_._5 == "keep")
+    assert(kept > 0 && kept < t13.length, s"gate kept $kept/${t13.length}")
+  }
+
   test("t12: the in-string merge implements exact left-to-right BPE") {
     import spark.implicits._
     // the same replace() shape t12 uses: " a  b " -> " ab " over the
