@@ -117,6 +117,42 @@ object Similarity {
           .as("adc"))
   }
 
+  /** s11's stage generalized over the per-subspace codebook size: seeds
+    * are the `kSeed` lowest vec_ids, and every fan-out is driven by the
+    * RUNTIME codebook size (`size(cb)`), so the same plan serves K=8 and
+    * K=256 — and a scale factor with fewer than kSeed vectors degrades
+    * gracefully instead of indexing past the array. Codes stay one byte
+    * per subspace up to K=256; the per-query table grows to 8×K entries
+    * (16 KB of doubles at K=256 — still broadcast change). */
+  private def pqAdcCandidatesK(s: SparkSession, d: String, kSeed: Int): DataFrame = {
+    import s.implicits._
+    val e = vectors(s, d)
+    val cb = e.filter($"vec_id" < kSeed)
+      .agg(transform(
+        sort_array(collect_list(struct($"vec_id".as("cent_id"), $"v".as("cv")))),
+        c => c("cv")).as("cb"))
+    def subv(v: Column, m: Column): Column = slice(v, m * lit(8) + lit(1), lit(8))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def dists(v: Column, m: Column): Column =
+      transform(sequence(lit(0), size($"cb") - 1),
+        c => d2(subv(v, m), subv(element_at($"cb", c + 1), m)))
+    val enc = e.crossJoin(broadcast(cb))
+      .select($"vec_id", size($"cb").as("k"),
+        transform(sequence(lit(0), lit(7)), m => {
+          val ds = dists($"v", m)
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        }).as("code"))
+    val qt = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
+      .select($"vec_id".as("query_id"),
+        flatten(transform(sequence(lit(0), lit(7)), m => dists($"v", m))).as("tq"))
+    enc.join(broadcast(qt), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        aggregate(sequence(lit(0), lit(7)), lit(0.0),
+          (acc, m) => acc + element_at($"tq", m * $"k" + element_at($"code", m + 1) + 1))
+          .as("adc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-10 for queries vec_id < 5. Ranking uses
     // the two-phase salted top-k: with only 5 query keys, a naive window
@@ -812,6 +848,41 @@ object Similarity {
             .when($"best" <= 1.2, lit("near_dup"))
             .otherwise(lit("novel")).as("verdict"))
         .orderBy($"vec_id")
+    },
+
+    // Codebook-size SWEEP — closes the documented demo-vs-production gap
+    // (s11/s13 run 8-entry codebooks; production PQ uses 256): the same
+    // ADC search at K=8 and K=256 seed codebooks, recall@5 vs s01 side by
+    // side per query. Measured at sf0.01: mean recall 0.32 → 0.40 — it
+    // RISES with codebook size, but modestly, because these synthetic
+    // vectors are near-uniform (the same structure-less-data ceiling
+    // s15's training negative documents; real embedding corpora gain
+    // far more). Costs that move with K, stated: codes stay 8 bytes (one
+    // byte per subspace up to K=256); the per-query distance table grows
+    // 8K entries (16 KB doubles at K=256 — still broadcast change); the
+    // encode pass scores K entries per subspace per vector, which is why
+    // production trains codebooks offline on a sample (s15's loop) and
+    // encodes once. Fan-outs are driven by the runtime codebook size, so
+    // smaller scale factors (< 256 vectors) degrade gracefully.
+    "s19_pq_codebook_sweep" -> { (s, d) =>
+      import s.implicits._
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def recallArm(kSeed: Int, outCol: String): DataFrame = {
+        val cand = pqAdcCandidatesK(s, d, kSeed)
+        val approx = graft.operators.TopK.perKey(
+            cand, $"query_id", Seq($"adc", $"vec_id"), 5, saltFrom = $"vec_id")
+          .select($"query_id".as("aq"), $"vec_id".as("an"))
+        exact.join(broadcast(approx),
+            $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+          .groupBy($"query_id")
+          .agg(round(count($"an").cast("double") / count(lit(1)).cast("double"), 6)
+            .as(outCol))
+      }
+      recallArm(8, "recall_k8")
+        .join(recallArm(256, "recall_k256"), "query_id")
+        .orderBy($"query_id")
     },
 
     // Scalar-quantized (int8) search — FAISS's SQ8: s05 defined the
@@ -1537,6 +1608,52 @@ object Similarity {
            |       WHEN best <= 1.2 THEN 'near_dup' ELSE 'novel' END AS verdict
            |FROM binc i LEFT JOIN agg USING (vec_id)
            |ORDER BY i.vec_id""".stripMargin,
+
+    // two replays of s11's ADC pipeline at K=8 and K=256 joined per
+    // query; code = cent_id works because seed vec_ids are contiguous
+    // from 0, matching Spark's cb array positions
+    "s19_pq_codebook_sweep" -> {
+      def arm(k: Int, sfx: String) =
+        raw"""cents$sfx AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $k),
+             |sub$sfx AS (SELECT e.vec_id, cent_id, m,
+             |    list_sum(list_transform(range(1, 9),
+             |      i -> (v[m*8+i] - cv[m*8+i]) * (v[m*8+i] - cv[m*8+i]))) AS d2
+             |  FROM e CROSS JOIN cents$sfx
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+             |r$sfx AS (SELECT vec_id, m, cent_id, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+             |  FROM sub$sfx),
+             |codes$sfx AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+             |  FROM r$sfx WHERE rn = 1 GROUP BY vec_id),
+             |tqf$sfx AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+             |  FROM sub$sfx WHERE $SqlQueryPred GROUP BY vec_id),
+             |sc$sfx AS (SELECT query_id, vec_id,
+             |    list_sum(list_transform(range(0, 8),
+             |      m -> tq[(m*(len(tq)//8) + code[m+1] + 1)::INT])) AS adc
+             |  FROM (SELECT t.query_id, c.vec_id, t.tq, c.code
+             |        FROM codes$sfx c CROSS JOIN tqf$sfx t WHERE c.vec_id <> t.query_id)),
+             |ar$sfx AS (SELECT query_id, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+             |  FROM sc$sfx),
+             |approx$sfx AS (SELECT query_id, vec_id FROM ar$sfx WHERE rn <= 5),
+             |rec$sfx AS (SELECT x.query_id,
+             |    round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall$sfx
+             |  FROM exact x LEFT JOIN approx$sfx a
+             |    ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+             |  GROUP BY x.query_id)""".stripMargin
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
+           |${arm(8, "_k8")},
+           |${arm(256, "_k256")}
+           |SELECT a.query_id, recall_k8, recall_k256
+           |FROM rec_k8 a JOIN rec_k256 b ON a.query_id = b.query_id
+           |ORDER BY a.query_id""".stripMargin
+    },
 
     // quantized-cosine ranking: int8 dots are exact integers in doubles,
     // so no fold-order discipline is needed anywhere in this oracle
