@@ -227,6 +227,128 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Tokenizer APPLICATION — the most-run operator in LLM data prep
+    // (every corpus pass re-encodes with the frozen tokenizer): replay
+    // t12's 3-round merge training to get the winner list, then encode
+    // EVERY word of EVERY document with those merges in training order.
+    // Output per doc: word/symbol/token counts, chars-per-token (the
+    // fertility number tokenizer evals report), and a position-salted
+    // 40-bit checksum over the encoded words — the checksum proves the
+    // exact token SEQUENCE cross-engine without the encoded text ever
+    // riding a shuffle (c13's file-checksum idea applied to a derived
+    // column). Segmentation rides in the space-wrapped string exactly as
+    // in t12 (one codegen'd replace() per merge — see t12's comment for
+    // why that is exact left-to-right non-overlap BPE in both engines).
+    //
+    // Scale shape: training is t12's loop (scan per round, (pair, count)
+    // partials, 1-row winner tables persisted + broadcast); application
+    // is a NARROW per-word map — three broadcast-literal replaces fused
+    // into the scan — and the per-doc agg is map-side-combinable integer
+    // partials (count/sum/sum/sum). At 100 TB the encode pass is
+    // scan-bound, which is the property that makes re-tokenizing a
+    // corpus with a revised vocab routine rather than a project.
+    "t14_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      // training replay — identical statistics to t12, winners only
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim($"text"), Tok.Ws)).as("word"))
+        .filter(length($"word") >= 2)
+        .select(regexp_replace($"word", "(.)", " $1 ").as("seq"))
+      def top1(w: DataFrame): DataFrame =
+        w.select(explode(graft.functions.ShingleArr(split(trim($"seq"), "  "), 2)).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair").limit(1).select($"pair")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def applyMerge(w: DataFrame, win: DataFrame): DataFrame =
+        w.crossJoin(broadcast(win.select($"pair".as("bp"))))
+          .withColumn("seq", expr(
+            "replace(seq, ' ' || replace(bp, ' ', '  ') || ' ', ' ' || replace(bp, ' ', '') || ' ')"))
+          .drop("bp")
+      val m1 = top1(words)
+      val w1 = applyMerge(words, m1)
+      val m2 = top1(w1)
+      val m3 = top1(applyMerge(w1, m2))
+      // application: every word of every doc (single-symbol words too —
+      // they encode to themselves), position-indexed for the checksum
+      val dw = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split(trim($"text"), Tok.Ws)).as(Seq("idx", "word")))
+        .select($"doc_id", $"idx", $"word",
+          regexp_replace($"word", "(.)", " $1 ").as("seq"))
+      applyMerge(applyMerge(applyMerge(dw, m1), m2), m3)
+        .select($"doc_id",
+          length($"word").cast("long").as("n_sym"),
+          size(split(trim($"seq"), "  ")).cast("long").as("n_tok"),
+          conv(substring(md5(concat($"idx".cast("string"), lit(":"),
+            expr("replace(trim(seq), '  ', '|')")).cast("binary")), 1, 10), 16, 10)
+            .cast("long").as("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_sym").as("n_chars"),
+          sum($"n_tok").as("n_tokens"),
+          sum($"h").as("enc_checksum"))
+        .select($"doc_id", $"n_words", $"n_chars", $"n_tokens",
+          round($"n_chars".cast("double") / $"n_tokens".cast("double"), 6)
+            .as("chars_per_token"),
+          $"enc_checksum")
+        .orderBy($"doc_id")
+    },
+
+    // Bigram-LM scoring with a train/score discipline — the CCNet-style
+    // perplexity quality gate, made engine-exact: counts (bigram and
+    // context) come from the c02 TRAIN split only, every doc in every
+    // split is scored against them with add-one smoothing, and the
+    // per-bigram cost is the integer BIT LENGTH of the smoothed ratio —
+    // bits = bitlen(c(w1)+V) - bitlen(c(w1 w2)+1), t08's binary-length
+    // trick extended to conditional probabilities. That floor-log2
+    // quantization is the documented trade that keeps the score exactly
+    // replayable cross-engine (a float log2 would differ in final ulps
+    // and break the hash gate); the keep/drop gate compares the exact
+    // rational nll_bits/n_bigrams <= 4.95 as the integer cross-product
+    // 20*nll_bits <= 99*n_bigrams, so no division reaches the gate.
+    //
+    // Scale shape: the LM tables are vocab-bounded ((context, count) and
+    // (bigram, count) map-side-combinable partials; 31 unigrams / 931
+    // bigrams on this corpus) and BROADCAST against the scoring scan —
+    // the corpus side never shuffles for the lookup, mirroring t07/t08's
+    // at-scale note; a real 100 TB run prunes the bigram table to top-K
+    // with an OOV default first (same plan). V is one broadcast scalar.
+    "t15_lm_bits" -> { (s, d) =>
+      import s.implicits._
+      val dv = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .filter(size($"w") >= 2)
+        .withColumn("split", Curation.splitCol($"doc_id"))
+      val tr = dv.filter($"split" === "train")
+      // occurrence semantics (bag counts), like t13's features — NOT the
+      // doc-locally-distinct ShingleArr
+      val tb = tr.select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c12"))
+      val tc = tr.select(explode(slice($"w", lit(1), size($"w") - 1)).as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val vv = tr.select(explode($"w").as("wd")).agg(countDistinct($"wd").as("v"))
+      val db = dv.select($"doc_id", $"split", explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> named_struct('w1', element_at(w, i),
+            |    'bg', concat_ws(' ', element_at(w, i), element_at(w, i + 1))))""".stripMargin)).as("z"))
+        .select($"doc_id", $"split", $"z.w1".as("w1"), $"z.bg".as("bg"))
+      val bits = (length(conv(coalesce($"c1", lit(0L)) + $"v", 10, 2))
+        - length(conv(coalesce($"c12", lit(0L)) + 1, 10, 2))).cast("long")
+      db.join(broadcast(tb), Seq("bg"), "left")
+        .join(broadcast(tc), Seq("w1"), "left")
+        .crossJoin(broadcast(vv))
+        .select($"doc_id", $"split", bits.as("bits"))
+        .groupBy($"doc_id", $"split")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("nll_bits"))
+        .select($"doc_id", $"split", $"n_bigrams", $"nll_bits",
+          round($"nll_bits".cast("double") / $"n_bigrams".cast("double"), 6)
+            .as("bits_per_bigram"),
+          when($"nll_bits" * 20 <= $"n_bigrams" * 99, lit("keep"))
+            .otherwise(lit("drop")).as("label"))
+        .orderBy($"doc_id")
+    },
+
     // Token/char statistics per document.
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -523,6 +645,77 @@ object TextAnalysis {
            |u AS (SELECT 1 AS round, * FROM t1 UNION ALL SELECT 2, * FROM t2 UNION ALL SELECT 3, * FROM t3)
            |SELECT round, rnk, pair, cnt, replace(pair, ' ', '') AS merged
            |FROM u ORDER BY round, rnk""".stripMargin,
+
+    // t12's training CTE chain reduced to winners, then the encode replay
+    // over position-indexed words; checksum = 40-bit md5 prefix of
+    // "idx:encoded", summed exactly (HUGEINT) and cast back
+    "t14_bpe_encode" -> {
+      def cnt(src: String, out: String) =
+        raw"""$out AS (SELECT pair, COUNT(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+             |    FROM (SELECT string_split(trim(seq), '  ') AS s FROM $src) WHERE len(s) >= 2) GROUP BY pair)""".stripMargin
+      def win(src: String, out: String) =
+        s"$out AS (SELECT pair FROM $src ORDER BY cnt DESC, pair LIMIT 1)"
+      def mrg(src: String, t: String, out: String, cols: String) =
+        raw"""$out AS (SELECT $cols replace(seq,
+             |         ' ' || replace((SELECT pair FROM $t), ' ', '  ') || ' ',
+             |         ' ' || replace((SELECT pair FROM $t), ' ', '') || ' ') AS seq FROM $src)""".stripMargin
+      raw"""WITH w0 AS (
+           |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS seq
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word FROM documents)
+           |  WHERE length(word) >= 2),
+           |${cnt("w0", "c1")},
+           |${win("c1", "t1")},
+           |${mrg("w0", "t1", "w1", "")},
+           |${cnt("w1", "c2")},
+           |${win("c2", "t2")},
+           |${mrg("w1", "t2", "w2", "")},
+           |${cnt("w2", "c3")},
+           |${win("c3", "t3")},
+           |dw AS (SELECT doc_id, unnest(list_transform(range(len(w)), i -> {'idx': i, 'word': w[i+1]})) AS z
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)),
+           |e0 AS (SELECT doc_id, z.idx AS idx, z.word AS word,
+           |    regexp_replace(z.word, '(.)', ' \1 ', 'g') AS seq FROM dw),
+           |${mrg("e0", "t1", "e1", "doc_id, idx, word,")},
+           |${mrg("e1", "t2", "e2", "doc_id, idx, word,")},
+           |${mrg("e2", "t3", "e3", "doc_id, idx, word,")},
+           |pw AS (SELECT doc_id,
+           |    CAST(length(word) AS BIGINT) AS n_sym,
+           |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok,
+           |    ('0x' || substr(md5(idx::VARCHAR || ':' || replace(trim(seq), '  ', '|')), 1, 10))::BIGINT AS h
+           |  FROM e3),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_chars,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens, CAST(SUM(h) AS BIGINT) AS enc_checksum
+           |  FROM pw GROUP BY doc_id)
+           |SELECT doc_id, n_words, n_chars, n_tokens,
+           |  round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token,
+           |  enc_checksum
+           |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    "t15_lm_bits" ->
+      raw"""WITH dv AS (SELECT doc_id, w,
+           |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+           |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT / 268435456.0 AS u
+           |    FROM documents) WHERE len(w) >= 2),
+           |tr AS (SELECT w FROM dv WHERE split = 'train'),
+           |tb AS (SELECT bg, COUNT(*) AS c12 FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM tr) GROUP BY bg),
+           |tc AS (SELECT w1, COUNT(*) AS c1 FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1 FROM tr) GROUP BY w1),
+           |vv AS (SELECT COUNT(DISTINCT wd) AS v FROM (SELECT unnest(w) AS wd FROM tr)),
+           |db AS (SELECT doc_id, split, unnest(list_transform(range(1, len(w)),
+           |    i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS z FROM dv),
+           |sc AS (SELECT doc_id, split,
+           |    CAST(length(bin(coalesce(c1, 0) + v)) - length(bin(coalesce(c12, 0) + 1)) AS BIGINT) AS bits
+           |  FROM db LEFT JOIN tb ON db.z.bg = tb.bg LEFT JOIN tc ON db.z.w1 = tc.w1 CROSS JOIN vv),
+           |agg AS (SELECT doc_id, split, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS nll_bits
+           |  FROM sc GROUP BY doc_id, split)
+           |SELECT doc_id, split, n_bigrams, nll_bits,
+           |  round(CAST(nll_bits AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram,
+           |  CASE WHEN nll_bits * 20 <= n_bigrams * 99 THEN 'keep' ELSE 'drop' END AS label
+           |FROM agg ORDER BY doc_id""".stripMargin,
 
     "t05_bpe_pair_counts" ->
       raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word

@@ -326,4 +326,24 @@ class PlanShapeSpec extends SparkSuite {
     // 3-round plan to one corpus scan per round
     assert(p.contains("InMemoryTableScan"), "per-round winner tables must be cached")
   }
+
+  test("t14: encode pass is narrow — merges broadcast, text never sort-merge-joins") {
+    val p = plan("t14_bpe_encode")
+    // same discipline as t12's training side, now also on the apply side:
+    // the three merge applications are 1-row broadcasts into the doc scan
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "merge winners must broadcast")
+    assert(p.contains("InMemoryTableScan"), "winner tables must be cached")
+    assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
+  }
+
+  test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
+    val p = plan("t15_lm_bits")
+    assert(!p.contains("SortMergeJoin"),
+      "bigram/context count lookups must be broadcast hash joins")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "LM count tables must broadcast")
+    assert(p.contains("partial"), "LM counts and the per-doc sum must partial-aggregate")
+  }
 }
