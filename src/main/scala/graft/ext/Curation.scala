@@ -277,6 +277,54 @@ object Curation {
         .orderBy($"shard")
     },
 
+    // Fixed-length SEQUENCE packing — the last data-prep step before a
+    // pretraining run: concatenate the corpus in deterministic doc order
+    // and cut every L=256 tokens (the GPT-style zero-padding loader;
+    // c05/c13 pack WHOLE docs into budget shards, this SPLITS docs at
+    // exact token boundaries). Output is the per-sequence census a
+    // loader build verifies: docs touched, tokens filled (L everywhere
+    // but the tail), docs CUT at the right boundary (continuation
+    // tokens), first/last doc, fill ratio.
+    //
+    // Scale shape: the global token offset is c05's TWO-LEVEL prefix sum
+    // (bucket-local windows + broadcast bucket offsets — no global-window
+    // funnel); each doc then explodes to only the sequences it touches
+    // (fan-out 1 + tk/L, bounded), and the census is a map-side-
+    // combinable groupBy on seq_id. Every quantity is exact integer
+    // arithmetic (div/least/greatest), so the census is bit-identical
+    // in both engines with no float discipline at all.
+    "c14_sequence_pack" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val L = 256L
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
+        .withColumn("bucket", expr("doc_id div 100"))
+      val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBuckets = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy($"bucket").agg(sum($"tk").as("btk"))
+        .select($"bucket".as("obucket"),
+          coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
+      toks.join(broadcast(offsets), $"bucket" === $"obucket")
+        .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
+        .filter($"tk" > 0)
+        .select($"doc_id", $"tk", $"cum0",
+          explode(sequence(expr(s"cum0 div $L"), expr(s"(cum0 + tk - 1) div $L")))
+            .as("seq_id"))
+        .withColumn("toks_in",
+          least(($"seq_id" + 1) * L, $"cum0" + $"tk") - greatest($"seq_id" * L, $"cum0"))
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks_in").as("tokens"),
+          sum(when($"cum0" + $"tk" > ($"seq_id" + 1) * L, 1L).otherwise(0L)).as("n_cut"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .select($"seq_id", $"n_docs", $"tokens", $"n_cut", $"first_doc", $"last_doc",
+          round($"tokens".cast("double") / L.toDouble, 6).as("fill"))
+        .orderBy($"seq_id")
+    },
+
     // Shard MATERIALIZATION — the write side c05 stops short of: a real
     // pipeline doesn't just compute shard assignments, it lays the shards
     // down as files a trainer can read independently. This writes each
@@ -704,6 +752,28 @@ object Curation {
            |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
            |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // the same concatenate-and-cut arithmetic over the naive global
+    // window (value-identical to the two-level scan); every column is
+    // exact integer math except the one rounded fill division
+    "c14_sequence_pack" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk
+           |  FROM documents),
+           |c AS (SELECT doc_id, tk,
+           |    CAST(SUM(tk) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk AS BIGINT) AS cum0
+           |  FROM t),
+           |spans AS (SELECT doc_id, tk, cum0,
+           |    unnest(range(cum0 // 256, (cum0 + tk - 1) // 256 + 1)) AS seq_id
+           |  FROM c WHERE tk > 0),
+           |agg AS (SELECT seq_id, COUNT(*) AS n_docs,
+           |    CAST(SUM(least((seq_id + 1) * 256, cum0 + tk) - greatest(seq_id * 256, cum0)) AS BIGINT) AS tokens,
+           |    CAST(SUM(CASE WHEN cum0 + tk > (seq_id + 1) * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+           |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |  FROM spans GROUP BY seq_id)
+           |SELECT seq_id, n_docs, tokens, n_cut, first_doc, last_doc,
+           |  round(CAST(tokens AS DOUBLE) / 256.0, 6) AS fill
+           |FROM agg ORDER BY seq_id""".stripMargin,
 
     // same census as c05's oracle, computed directly from `documents` —
     // matching the Spark side's re-read census proves the files round-trip

@@ -338,6 +338,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
   }
 
+  test("c14: sequence packing uses the two-level scan — bucket offsets broadcast") {
+    val p = plan("c14_sequence_pack")
+    // the only window over an unpartitioned ordering must be the tiny
+    // per-bucket totals table, never the doc rows: doc rows join the
+    // broadcast offsets and window within their bucket
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "seq census must partial-aggregate map-side")
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
