@@ -50,6 +50,64 @@ object TextAnalysis {
       .when(es >= fr, "es")
       .otherwise("fr")
 
+  // ---- t15's stage definitions, factored so the streaming twin scores
+  // a LIVE stream against the SAME frozen LM tables (StreamingParitySpec)
+  // — the production serving shape: tables trained in batch, scoring
+  // narrow enough to run unchanged on a streaming scan ----
+
+  /** Tokenized + split-labeled view of a documents-shaped DF. All narrow
+    * per-row ops — runs unchanged on a streaming scan. */
+  private[graft] def lmPrep(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(trim(col("text")), Tok.Ws))
+      .filter(size(col("w")) >= 2)
+      .withColumn("split", Curation.splitCol(col("doc_id")))
+
+  /** The LM count tables from [[lmPrep]]'s TRAIN split: (bigram counts,
+    * context counts, vocab-size scalar keyed on `one` for the stream-safe
+    * constant-key equi-join). Occurrence semantics (bag counts), like
+    * t13's features — NOT the doc-locally-distinct ShingleArr. */
+  private[graft] def lmTables(dv: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tr = dv.filter(col("split") === "train")
+    val tb = tr.select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val tc = tr.select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vv = tr.select(explode(col("w")).as("wd"))
+      .agg(countDistinct(col("wd")).as("v")).withColumn("one", lit(1))
+    (tb, tc, vv)
+  }
+
+  /** Score [[lmPrep]] rows against frozen LM tables: per-bigram integer
+    * bit cost, per-doc sum + gate. Explode + broadcast joins + one
+    * stateful agg — every op is streaming-legal, so the same definition
+    * is the batch query AND the live-scoring stream. No ORDER BY here
+    * (callers add it; a streaming sink must not). */
+  private[graft] def lmScored(
+      dv: DataFrame, tb: DataFrame, tc: DataFrame, vv: DataFrame): DataFrame = {
+    val db = dv.select(col("doc_id"), col("split"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> named_struct('w1', element_at(w, i),
+          |    'bg', concat_ws(' ', element_at(w, i), element_at(w, i + 1))))""".stripMargin)).as("z"))
+      .select(col("doc_id"), col("split"),
+        col("z.w1").as("w1"), col("z.bg").as("bg"))
+    val bits = (length(conv(coalesce(col("c1"), lit(0L)) + col("v"), 10, 2))
+      - length(conv(coalesce(col("c12"), lit(0L)) + 1, 10, 2))).cast("long")
+    db.join(broadcast(tb), Seq("bg"), "left")
+      .join(broadcast(tc), Seq("w1"), "left")
+      .withColumn("one", lit(1))
+      .join(broadcast(vv), Seq("one"))
+      .select(col("doc_id"), col("split"), bits.as("bits"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("nll_bits"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"), col("nll_bits"),
+        round(col("nll_bits").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("bits_per_bigram"),
+        when(col("nll_bits") * 20 <= col("n_bigrams") * 99, lit("keep"))
+          .otherwise(lit("drop")).as("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE vocabulary induction, step one: corpus-wide adjacent character
     // pair counts within words — the statistic each byte-pair merge round
@@ -314,39 +372,9 @@ object TextAnalysis {
     // with an OOV default first (same plan). V is one broadcast scalar.
     "t15_lm_bits" -> { (s, d) =>
       import s.implicits._
-      val dv = Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), Tok.Ws))
-        .filter(size($"w") >= 2)
-        .withColumn("split", Curation.splitCol($"doc_id"))
-      val tr = dv.filter($"split" === "train")
-      // occurrence semantics (bag counts), like t13's features — NOT the
-      // doc-locally-distinct ShingleArr
-      val tb = tr.select(explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))
-        .groupBy($"bg").agg(count(lit(1)).as("c12"))
-      val tc = tr.select(explode(slice($"w", lit(1), size($"w") - 1)).as("w1"))
-        .groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val vv = tr.select(explode($"w").as("wd")).agg(countDistinct($"wd").as("v"))
-      val db = dv.select($"doc_id", $"split", explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> named_struct('w1', element_at(w, i),
-            |    'bg', concat_ws(' ', element_at(w, i), element_at(w, i + 1))))""".stripMargin)).as("z"))
-        .select($"doc_id", $"split", $"z.w1".as("w1"), $"z.bg".as("bg"))
-      val bits = (length(conv(coalesce($"c1", lit(0L)) + $"v", 10, 2))
-        - length(conv(coalesce($"c12", lit(0L)) + 1, 10, 2))).cast("long")
-      db.join(broadcast(tb), Seq("bg"), "left")
-        .join(broadcast(tc), Seq("w1"), "left")
-        .crossJoin(broadcast(vv))
-        .select($"doc_id", $"split", bits.as("bits"))
-        .groupBy($"doc_id", $"split")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("nll_bits"))
-        .select($"doc_id", $"split", $"n_bigrams", $"nll_bits",
-          round($"nll_bits".cast("double") / $"n_bigrams".cast("double"), 6)
-            .as("bits_per_bigram"),
-          when($"nll_bits" * 20 <= $"n_bigrams" * 99, lit("keep"))
-            .otherwise(lit("drop")).as("label"))
-        .orderBy($"doc_id")
+      val dv = lmPrep(Tables.documents(s, d))
+      val (tb, tc, vv) = lmTables(dv)
+      lmScored(dv, tb, tc, vv).orderBy($"doc_id")
     },
 
     // Token/char statistics per document.

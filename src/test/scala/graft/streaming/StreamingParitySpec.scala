@@ -339,4 +339,33 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed == batch,
       s"streaming gate selected ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("LM quality scoring runs as a stream against frozen batch-trained tables (t15)") {
+    // the serving shape of the perplexity filter: LM tables trained in
+    // batch (the c02 train split), a LIVE document stream scored against
+    // the frozen broadcast tables — same lmPrep/lmScored definitions as
+    // the batch query, so the gate cannot drift between modes
+    import graft.ext.TextAnalysis
+    val batch = SparkEntry.queries("t15_lm_bits")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-lm").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val (tb, tc, vv) = TextAnalysis.lmTables(
+      TextAnalysis.lmPrep(Tables.documents(spark, sf)))
+    val schema = spark.read.parquet(docsDir).schema
+    val scored = TextAnalysis.lmScored(
+      TextAnalysis.lmPrep(spark.readStream.schema(schema).parquet(docsDir)),
+      tb, tc, vv)
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_lm")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_lm did not finish within 120 s")
+    val streamed = spark.table("parity_lm").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming scored ${streamed.size} docs vs batch ${batch.size}")
+  }
 }
