@@ -885,6 +885,68 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // Embedding OUTLIER census — SemDeDup's (d12's) complement from the
+    // same paper family (prototypicality pruning): where d12 drops docs
+    // TOO CLOSE to a neighbor, this flags docs FARTHEST from their
+    // cluster's center — the "weird tail" (OCR garbage, off-distribution
+    // scrapes) an embedding-based curation pass prunes. Per vector: its
+    // s03 cell, cosine to the cell's REFRESHED centroid (one Lloyd mean,
+    // s08's fixed-point machinery — exact cross-engine), rank-from-
+    // farthest within the cell, and the integer-exact bottom-20% verdict
+    // (rn*5 <= cell_n — no percentile float ever compared).
+    //
+    // Scale shape: assignment is s03's map-side-combinable argmax;
+    // centroids are fixed-point (cell, dim) partials (64 longs per cell
+    // per partition — bit-reproducible under any partitioning); the
+    // scoring join broadcasts the 8-row means table into the corpus
+    // scan; the only exchange of per-vector rows is the rank window on
+    // `cell`, which carries (vec_id, cell, pcos) — 20 bytes, the
+    // VECTORS never ride it. Cells parallelize the sort; a mega-cell at
+    // 100 TB would switch to a two-scan approximate threshold + gate
+    // (same verdict column, no rank) — the documented fallback.
+    "s20_outlier_census" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      // s03's map-side-combinable argmax assignment (see there)
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm", $"cent_id",
+          cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+          $"b.cent_id".as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // refreshed centroids: s08's exact fixed-point means, as arrays
+      val means = assigned
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .select($"cell", $"dim", round($"x" * lit(1e6)).cast("long").as("fx"))
+        .groupBy($"cell", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"fx").as("sfx"))
+        .select($"cell",  $"dim",
+          round($"sfx".cast("double") / ($"n" * lit(1e6)), 6).as("m"))
+        .groupBy($"cell")
+        .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
+          x => x.getField("m")).as("marr"))
+        .select($"cell".as("mcell"), $"marr", dot($"marr", $"marr").as("mnrm"))
+      val scored = assigned.join(broadcast(means), $"cell" === $"mcell")
+        .select($"vec_id", $"cell",
+          cosineWithNorms($"v", $"marr", $"nrm", $"mnrm").as("pcos"))
+      val w = Window.partitionBy($"cell").orderBy($"pcos", $"vec_id")
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cell_n",
+          count(lit(1)).over(Window.partitionBy($"cell")).cast("long"))
+        .select($"vec_id", $"cell", round($"pcos", 6).as("proto_cos"),
+          $"rn", $"cell_n",
+          when($"rn" * 5 <= $"cell_n", lit("prune")).otherwise(lit("keep"))
+            .as("verdict"))
+        .orderBy($"vec_id")
+    },
+
     // Scalar-quantized (int8) search — FAISS's SQ8: s05 defined the
     // encoding, this searches with it, completing the quantization
     // family's accuracy/size ladder (raw 512 B → SQ8 64 B → PQ 8 B per
@@ -1654,6 +1716,34 @@ object Similarity {
            |FROM rec_k8 a JOIN rec_k256 b ON a.query_id = b.query_id
            |ORDER BY a.query_id""".stripMargin
     },
+
+    // s03's argmax assignment + s08's fixed-point means + a per-cell
+    // farthest-first rank; the integer cross-product verdict needs no
+    // percentile arithmetic in either engine
+    "s20_outlier_census" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |fx AS (SELECT cell, t.dim - 1 AS dim,
+           |    CAST(round(v[t.dim] * 1000000.0) AS BIGINT) AS fx
+           |  FROM assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) t),
+           |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(fx) AS sfx FROM fx GROUP BY cell, dim),
+           |m AS (SELECT cell, dim, round(CAST(sfx AS DOUBLE) / (n * 1000000.0), 6) AS m FROM g),
+           |means AS (SELECT cell, list(m ORDER BY dim) AS marr FROM m GROUP BY cell),
+           |sc AS (SELECT a.vec_id, a.cell, ${sqlCosine("a.v", "marr")} AS pcos
+           |  FROM assigned a JOIN means USING (cell)),
+           |r AS (SELECT vec_id, cell, pcos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY pcos, vec_id) AS BIGINT) AS rn,
+           |    CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+           |  FROM sc)
+           |SELECT vec_id, cell, round(pcos, 6) AS proto_cos, rn, cell_n,
+           |  CASE WHEN rn * 5 <= cell_n THEN 'prune' ELSE 'keep' END AS verdict
+           |FROM r ORDER BY vec_id""".stripMargin,
 
     // quantized-cosine ranking: int8 dots are exact integers in doubles,
     // so no fold-order discipline is needed anywhere in this oracle

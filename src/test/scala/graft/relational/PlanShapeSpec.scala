@@ -338,6 +338,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
   }
 
+  test("s20: outlier census broadcasts centroids/means — vectors never sort-merge-join") {
+    val p = plan("s20_outlier_census")
+    assert(p.contains("BroadcastHashJoin"), "means table must broadcast to the scan")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "fixed-point means must partial-aggregate map-side")
+  }
+
   test("c14: sequence packing uses the two-level scan — bucket offsets broadcast") {
     val p = plan("c14_sequence_pack")
     // the only window over an unpartitioned ordering must be the tiny
