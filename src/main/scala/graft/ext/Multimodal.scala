@@ -128,6 +128,51 @@ object Multimodal {
     // pass, the pairing input is one 2-byte signature per blob, and the
     // quadratic is bounded by the value-space size — swap decodeStub for
     // a real decoder + DCT and this IS production image dedup.
+    // Multimodal PAIR curation — the LAION-shape step that turns raw
+    // (media, caption, embedding) rows into a contrastive-training pair
+    // table: align media blobs with their embedding rows (the inner join
+    // that defines "has a usable visual embedding"), then gate each pair
+    // on BOTH sides' dedup rep rules — media keeps only its (kind,
+    // phash) group's min-id (m03's signature, decode-once), text keeps
+    // only its md5 group's min-id (d01's rule) — and report the per-kind
+    // census a pair-curation run logs: aligned pairs, pairs lost to a
+    // media dup, to a text dup, and the shippable remainder.
+    //
+    // Scale shape: blobs are decoded ONCE in the mapPartitions feature
+    // pass; both rep rules are map-side-combinable min-aggs over 2-byte
+    // signatures / 16-byte fingerprints (never content); the alignment
+    // is an id equi-join (co-partitioned at 100 TB, where both tables
+    // are keyed by the same ingest id); the census is a 3-row
+    // conditional agg. Nothing quadratic anywhere.
+    "m04_pair_curation" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          $"text".cast("binary").as("content"))
+      val ph = extractFeatures(s, media)
+        .select($"media_id", $"kind",
+          (($"f0" % 16) + ($"f1" % 16) * 16 + ($"f2" % 16) * 256
+            + ($"f3" % 16) * 4096).cast("bigint").as("phash"))
+      val mrep = ph.groupBy($"kind", $"phash").agg(min($"media_id").as("m_rep"))
+      val mflag = ph.join(mrep, Seq("kind", "phash"))
+        .select($"media_id", $"kind", ($"media_id" === $"m_rep").as("media_rep"))
+      val docs = Tables.documents(s, d)
+      val trep = docs.groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("t_rep"))
+      val tflag = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+        .join(trep, "fp")
+        .select($"doc_id", ($"doc_id" === $"t_rep").as("text_rep"))
+      val emb = Tables.embeddings(s, d).select($"vec_id")
+      mflag.join(emb, $"media_id" === $"vec_id")
+        .join(tflag, $"media_id" === $"doc_id")
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_aligned"),
+          sum(when(!$"media_rep", 1L).otherwise(0L)).as("n_media_dup"),
+          sum(when(!$"text_rep", 1L).otherwise(0L)).as("n_text_dup"),
+          sum(when($"media_rep" && $"text_rep", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"kind")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -183,6 +228,34 @@ object Multimodal {
            |FROM ph x JOIN ph y ON x.kind = y.kind AND x.media_id < y.media_id
            |WHERE bit_count(xor(x.phash, y.phash)) <= 2
            |ORDER BY media_a, media_b""".stripMargin
+    },
+
+    // the m03 signature + d01 fingerprint rep rules replayed relationally,
+    // the embedding alignment as the same inner id join
+    "m04_pair_curation" -> {
+      def f(j: Int) =
+        s"CAST(list_sum(list_transform(range(1, length(text) + 1), i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS f$j"
+      raw"""WITH feats AS (SELECT doc_id AS media_id, source AS kind,
+           |    ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |  FROM documents),
+           |ph AS (SELECT media_id, kind,
+           |    CAST(f0 % 16 + (f1 % 16) * 16 + (f2 % 16) * 256 + (f3 % 16) * 4096
+           |      AS BIGINT) AS phash
+           |  FROM feats),
+           |mrep AS (SELECT kind, phash, MIN(media_id) AS m_rep FROM ph GROUP BY kind, phash),
+           |mf AS (SELECT media_id, ph.kind, (media_id = m_rep) AS media_rep
+           |  FROM ph JOIN mrep USING (kind, phash)),
+           |tr AS (SELECT md5(text) AS fp, MIN(doc_id) AS t_rep FROM documents GROUP BY md5(text)),
+           |tf AS (SELECT doc_id, (doc_id = t_rep) AS text_rep
+           |  FROM (SELECT doc_id, md5(text) AS fp FROM documents) dd JOIN tr USING (fp)),
+           |p AS (SELECT mf.kind, media_rep, text_rep
+           |  FROM mf JOIN (SELECT vec_id FROM embeddings) e ON media_id = vec_id
+           |  JOIN tf ON media_id = doc_id)
+           |SELECT kind, COUNT(*) AS n_aligned,
+           |  CAST(SUM(CASE WHEN NOT media_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_media_dup,
+           |  CAST(SUM(CASE WHEN NOT text_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
+           |  CAST(SUM(CASE WHEN media_rep AND text_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM p GROUP BY kind ORDER BY kind""".stripMargin
     },
 
     // resize = prefix-truncate to 64 bytes; frames = bytes 0,4,8,… of the

@@ -338,6 +338,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
   }
 
+  test("m04: pair curation has no quadratic stage — gates are aggs, alignment equi-joins") {
+    val p = plan("m04_pair_curation")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial"), "rep rules and census must partial-aggregate")
+  }
+
   test("s20: outlier census broadcasts centroids/means — vectors never sort-merge-join") {
     val p = plan("s20_outlier_census")
     assert(p.contains("BroadcastHashJoin"), "means table must broadcast to the scan")
