@@ -338,6 +338,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
   }
 
+  test("t16: probe terms broadcast into the postings — train side never sort-merge-joins them") {
+    val p = plan("t16_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"), "probe/df lookups must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"), "postings must be persisted, not re-scanned")
+    assert(p.contains("partial"), "per-(eval, doc) sums must partial-aggregate map-side")
+  }
+
   test("m04: pair curation has no quadratic stage — gates are aggs, alignment equi-joins") {
     val p = plan("m04_pair_curation")
     assert(!p.contains("CartesianProduct"))
