@@ -390,8 +390,9 @@ object TextAnalysis {
     // the tf normalization's doubles are bit-identical cross-engine
     // because both engines evaluate the same literals in the same order.
     //
-    // Scale shape: postings = the (train_id, term, tf) wordcount (map-
-    // side-combinable, the only train-side shuffle); df is vocab-bounded
+    // Scale shape: postings = the (train_id, term, tf, dl) table built
+    // DOC-LOCALLY by the codegen'd WordCounts expression — the train
+    // side shuffles NOTHING to build the index; df is vocab-bounded
     // and BROADCAST; the probe terms are c03's broadcast-eval-side shape
     // — the training side never shuffles for the match; the dense
     // match fan-out on this tiny-vocab corpus (every term hits most
@@ -401,15 +402,29 @@ object TextAnalysis {
     "t16_bm25_retrieval" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val trainW = docs.filter(!Curation.isEvalDoc($"doc_id"))
-        .select($"doc_id".as("train_id"), explode(split(trim($"text"), Tok.Ws)).as("t"))
-      // the postings table IS the index — persist it once and derive dl /
-      // df / corpus stats from it instead of re-scanning the corpus per
-      // statistic (measured: 4 scans → 1, ~1.5 s off the sf0.1 time)
-      val tf = trainW.groupBy($"train_id", $"t").agg(count(lit(1)).as("tf"))
+      // the postings table IS the index — built DOC-LOCALLY by the
+      // codegen'd WordCounts pass (a groupBy(train_id, t) would exchange
+      // one (id, term, count) row per posting: measured 36 MB at sf0.1,
+      // all of it provably row-local), with dl = size(w) riding the same
+      // row instead of a re-aggregation join. Persisted once; df and the
+      // corpus stats derive from it instead of re-scanning the corpus
+      // per statistic (measured: 4 scans → 1, ~1.5 s off the sf0.1 time)
+      val tf = docs.filter(!Curation.isEvalDoc($"doc_id"))
+        .select($"doc_id".as("train_id"), split(trim($"text"), Tok.Ws).as("w"))
+        .select($"train_id", size($"w").cast("long").as("dl"),
+          explode(graft.functions.WordCounts($"w")).as("wc"))
+        .select($"train_id", $"dl", $"wc.t".as("t"), $"wc.tf".as("tf"))
+        // spread the SKINNY postings (ids + term + two longs — the text
+        // never rides this, and it replaces the 36 MB near-unreduced
+        // groupBy exchange with a ~3 MB roundtrip): the local corpus is
+        // one parquet row group, so without an exchange every downstream
+        // stage would run at the scan's single-task parallelism; at
+        // 100 TB the scan is already thousands of tasks and this hash
+        // exchange just becomes the usual post-explode rebalance
+        .repartition(s.sparkContext.defaultParallelism, $"train_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dl = tf.groupBy($"train_id").agg(sum($"tf").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))
+      val dls = tf.groupBy($"train_id").agg(max($"dl").as("dl"))
+      val stats = dls.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))
       val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
       // distinct query terms per probe item (ShingleArr width 1)
       val q = docs.filter($"doc_id" % 100 === 0)
@@ -428,14 +443,18 @@ object TextAnalysis {
       // integers into map-side sum partials. This is exactly the
       // precompute impact-ordered retrieval indexes bake in; measured
       // here 5.8 s → 1.3 s at sf0.1.
-      val post = tf.join(dl, "train_id")
+      val post = tf
         .join(broadcast(dft), "t")
         .crossJoin(broadcast(stats))
         .select($"t", $"train_id",
           round(idfB * tfn * lit(1e6)).cast("long").as("fx"))
+      // persisted: the final orderBy's range partitioner runs a SAMPLING
+      // job over its input, which would otherwise recompute the whole
+      // fan-out aggregation a second time (measured ~2× the query)
       val scored = post.join(broadcast(q), "t")
         .groupBy($"eval_id", $"train_id")
         .agg(sum($"fx").as("sfx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.TopK.perKey(
           scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 3, saltFrom = $"train_id")
         .select($"eval_id", $"rn".as("rank"), $"train_id",

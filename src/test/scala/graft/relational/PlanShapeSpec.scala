@@ -344,6 +344,9 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("InMemoryTableScan"), "postings must be persisted, not re-scanned")
     assert(p.contains("partial"), "per-(eval, doc) sums must partial-aggregate map-side")
+    assert(p.contains("word_counts"),
+      "postings must come from the doc-local codegen'd wordcount, not a groupBy exchange")
+    assert(!p.contains("SortMergeJoin"), "no posting-side sort-merge join")
   }
 
   test("m04: pair curation has no quadratic stage — gates are aggs, alignment equi-joins") {
