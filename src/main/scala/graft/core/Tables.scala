@@ -60,4 +60,17 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Spread a scan to cluster parallelism ONLY when it arrives narrower —
+    * the local test corpus is a single parquet row group, so every
+    * per-row-expensive map (md5 window hashing, wordcounts) downstream of
+    * a bare scan would otherwise run in ONE task. The check is runtime:
+    * on a real deployment the scan already has thousands of splits, the
+    * branch is not taken, and the plan contains NO exchange — unlike an
+    * unconditional repartition, which at 100 TB would shuffle the full
+    * corpus text to fix a problem that only exists at toy scale. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc single-query timer: `runMain graft.examples.QueryTimer <name>
   * [sfDir] [reps]` — times one SparkEntry query end-to-end (count action)
   * after a warm-up rep, printing each rep. For hotspot work where the full
-  * Bench sweep is too coarse. */
+  * Bench sweep is too coarse.
+  *
+  * `SPARK_GRAFT_SINK=noop` materializes EVERY column through the noop
+  * writer instead (mirrors Bench's knob). count() lets Catalyst prune
+  * whatever the row count doesn't need — in particular a query whose
+  * expensive arm feeds a row-preserving LEFT JOIN (d18: the entire span
+  * pipeline) gets join-eliminated and the timing measures a husk. Use
+  * noop when auditing cost, count when comparing against Bench. */
 object QueryTimer {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -23,7 +30,11 @@ object QueryTimer {
       // fresh plan each rep; persisted intermediates are cleared so every
       // rep pays the full cost
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n =
+        if (sys.env.get("SPARK_GRAFT_SINK").contains("noop")) {
+          df.write.format("noop").mode("overwrite").save(); -1L
+        } else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"rep=$i rows=$n time=$dt%.3f s" + (if (i == 0) " (warmup)" else ""))
       spark.sharedState.cacheManager.clearCache()

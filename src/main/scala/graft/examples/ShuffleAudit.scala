@@ -52,7 +52,14 @@ object ShuffleAudit {
         case Some(fn) =>
           read.reset(); written.reset()
           spark.sharedState.cacheManager.clearCache()
-          val rows = fn(spark, sfDir).count()
+          // count() lets Catalyst prune anything the row count doesn't
+          // need — a row-preserving LEFT JOIN arm (d18) is eliminated
+          // wholesale. SPARK_GRAFT_SINK=noop audits the real plan.
+          val df = fn(spark, sfDir)
+          val rows =
+            if (sys.env.get("SPARK_GRAFT_SINK").contains("noop")) {
+              df.write.format("noop").mode("overwrite").save(); -1L
+            } else df.count()
           org.apache.spark.sql.GraftShims.drainListeners(spark.sparkContext)
           def mb(x: Long) = x / 1e6
           println(f"$n%-28s $rows%9d ${mb(written.sum)}%10.2f ${mb(read.sum)}%10.2f")

@@ -738,6 +738,74 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Exact-substring maximal-span dedup census — the EVERY-OFFSET form
+    // of span dedup (the ExactSubstr shape of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): d13/
+    // d16's chunk unit only sees duplicates aligned to 20-word chunk
+    // boundaries; here EVERY 20-word window is hashed, duplicated
+    // windows are detected corpus-wide, and a doc's overlapping/adjacent
+    // duplicated windows merge (gaps-and-islands) into MAXIMAL spans —
+    // what a suffix-array pass would report, without building one.
+    // Output: per-source census (docs hit, span count, duplicated words,
+    // longest span, duplicated-word fraction).
+    //
+    // Scale shape: window hashing is fused into the scan (codegen'd
+    // shingle_hashes — the array lands as a real column before the
+    // explode so InferFiltersFromGenerate's duplicates stay cheap), so
+    // the corpus-wide duplicate count — the one big exchange, and the
+    // same global-sort cost center a suffix array has — carries 8-byte
+    // window hashes with map-side partial counts, never window text.
+    // The span-merge windows run only over DUPLICATED positions (a small
+    // fraction of the corpus), and the per-doc stats are a broadcast-
+    // sized join back to the doc table.
+    "d18_substring_spans" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 20
+      // spread: the md5 window hashing is the dominant per-row cost and
+      // must not run at a single row group's parallelism (no-op at scale)
+      val docs = Tables.spread(s, Tables.documents(s, d))
+        .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("w"))
+      val pos = docs
+        .select($"doc_id", graft.functions.ShingleHashes($"w", K).as("hs"))
+        .select($"doc_id", posexplode($"hs").as(Seq("p0", "h")))
+        .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+      val dupH = pos.groupBy($"h").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).select($"h")
+      val dp = pos.join(dupH, "h").select($"doc_id", $"pos")
+      val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy($"doc_id").orderBy($"pos")
+      val spans = dp
+        .withColumn("ni",
+          when($"pos" > coalesce(max($"pos" + lit(K - 1)).over(wPrev), lit(-1L)) + 1,
+            1L).otherwise(0L))
+        .withColumn("island", sum($"ni").over(wRun))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("s0"), (max($"pos") + lit(K - 1)).as("e0"))
+      val docstat = spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"e0" - $"s0" + 1).as("dup_words"),
+          max($"e0" - $"s0" + 1).as("max_span"))
+      val src = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size($"w").cast("long")).as("total_words"))
+      val hit = docstat.join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_hit"), sum($"n_spans").as("n_spans"),
+          sum($"dup_words").as("dup_words"), max($"max_span").as("max_span"))
+      src.join(hit, Seq("source"), "left")
+        .select($"source", $"n_docs",
+          coalesce($"docs_hit", lit(0L)).as("docs_hit"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"dup_words", lit(0L)).as("dup_words"),
+          $"total_words",
+          coalesce($"max_span", lit(0L)).as("max_span"),
+          round(coalesce($"dup_words", lit(0L)).cast("double") /
+            $"total_words".cast("double"), 6).as("dup_frac"))
+        .orderBy($"source")
+    },
+
     // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
     // paragraph breaks, so the span unit is the fixed 20-word chunk — the
     // same technique as duplicated-paragraph removal, keyed on md5(chunk).
@@ -1026,6 +1094,44 @@ object Dedup {
              |WHERE d.doc_id % 10 = 7
              |ORDER BY d.doc_id""".stripMargin
       },
+
+      // same gaps-and-islands integer logic; the 60-bit window hash is
+      // the t09 md5-prefix parity trick
+      "d18_substring_spans" ->
+        raw"""WITH dw AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '[${Tok.WsChars}]+') AS w FROM documents),
+             |pos AS (SELECT doc_id, i AS pos,
+             |    ('0x' || substr(md5(array_to_string(w[i:i+19], ' ')), 1, 15))::BIGINT AS h
+             |  FROM dw, unnest(generate_series(1, greatest(0, len(w) - 19))) t(i)),
+             |dh AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) > 1),
+             |dp AS (SELECT doc_id, pos FROM pos JOIN dh USING (h)),
+             |isl AS (SELECT doc_id, pos,
+             |    CASE WHEN pos > COALESCE(MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             |    THEN 1 ELSE 0 END AS ni
+             |  FROM dp),
+             |isl2 AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + 19 AS e0
+             |  FROM isl2 GROUP BY doc_id, island),
+             |docstat AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |    CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_words,
+             |    CAST(MAX(e0 - s0 + 1) AS BIGINT) AS max_span
+             |  FROM spans GROUP BY doc_id),
+             |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(w)) AS BIGINT) AS total_words FROM dw GROUP BY source),
+             |hit AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_hit,
+             |    CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+             |    CAST(SUM(dup_words) AS BIGINT) AS dup_words,
+             |    CAST(MAX(max_span) AS BIGINT) AS max_span
+             |  FROM docstat JOIN dw USING (doc_id) GROUP BY source)
+             |SELECT source, n_docs, COALESCE(docs_hit, 0) AS docs_hit,
+             |  COALESCE(h.n_spans, 0) AS n_spans, COALESCE(h.dup_words, 0) AS dup_words,
+             |  total_words, COALESCE(h.max_span, 0) AS max_span,
+             |  round(CAST(COALESCE(h.dup_words, 0) AS DOUBLE) / CAST(total_words AS DOUBLE), 6)
+             |    AS dup_frac
+             |FROM src LEFT JOIN hit h USING (source) ORDER BY source""".stripMargin,
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

@@ -409,19 +409,16 @@ object TextAnalysis {
       // row instead of a re-aggregation join. Persisted once; df and the
       // corpus stats derive from it instead of re-scanning the corpus
       // per statistic (measured: 4 scans → 1, ~1.5 s off the sf0.1 time)
-      val tf = docs.filter(!Curation.isEvalDoc($"doc_id"))
+      // Tables.spread: without it every downstream stage would run at
+      // the local single-row-group scan's one-task parallelism; at scale
+      // the branch is not taken and the plan has NO exchange at all —
+      // the groupBy form this replaced exchanged one near-unreduced
+      // (id, term, count) row per posting (36 MB at sf0.1) always
+      val tf = Tables.spread(s, docs.filter(!Curation.isEvalDoc($"doc_id")))
         .select($"doc_id".as("train_id"), split(trim($"text"), Tok.Ws).as("w"))
         .select($"train_id", size($"w").cast("long").as("dl"),
           explode(graft.functions.WordCounts($"w")).as("wc"))
         .select($"train_id", $"dl", $"wc.t".as("t"), $"wc.tf".as("tf"))
-        // spread the SKINNY postings (ids + term + two longs — the text
-        // never rides this, and it replaces the 36 MB near-unreduced
-        // groupBy exchange with a ~3 MB roundtrip): the local corpus is
-        // one parquet row group, so without an exchange every downstream
-        // stage would run at the scan's single-task parallelism; at
-        // 100 TB the scan is already thousands of tasks and this hash
-        // exchange just becomes the usual post-explode rebalance
-        .repartition(s.sparkContext.defaultParallelism, $"train_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dls = tf.groupBy($"train_id").agg(max($"dl").as("dl"))
       val stats = dls.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))

@@ -198,6 +198,48 @@ class DedupSpec extends SparkSuite {
       (47L, "kept", None)), s"got $rows")
   }
 
+  test("d18: planted substring dups merge into maximal spans; islands split on gaps") {
+    // shared = a 25-word run → 6 duplicated 20-word windows per occurrence,
+    // which must merge into ONE maximal 25-word span (the Lee et al. 2022
+    // exact-substring unit); doc 1 carries it twice with a 25-word unique
+    // gap between (two islands), doc 2 once mid-doc, doc 3 is clean
+    val shared = (1 to 25).map(i => s"c$i")
+    val u = (1 to 25).map(i => s"u$i")
+    val v = (1 to 5).map(i => s"v$i")
+    val dir = stage(Seq(
+      (1L, (shared ++ u ++ shared).mkString(" "), "en", "sa"), // 75 words
+      (2L, (v ++ shared).mkString(" "), "en", "sb"),           // 30 words
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "sc")))
+    val rows = Dedup.queries("d18_substring_spans")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toList
+    assert(rows == List(
+      // doc 1: dup windows at pos 1-6 and 51-56 → spans [1,25] and [51,75]
+      ("sa", 1L, 1L, 2L, 50L, 75L, 25L, 0.666667),
+      // doc 2: windows 6-11 → one span [6,30]
+      ("sb", 1L, 1L, 1L, 25L, 30L, 25L, 0.833333),
+      // clean source keeps its row with zeroed span stats
+      ("sc", 1L, 0L, 0L, 0L, 30L, 0L, 0.0)), s"got $rows")
+  }
+
+  test("d18: boundary-straddling duplicate invisible to d13's chunk grid is caught") {
+    // B = words 11-30 of A: crosses A's chunk boundary at word 20, so the
+    // d13/d16 chunk unit (md5 of words 1-20, 21-40) sees NO shared chunk —
+    // the motivating gap between chunk dedup and every-offset span dedup
+    val a = (1 to 40).map(i => s"w$i")
+    val dir = stage(Seq(
+      (1L, a.mkString(" "), "en", "sa"),
+      (2L, a.slice(10, 30).mkString(" "), "en", "sb")))
+    val d13 = Dedup.queries("d13_chunk_dedup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toList
+    assert(d13 == List(("sa", 0L), ("sb", 0L)),
+      "chunk dedup must NOT see the straddling duplicate (that is the point)")
+    val rows = Dedup.queries("d18_substring_spans")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    // A: dup window at pos 11 only → span [11,30]; B: its single window
+    assert(rows == List(("sa", 1L, 1L, 20L), ("sb", 1L, 1L, 20L)), s"got $rows")
+  }
+
   test("d10: removal counts reconcile with corpus totals and d01 groups") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("d10_dedup_savings")(spark, sf).collect()

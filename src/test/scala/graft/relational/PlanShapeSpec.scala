@@ -375,6 +375,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "seq census must partial-aggregate map-side")
   }
 
+  test("d18: window hashing fuses into the scan — exchanges carry 8-byte hashes, never text") {
+    val p = plan("d18_substring_spans")
+    assert(p.contains("shingle_hashes"),
+      "window hashes must come from the codegen'd expression, not a HOF/md5 post-explode")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "the corpus-wide duplicate census must partial-aggregate map-side")
+    // the duplicated-window filter joins back on the hash key — an
+    // equi-join on h, not anything carrying the words array
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
