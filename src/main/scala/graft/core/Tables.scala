@@ -47,16 +47,32 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and floor-convert to
-    * microseconds — exactly the truncation DuckDB applies when it reads the
-    * same file, so oracle comparisons line up.
+  /** Schema-adaptive read of `events.ts` — the harness has regenerated this
+    * file across rounds with different physical timestamp encodings, so the
+    * read dispatches on the dtype Spark actually infers:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with the
+    *    legacy nanos-as-long conf it arrives as LongType → floor-convert to
+    *    microseconds (the truncation DuckDB applies to the same file).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TimestampNTZType → cast to TimestampType. The session TZ is pinned
+    *    to UTC, so the cast is value-preserving and downstream code
+    *    (`unix_micros`, `window`, NTZ output casts) is identical either way;
+    *    DuckDB reads the same file natively, so oracle parity holds.
+    *  - TimestampType: pass through.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
