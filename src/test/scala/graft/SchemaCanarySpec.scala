@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Schema-drift canary: the harness regenerates `/root/testdata` between
+  * rounds and has already changed physical encodings once (`events.ts`
+  * TIMESTAMP(NANOS) → TIMESTAMP(MICROS, NTZ)), which broke 7 queries with
+  * 15 scattered failures. This spec reads every harness table at sf0.001
+  * and pins the Spark-inferred dtypes, so the next silent regeneration
+  * produces ONE clear failure naming the drifted column.
+  *
+  * `events.ts` is deliberately pinned to the SET of encodings
+  * [[Tables.events]] knows how to normalize — drift within that set is
+  * handled; drift outside it must scream here first.
+  */
+class SchemaCanarySpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** name -> simpleString dtype, in file order (nullability not pinned —
+    * the writer's nullable flags carry no signal for the harness tables). */
+  private val expected: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "ts-encoding",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+
+  /** Encodings [[Tables.events]] dispatches on; anything else is drift. */
+  private val knownTsEncodings = Set("bigint", "timestamp", "timestamp_ntz")
+
+  for (name <- Tables.all) test(s"canary: $name dtypes at sf0.001") {
+    val actual = Tables.table(spark, sf, name).schema.fields.toSeq
+      .map(f => f.name -> f.dataType.simpleString)
+    val exp = expected(name)
+    assert(actual.map(_._1) === exp.map(_._1),
+      s"$name column set/order drifted")
+    for (((col, want), (_, got)) <- exp.zip(actual)) want match {
+      case "ts-encoding" =>
+        assert(knownTsEncodings.contains(got),
+          s"$name.$col drifted to unhandled encoding $got — teach " +
+            "Tables.events the new dtype, then add it to knownTsEncodings")
+      case _ =>
+        // timestamp vs timestamp_ntz both normalize identically under the
+        // pinned UTC session TZ for the date-valued TPC-H columns; accept
+        // either so an NTZ<->TZ writer flip is not a false alarm.
+        val ok = if (want == "timestamp")
+          got == "timestamp" || got == "timestamp_ntz"
+        else got == want
+        assert(ok, s"$name.$col drifted: expected $want, read $got")
+    }
+  }
+
+  test("canary: Tables.events normalizes ts to TimestampType") {
+    val dt = Tables.events(spark, sf).schema("ts").dataType
+    assert(dt === TimestampType || dt === TimestampNTZType,
+      s"normalized events.ts is $dt")
+    // Downstream (unix_micros, window, NTZ output casts) requires the
+    // session-TZ-bearing type specifically:
+    assert(dt === TimestampType)
+  }
+}
