@@ -214,6 +214,36 @@ object Dedup {
     * 4×16 over 64 bits). The census is ≤ 4×256 rows, so the gate is a
     * broadcast equi-join — the default `None` keeps d11's exact
     * oracle-checked plan with zero extra operators. */
+  /** Default hot-block cap for [[simhashBlockPairs]]: bounds any single
+    * (block, value) bucket's pairing to cap²/2 comparisons regardless of
+    * corpus size, which is what makes the multi-index join safe on
+    * boilerplate-heavy corpora at 100 TB. Measured harness bucket maxima:
+    * 128 at sf0.01 (the oracle gate — cap never bites, result identical)
+    * and 1338 at sf0.1, where the one over-cap bucket is real boilerplate
+    * skew (893k pairs from a single 8-bit bucket) — precisely the
+    * quadratic this cap is for. Mirrored in the d11 oracle SQL so the
+    * exclusion is engine-independent. */
+  private[graft] val DefaultBlockCap = 1000L
+
+  /** Fail-fast row bound for exact all-pairs baselines (d05): 100k rows is
+    * already 5×10⁹ pair comparisons — the largest input where the O(n²)
+    * scan is defensible as a recall-calibration baseline. */
+  private[graft] val AllPairsMaxRows = 100000L
+
+  /** Scale guard for the exact all-pairs baseline: counting the input (a
+    * parquet metadata count — no data pages read) and refusing above
+    * [[AllPairsMaxRows]] turns "someone pointed the calibration baseline at
+    * the production corpus" from a cluster-melting silent quadratic into an
+    * immediate error naming the scale-shaped alternative. */
+  private[graft] def guardAllPairs(df: DataFrame, what: String): DataFrame = {
+    val n = df.count()
+    require(n <= AllPairsMaxRows,
+      s"$what: exact all-pairs baseline over $n rows (> $AllPairsMaxRows). " +
+        "This O(n²) scan exists for recall calibration only; at scale use " +
+        "the IVF-cell-bounded d12_semantic_dedup (SemDeDup) form.")
+    df
+  }
+
   private[graft] def simhashBlockPairs(
       sh: DataFrame, maxBlockMembers: Option[Long] = None): DataFrame = {
     val bandCols = (0 until 4).map(b => struct(
@@ -528,13 +558,15 @@ object Dedup {
     // hot block (boilerplate-heavy text) widens: the fix is wider
     // blocks over a wider signature (d08's 4×16 over 64 bits), same
     // plan shape; [[simhashBlockPairs]]'s maxBlockMembers cap is the
-    // runtime circuit breaker (adversarially tested in DedupSpec).
+    // runtime circuit breaker (adversarially tested in DedupSpec) and is
+    // ON by default here ([[DefaultBlockCap]], mirrored in the oracle) so
+    // the 8-bit demo width cannot go quadratic on a hot block.
     "d11_dedup_simhash_blocks" -> { (s, d) =>
       import s.implicits._
       val sh = Tables.documents(s, d)
         .select($"doc_id",
           graft.functions.SimHashMd5(split(trim($"text"), Tok.Ws)).as("sh"))
-      simhashBlockPairs(sh).orderBy($"doc_a", $"doc_b")
+      simhashBlockPairs(sh, Some(DefaultBlockCap)).orderBy($"doc_a", $"doc_b")
     },
 
     // Cross-source duplicated-span overlap matrix — the PROVENANCE report
@@ -560,10 +592,12 @@ object Dedup {
         .orderBy($"source_a", $"source_b")
     },
 
-    // Embedding-cosine near-dup pairs (exact O(n^2) baseline).
+    // Embedding-cosine near-dup pairs (exact O(n^2) baseline), guarded:
+    // [[guardAllPairs]] fail-fasts above [[AllPairsMaxRows]] so the
+    // baseline cannot silently run its quadratic at corpus scale.
     "d05_dedup_embedding_cosine" -> { (s, d) =>
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val e = guardAllPairs(Tables.embeddings(s, d), "d05_dedup_embedding_cosine")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
       val cos = Similarity.cosineWithNorms(
@@ -968,7 +1002,10 @@ object Dedup {
              |    $vCols
              |  FROM h GROUP BY doc_id),
              |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM v),
-             |bands AS ($bandSelects)
+             |bands0 AS ($bandSelects),
+             |cool AS (SELECT bi, bv FROM bands0 GROUP BY bi, bv
+             |  HAVING COUNT(*) <= $DefaultBlockCap),
+             |bands AS (SELECT bands0.* FROM bands0 JOIN cool USING (bi, bv))
              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
              |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv

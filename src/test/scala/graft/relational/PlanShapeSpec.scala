@@ -389,6 +389,27 @@ class PlanShapeSpec extends SparkSuite {
       || p.contains("BroadcastHashJoin"))
   }
 
+  test("d05: all-pairs baseline fail-fasts above the row bound, runs below it") {
+    import graft.ext.Dedup
+    // oversized input → loud refusal, naming the scale-shaped alternative
+    val big = spark.range(Dedup.AllPairsMaxRows + 1).toDF("vec_id")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.guardAllPairs(big, "d05_dedup_embedding_cosine")
+    }
+    assert(err.getMessage.contains("d12_semantic_dedup"))
+    // the guarded query itself still runs at harness scale
+    assert(SparkEntry.queries("d05_dedup_embedding_cosine")(spark, sf).count() > 0)
+  }
+
+  test("d11: hot-block cap is on by default — bands gate through the broadcast cool-bucket join") {
+    val p = plan("d11_dedup_simhash_blocks")
+    // the census gate is a broadcast equi-join on (bi, bv); its census
+    // aggregates map-side
+    assert(p.contains("BroadcastHashJoin"), "cool-bucket gate must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "block census must partial-aggregate")
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
