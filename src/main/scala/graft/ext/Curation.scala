@@ -88,6 +88,57 @@ object Curation {
     .orderBy(col("u"), col("doc_id"))
     .limit(k)
 
+  /** Global token offsets per doc — `(doc_id, tk, cum0)` where `cum0` is
+    * the exclusive prefix sum of token counts in doc_id order — via the
+    * TWO-LEVEL prefix sum (bucket-local windows + broadcast bucket
+    * offsets; no global-window funnel — see c05's scale note). Integer
+    * DIV throughout: double division + cast would round at ~2^42
+    * quotients and drift from the oracle's exact `//`. This is the
+    * STATEFUL half of sequence packing (c05/c14) — the "index build" a
+    * streaming packer freezes, like t15's LM tables. */
+  private[graft] def tokenOffsets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), size(split(trim(col("text")), Tok.Ws)).cast("long").as("tk"))
+      .withColumn("bucket", expr("doc_id div 100"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("bucket")).agg(sum(col("tk")).as("btk"))
+      .select(col("bucket").as("obucket"),
+        coalesce(sum(col("btk")).over(wBuckets), lit(0L)).as("offset"))
+    toks.join(broadcast(offsets), col("bucket") === col("obucket"))
+      .withColumn("cum0", col("offset") + sum(col("tk")).over(wLocal) - col("tk"))
+      .select(col("doc_id"), col("tk"), col("cum0"))
+  }
+
+  /** Per-sequence census from `(doc_id, tk, cum0)` rows: explode each doc
+    * to the L-token sequences it touches (fan-out 1 + tk/L, bounded) and
+    * aggregate exact integer fill/cut counts per seq_id. Explode + one
+    * map-side-combinable agg — every op is streaming-legal, so the same
+    * definition is c14's batch body AND the live packer scoring a doc
+    * stream against frozen [[tokenOffsets]]. No ORDER BY (callers add
+    * it; a streaming sink must not). */
+  private[graft] def seqCensus(assigned: DataFrame, L: Long): DataFrame =
+    assigned
+      .filter(col("tk") > 0)
+      .select(col("doc_id"), col("tk"), col("cum0"),
+        explode(sequence(expr(s"cum0 div $L"), expr(s"(cum0 + tk - 1) div $L")))
+          .as("seq_id"))
+      .withColumn("toks_in",
+        least((col("seq_id") + 1) * L, col("cum0") + col("tk"))
+          - greatest(col("seq_id") * L, col("cum0")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks_in")).as("tokens"),
+        sum(when(col("cum0") + col("tk") > (col("seq_id") + 1) * L, 1L)
+          .otherwise(0L)).as("n_cut"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .select(col("seq_id"), col("n_docs"), col("tokens"), col("n_cut"),
+        col("first_doc"), col("last_doc"),
+        round(col("tokens").cast("double") / L.toDouble, 6).as("fill"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
@@ -255,21 +306,7 @@ object Curation {
     // (SCALE.md §Curation).
     "c05_token_shards" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
-        // integer DIV throughout: double division + cast would round at
-        // ~2^42 quotients and drift from the oracle's exact `//`
-        .withColumn("bucket", expr("doc_id div 100"))
-      val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wBuckets = Window.orderBy($"bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = toks.groupBy($"bucket").agg(sum($"tk").as("btk"))
-        .select($"bucket".as("obucket"),
-          coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
-      toks.join(broadcast(offsets), $"bucket" === $"obucket")
-        .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
+      tokenOffsets(Tables.documents(s, d))
         .withColumn("shard", expr("cum0 div 2000"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"tk").as("total_tokens"),
@@ -295,33 +332,7 @@ object Curation {
     // in both engines with no float discipline at all.
     "c14_sequence_pack" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val L = 256L
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", size(split(trim($"text"), Tok.Ws)).cast("long").as("tk"))
-        .withColumn("bucket", expr("doc_id div 100"))
-      val wLocal = Window.partitionBy($"bucket").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wBuckets = Window.orderBy($"bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = toks.groupBy($"bucket").agg(sum($"tk").as("btk"))
-        .select($"bucket".as("obucket"),
-          coalesce(sum($"btk").over(wBuckets), lit(0L)).as("offset"))
-      toks.join(broadcast(offsets), $"bucket" === $"obucket")
-        .withColumn("cum0", $"offset" + sum($"tk").over(wLocal) - $"tk")
-        .filter($"tk" > 0)
-        .select($"doc_id", $"tk", $"cum0",
-          explode(sequence(expr(s"cum0 div $L"), expr(s"(cum0 + tk - 1) div $L")))
-            .as("seq_id"))
-        .withColumn("toks_in",
-          least(($"seq_id" + 1) * L, $"cum0" + $"tk") - greatest($"seq_id" * L, $"cum0"))
-        .groupBy($"seq_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"toks_in").as("tokens"),
-          sum(when($"cum0" + $"tk" > ($"seq_id" + 1) * L, 1L).otherwise(0L)).as("n_cut"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .select($"seq_id", $"n_docs", $"tokens", $"n_cut", $"first_doc", $"last_doc",
-          round($"tokens".cast("double") / L.toDouble, 6).as("fill"))
+      seqCensus(tokenOffsets(Tables.documents(s, d)), L = 256L)
         .orderBy($"seq_id")
     },
 

@@ -108,6 +108,71 @@ object TextAnalysis {
           .otherwise(lit("drop")).as("label"))
   }
 
+  /** The BM25 impact-scored postings index over `docs`' TRAIN side
+    * (everything [[Curation.isEvalDoc]] excludes): one row per posting
+    * `(t, train_id, fx)` where `fx` is the fixed-point 1e-6 per-term
+    * impact — idf (integer bit-length form) × tf-normalization — fully
+    * precomputed so probe-time work is an equi-join plus an integer sum.
+    *
+    * Built DOC-LOCALLY by the codegen'd WordCounts pass (a
+    * groupBy(train_id, t) would exchange one (id, term, count) row per
+    * posting: measured 36 MB at sf0.1, all of it provably row-local),
+    * with dl = size(w) riding the same row instead of a re-aggregation
+    * join. The tf table persists once; df and the corpus stats derive
+    * from it instead of re-scanning the corpus per statistic (measured:
+    * 4 scans → 1, ~1.5 s off the sf0.1 time). Tables.spread: without it
+    * every downstream stage would run at the local single-row-group
+    * scan's one-task parallelism; at scale the branch is not taken and
+    * the plan has NO exchange at all. This is the precompute
+    * impact-ordered retrieval indexes bake in; measured here 5.8 s →
+    * 1.3 s at sf0.1. */
+  private[graft] def bm25Impacts(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val tf = Tables.spread(s, docs.filter(!Curation.isEvalDoc($"doc_id")))
+      .select($"doc_id".as("train_id"), split(trim($"text"), Tok.Ws).as("w"))
+      .select($"train_id", size($"w").cast("long").as("dl"),
+        explode(graft.functions.WordCounts($"w")).as("wc"))
+      .select($"train_id", $"dl", $"wc.t".as("t"), $"wc.tf".as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dls = tf.groupBy($"train_id").agg(max($"dl").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))
+    val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val avgdl = $"sum_dl".cast("double") / $"n_train".cast("double")
+    val idfB = (length(conv($"n_train", 10, 2)) - length(conv($"df", 10, 2)))
+      .cast("double")
+    val tfn = ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * $"dl".cast("double") / avgdl))
+    tf.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .select($"t", $"train_id",
+        round(idfB * tfn * lit(1e6)).cast("long").as("fx"))
+  }
+
+  /** Distinct query terms per probe item (ShingleArr width 1):
+    * `(eval_id, t)` for the %100 eval subset. Narrow per-row ops only, so
+    * the same definition runs on a batch table or a live probe stream. */
+  private[graft] def bm25ProbeTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.functions.ShingleArr(split(trim(col("text")), Tok.Ws), 1)).as("t"))
+
+  /** Score probe terms against a frozen [[bm25Impacts]] index:
+    * `(eval_id, train_id, sfx)` integer sums — exact and order-free, so
+    * batch and streaming runs agree bitwise. Batch probes broadcast into
+    * the posting fan-out (the probe set is small by construction); a
+    * STREAMING probe side instead stream-static-joins the frozen index
+    * (a stream cannot be broadcast), then sums in complete mode — same
+    * rows either way. No ORDER BY / top-k here: callers rank (a
+    * streaming sink must not sort). */
+  private[graft] def bm25Scores(post: DataFrame, probe: DataFrame): DataFrame = {
+    val joined =
+      if (probe.isStreaming) probe.join(post, "t")
+      else post.join(broadcast(probe), "t")
+    joined.groupBy(col("eval_id"), col("train_id"))
+      .agg(sum(col("fx")).as("sfx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE vocabulary induction, step one: corpus-wide adjacent character
     // pair counts within words — the statistic each byte-pair merge round
@@ -402,55 +467,13 @@ object TextAnalysis {
     "t16_bm25_retrieval" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // the postings table IS the index — built DOC-LOCALLY by the
-      // codegen'd WordCounts pass (a groupBy(train_id, t) would exchange
-      // one (id, term, count) row per posting: measured 36 MB at sf0.1,
-      // all of it provably row-local), with dl = size(w) riding the same
-      // row instead of a re-aggregation join. Persisted once; df and the
-      // corpus stats derive from it instead of re-scanning the corpus
-      // per statistic (measured: 4 scans → 1, ~1.5 s off the sf0.1 time)
-      // Tables.spread: without it every downstream stage would run at
-      // the local single-row-group scan's one-task parallelism; at scale
-      // the branch is not taken and the plan has NO exchange at all —
-      // the groupBy form this replaced exchanged one near-unreduced
-      // (id, term, count) row per posting (36 MB at sf0.1) always
-      val tf = Tables.spread(s, docs.filter(!Curation.isEvalDoc($"doc_id")))
-        .select($"doc_id".as("train_id"), split(trim($"text"), Tok.Ws).as("w"))
-        .select($"train_id", size($"w").cast("long").as("dl"),
-          explode(graft.functions.WordCounts($"w")).as("wc"))
-        .select($"train_id", $"dl", $"wc.t".as("t"), $"wc.tf".as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dls = tf.groupBy($"train_id").agg(max($"dl").as("dl"))
-      val stats = dls.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))
-      val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+      val post = bm25Impacts(s, docs)
       // distinct query terms per probe item (ShingleArr width 1)
-      val q = docs.filter($"doc_id" % 100 === 0)
-        .select($"doc_id".as("eval_id"),
-          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 1)).as("t"))
-      val avgdl = $"sum_dl".cast("double") / $"n_train".cast("double")
-      val idfB = (length(conv($"n_train", 10, 2)) - length(conv($"df", 10, 2)))
-        .cast("double")
-      val tfn = ($"tf".cast("double") * lit(2.2)) /
-        ($"tf".cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * $"dl".cast("double") / avgdl))
-      // per-POSTING impact score, computed BEFORE the probe join: BM25's
-      // per-term score depends only on (tf, dl, df) — not the query — so
-      // the double math runs once per posting (|vocab|·|docs| rows) and
-      // the dense probe fan-out carries only (eval_id, train_id, fx)
-      // integers into map-side sum partials. This is exactly the
-      // precompute impact-ordered retrieval indexes bake in; measured
-      // here 5.8 s → 1.3 s at sf0.1.
-      val post = tf
-        .join(broadcast(dft), "t")
-        .crossJoin(broadcast(stats))
-        .select($"t", $"train_id",
-          round(idfB * tfn * lit(1e6)).cast("long").as("fx"))
+      val q = bm25ProbeTerms(docs)
       // persisted: the final orderBy's range partitioner runs a SAMPLING
       // job over its input, which would otherwise recompute the whole
       // fan-out aggregation a second time (measured ~2× the query)
-      val scored = post.join(broadcast(q), "t")
-        .groupBy($"eval_id", $"train_id")
-        .agg(sum($"fx").as("sfx"))
+      val scored = bm25Scores(post, q)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.TopK.perKey(
           scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 3, saltFrom = $"train_id")

@@ -368,4 +368,71 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed == batch,
       s"streaming scored ${streamed.size} docs vs batch ${batch.size}")
   }
+
+  test("BM25 retrieval scores a probe stream against the frozen postings index (t16)") {
+    // the serving shape of retrieval-based decontamination/attribution:
+    // the impact-scored postings index is built in batch over the train
+    // corpus, then LIVE probe documents are scored against the frozen
+    // index — same bm25Impacts/bm25ProbeTerms/bm25Scores definitions as
+    // the batch query, so ranking cannot drift between modes. Scores are
+    // fixed-point integer sums, so parity is exact, not approximate.
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25Impacts(spark, docs)
+    val batch = TextAnalysis.bm25Scores(post, TextAnalysis.bm25ProbeTerms(docs))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch scored no probe items at sf0.001")
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-bm25").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val scored = TextAnalysis.bm25Scores(post,
+      TextAnalysis.bm25ProbeTerms(spark.readStream.schema(schema).parquet(docsDir)))
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_bm25")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_bm25 did not finish within 120 s")
+    val streamed = spark.table("parity_bm25").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming scored ${streamed.size} (eval, train) pairs vs batch ${batch.size}")
+  }
+
+  test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
+    // the serving shape of the pretraining packer: the global-prefix-sum
+    // offset assignment is the frozen "index" (built in batch — it is
+    // inherently stateful), and the per-doc sequence explosion + census
+    // runs on a LIVE document stream against it — same tokenOffsets/
+    // seqCensus definitions as the batch query, all-integer, so the
+    // census matches exactly.
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, sf)
+    val frozen = Curation.tokenOffsets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = SparkEntry.queries("c14_sequence_pack")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-pack").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    // the stream carries the doc bodies; the frozen assignment supplies
+    // (tk, cum0) via a stream-static equi-join on doc_id
+    val census = Curation.seqCensus(
+      spark.readStream.schema(schema).parquet(docsDir)
+        .select(col("doc_id")).join(frozen, "doc_id"),
+      L = 256L)
+    val q = census.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_pack")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_pack did not finish within 120 s")
+    val streamed = spark.table("parity_pack").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming censused ${streamed.size} sequences vs batch ${batch.size}")
+    frozen.unpersist()
+  }
 }
