@@ -88,6 +88,23 @@ object Bench {
     val cpuWallRatio =
       if (cpu0 < 0 || cpu1 < 0 || wallSec <= 0) -1.0
       else (cpu1 - cpu0) / 1e9 / wallSec
+    // ratio_vs_idle closes the taint loop the cpu_wall_ratio comment
+    // promises: no absolute ratio threshold separates clean from starved
+    // (planning/codegen is single-threaded), but the ratio vs a committed
+    // KNOWN-IDLE run of the same config is directly interpretable —
+    // ~1.0 when this run owned the machine, well below 1 when another
+    // process stole cycles (wall stretches, our cpu doesn't). The
+    // reference lives in-repo (tools/bench_idle_ref.txt, recorded at
+    // load < 0.2 on this 32-cpu box at the driver's sf0.1/32-cpu/1-rep
+    // config); -1 when the file is absent or this run's bean failed.
+    val idleRef =
+      try {
+        val src = scala.io.Source.fromFile(sys.env.getOrElse(
+          "SPARK_GRAFT_IDLE_REF", "/root/repo/tools/bench_idle_ref.txt"))
+        try src.mkString.trim.toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val ratioVsIdle =
+      if (idleRef > 0 && cpuWallRatio > 0) cpuWallRatio / idleRef else -1.0
     // per-query seconds rounded to 1 ms: full-precision doubles made the
     // line ~4.5 KB and the driver's 4 KB tail capture truncated it every
     // round ("parsed": null in BENCH_r01..r04) — 3 dp keeps it ~2.4 KB
@@ -99,7 +116,7 @@ object Bench {
     // a breakage must never read as a speedup: "failed" is explicit, and the
     // headline total is -1 whenever any query failed
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"queries":$qs,"sf":"$sfDir"}"""
     // durable full copy: the printed line competes with sbt noise for the
     // driver's tail capture; the file never does
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
@@ -124,6 +141,6 @@ object Bench {
     // Judges compare the ratio across rounds instead (it only drops when
     // another process steals the machine).
     val tainted = loadAvg > 1.5
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"tainted":$tainted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"tainted":$tainted,"sf":"$sfDir"}""")
   }
 }

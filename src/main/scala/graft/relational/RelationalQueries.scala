@@ -336,6 +336,11 @@ object RelationalQueries {
     // exact count. No DuckDB oracle (sketch estimates are engine-specific)
     // → the driver records a rows-only check. At 100 TB the approx variant
     // is the one you run: fixed-size sketch state, no expand, mergeable.
+    // SELF-ASSERTING: the output carries the relative error and a
+    // `within_5rsd` verdict (HLL++ at rsd 0.02 is deterministic for a
+    // fixed input set, and 5·rsd is far beyond its guarantee), so even
+    // the rows-only check fails loudly if the sketch ever degrades —
+    // Q20SketchSpec asserts every row's verdict is true.
     "q20_approx_distinct" -> { (s, d) =>
       import s.implicits._
       Tables.lineitem(s, d)
@@ -343,6 +348,10 @@ object RelationalQueries {
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .withColumn("rel_err",
+          round(abs($"approx_parts" - $"exact_parts").cast("double")
+            / $"exact_parts".cast("double"), 6))
+        .withColumn("within_5rsd", $"rel_err" <= 0.10)
         .orderBy($"l_returnflag")
     },
 

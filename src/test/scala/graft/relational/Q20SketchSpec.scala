@@ -15,7 +15,15 @@ class Q20SketchSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.01"
 
   test("q20: exact column and group keys match an independent count; HLL inside its envelope") {
-    val rows = SparkEntry.queries("q20_approx_distinct")(spark, sf).collect()
+    val full = SparkEntry.queries("q20_approx_distinct")(spark, sf).collect()
+    // the query's own verdict column: every row must self-report in-envelope,
+    // and rel_err must be the recomputation of the two count columns
+    full.foreach { r =>
+      assert(r.getBoolean(4), s"self-assert failed: $r")
+      val recomputed = math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2)
+      assert(math.abs(r.getDouble(3) - recomputed) < 1e-6, s"rel_err drifted: $r")
+    }
+    val rows = full
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
 
     val truth = graft.core.Tables.lineitem(spark, sf)
