@@ -248,9 +248,14 @@ object Dedup {
       sh: DataFrame, maxBlockMembers: Option[Long] = None): DataFrame = {
     val bandCols = (0 until 4).map(b => struct(
       lit(b).as("bi"), shiftright(col("sh"), 8 * b).bitwiseAND(255).as("bv")))
-    val bands0 = sh.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("band"))
+    val bands1 = sh.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("sh"), col("band.bi"), col("band.bv"))
-    val bands = maxBlockMembers.fold(bands0) { cap =>
+    val bands = maxBlockMembers.fold(bands1) { cap =>
+      // persisted: the census, then BOTH sides of the pair self-join,
+      // would otherwise each re-scan the corpus and re-hash signatures
+      // (4 scans for 1); the cached frame is 4 narrow rows/doc — the
+      // materialized signature index a production pipeline stores anyway
+      val bands0 = bands1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cool = bands0.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= cap).select(col("bi"), col("bv"))
       bands0.join(broadcast(cool), Seq("bi", "bv"))
