@@ -336,6 +336,68 @@ object Curation {
         .orderBy($"seq_id")
     },
 
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): train a bigram LM
+    // on the TARGET domain (the `en` corpus — the in-domain proxy) and a
+    // second on the RAW pool (everything else), score every pool doc
+    // under both, and keep the top-100 by the exact log importance ratio
+    // log p_target(x) − log p_raw(x) = nll_raw − nll_target. Both nll's
+    // are t15's integer bit costs (add-one-smoothed, floor-log2), so the
+    // score is an exact integer and ranking is engine-deterministic with
+    // no float discipline — the published recipe's Gumbel resampling is
+    // replaced by the deterministic top-k, the same trade every other
+    // sampler here makes (c07/c12).
+    //
+    // Scale shape: both LM tables are vocab-bounded map-side-combined
+    // partials, BROADCAST 4-ways onto ONE pass over the pool corpus (the
+    // pool never shuffles for the lookups); the per-doc agg exchanges
+    // integer partials; top-100 is TakeOrderedAndProject, never a full
+    // sort. At 100 TB the target proxy is small by construction (DSIR
+    // trains it on Wikipedia/books-scale data) and the pool-side raw LM
+    // is the same vocab-bounded count table, pruned to top-K with an OOV
+    // default exactly like t15's scale note.
+    "c15_dsir_selection" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .filter(size($"w") >= 2)
+      val (tbT, tcT, vvT) = TextAnalysis.lmTablesOf(docs.filter($"lang" === "en"))
+      val pool = docs.filter($"lang" =!= "en")
+      val (tbR, tcR, vvR) = TextAnalysis.lmTablesOf(pool)
+      val db = pool.select($"doc_id", $"source", $"lang", explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> named_struct('w1', element_at(w, i),
+            |    'bg', concat_ws(' ', element_at(w, i), element_at(w, i + 1))))""".stripMargin)).as("z"))
+        .select($"doc_id", $"source", $"lang", $"z.w1".as("w1"), $"z.bg".as("bg"))
+      def bits(c1: Column, v: Column, c12: Column): Column =
+        (length(conv(coalesce(c1, lit(0L)) + v, 10, 2))
+          - length(conv(coalesce(c12, lit(0L)) + 1, 10, 2))).cast("long")
+      db.join(broadcast(tbT.select($"bg", $"c12".as("c12t"))), Seq("bg"), "left")
+        .join(broadcast(tcT.select($"w1", $"c1".as("c1t"))), Seq("w1"), "left")
+        .join(broadcast(tbR.select($"bg", $"c12".as("c12r"))), Seq("bg"), "left")
+        .join(broadcast(tcR.select($"w1", $"c1".as("c1r"))), Seq("w1"), "left")
+        .withColumn("one", lit(1))
+        .join(broadcast(vvT.select($"one", $"v".as("vt"))), Seq("one"))
+        .join(broadcast(vvR.select($"one", $"v".as("vr"))), Seq("one"))
+        .select($"doc_id", $"source", $"lang",
+          bits($"c1t", $"vt", $"c12t").as("bt"),
+          bits($"c1r", $"vr", $"c12r").as("br"))
+        .groupBy($"doc_id", $"source", $"lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum($"bt").as("nll_target"), sum($"br").as("nll_raw"))
+        .withColumn("score_bits", $"nll_raw" - $"nll_target")
+        .orderBy($"score_bits".desc, $"doc_id")
+        .limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score_bits".desc, $"doc_id")))
+        .select($"rank", $"doc_id", $"source", $"lang", $"n_bigrams",
+          $"nll_target", $"nll_raw", $"score_bits",
+          round($"score_bits".cast("double") / $"n_bigrams".cast("double"), 6)
+            .as("bits_gap"))
+        .orderBy($"rank")
+    },
+
     // Shard MATERIALIZATION — the write side c05 stops short of: a real
     // pipeline doesn't just compute shard assignments, it lays the shards
     // down as files a trainer can read independently. This writes each
@@ -785,6 +847,44 @@ object Curation {
            |SELECT seq_id, n_docs, tokens, n_cut, first_doc, last_doc,
            |  round(CAST(tokens AS DOUBLE) / 256.0, 6) AS fill
            |FROM agg ORDER BY seq_id""".stripMargin,
+
+    // two t15-shape LM CTE sets (target = en, raw = the pool itself);
+    // every score is an integer bit-length sum, so ranking and the
+    // top-100 cut are exact in both engines — only bits_gap rounds
+    "c15_dsir_selection" ->
+      raw"""WITH dv AS (SELECT doc_id, source, lang,
+           |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
+           |  FROM documents),
+           |dvf AS (SELECT * FROM dv WHERE len(w) >= 2),
+           |tgt AS (SELECT w FROM dvf WHERE lang = 'en'),
+           |pool AS (SELECT doc_id, source, lang, w FROM dvf WHERE lang <> 'en'),
+           |tbt AS (SELECT bg, COUNT(*) AS c12t FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM tgt) GROUP BY bg),
+           |tct AS (SELECT w1, COUNT(*) AS c1t FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1 FROM tgt) GROUP BY w1),
+           |vvt AS (SELECT COUNT(DISTINCT wd) AS vt FROM (SELECT unnest(w) AS wd FROM tgt)),
+           |tbr AS (SELECT bg, COUNT(*) AS c12r FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM pool) GROUP BY bg),
+           |tcr AS (SELECT w1, COUNT(*) AS c1r FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1 FROM pool) GROUP BY w1),
+           |vvr AS (SELECT COUNT(DISTINCT wd) AS vr FROM (SELECT unnest(w) AS wd FROM pool)),
+           |db AS (SELECT doc_id, source, lang, unnest(list_transform(range(1, len(w)),
+           |    i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]})) AS z FROM pool),
+           |sc AS (SELECT doc_id, source, lang,
+           |    CAST(length(bin(coalesce(c1t, 0) + vt)) - length(bin(coalesce(c12t, 0) + 1)) AS BIGINT) AS bt,
+           |    CAST(length(bin(coalesce(c1r, 0) + vr)) - length(bin(coalesce(c12r, 0) + 1)) AS BIGINT) AS br
+           |  FROM db LEFT JOIN tbt ON db.z.bg = tbt.bg LEFT JOIN tct ON db.z.w1 = tct.w1
+           |    LEFT JOIN tbr ON db.z.bg = tbr.bg LEFT JOIN tcr ON db.z.w1 = tcr.w1
+           |    CROSS JOIN vvt CROSS JOIN vvr),
+           |agg AS (SELECT doc_id, source, lang, COUNT(*) AS n_bigrams,
+           |    CAST(SUM(bt) AS BIGINT) AS nll_target, CAST(SUM(br) AS BIGINT) AS nll_raw
+           |  FROM sc GROUP BY 1, 2, 3),
+           |r AS (SELECT *, nll_raw - nll_target AS score_bits,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY nll_raw - nll_target DESC, doc_id) AS INTEGER) AS rank
+           |  FROM agg)
+           |SELECT rank, doc_id, source, lang, n_bigrams, nll_target, nll_raw, score_bits,
+           |  round(CAST(score_bits AS DOUBLE) / n_bigrams, 6) AS bits_gap
+           |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // same census as c05's oracle, computed directly from `documents` —
     // matching the Spark side's re-read census proves the files round-trip

@@ -66,8 +66,14 @@ object TextAnalysis {
     * context counts, vocab-size scalar keyed on `one` for the stream-safe
     * constant-key equi-join). Occurrence semantics (bag counts), like
     * t13's features — NOT the doc-locally-distinct ShingleArr. */
-  private[graft] def lmTables(dv: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val tr = dv.filter(col("split") === "train")
+  private[graft] def lmTables(dv: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    lmTablesOf(dv.filter(col("split") === "train"))
+
+  /** [[lmTables]] over an ALREADY-SELECTED training corpus (rows carrying
+    * a `w` token-array column) — factored out so c15's DSIR pass can
+    * train two LMs (target domain vs raw pool) from the same definition
+    * the t15 gate uses. */
+  private[graft] def lmTablesOf(tr: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tb = tr.select(explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin)).as("bg"))

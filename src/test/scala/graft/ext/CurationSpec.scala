@@ -222,6 +222,41 @@ class CurationSpec extends SparkSuite {
     assert(twoLevel == naive)
   }
 
+  test("c15: planted target-like doc wins the DSIR ranking; scores are exact integers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c15").toString
+    // target domain (en): one distinctive phrase, repeated so its bigrams
+    // dominate the target LM; pool (de): doc 99 plants the SAME phrase —
+    // cheap under the target LM, expensive under the raw LM (its bigrams
+    // are rare in the pool) — and must take rank 1 by the largest
+    // nll_raw − nll_target gap
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val en = (0L until 10L).map(i => (i * 2 + 1, phrase, "en", "s0"))
+    val de = Seq(
+      (10L, "der hund laeuft schnell durch den dunklen wald heute", "de", "s1"),
+      (12L, "die katze schlaeft gern unter dem alten baum dort", "de", "s1"),
+      (14L, "der hund schlaeft unter dem baum im wald", "de", "s1"),
+      (99L, phrase, "de", "s1"))
+    (en ++ de).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.queries("c15_dsir_selection")(spark, dir).collect()
+    // only pool docs are ranked, every pool doc fits in the top-100 cut
+    assert(rows.length == de.length, s"expected ${de.length} ranked pool docs")
+    val top = rows.head
+    assert(top.getInt(0) == 1 && top.getLong(1) == 99L,
+      s"planted doc must rank 1, got ${top.mkString(",")}")
+    // the ranking is by exact integer score, descending with doc_id tie-break
+    val scores = rows.map(r => (r.getInt(0), r.getLong(7), r.getLong(1)))
+    assert(scores.sortBy { case (_, s, id) => (-s, id) }.map(_._1).toSeq
+      == scores.map(_._1).toSeq.sorted, s"rank order broken: ${scores.toList}")
+    // the gap is recomputable from the two nll columns
+    rows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(6) - r.getLong(5), s"score drifted: $r")
+    }
+  }
+
   test("m02: frame summaries agree with a direct stub computation") {
     import spark.implicits._
     val media = Seq((1L, "k", "abcdefgh" * 10), (2L, "k", "xy"))
