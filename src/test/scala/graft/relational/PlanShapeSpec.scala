@@ -410,6 +410,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"), "block census must partial-aggregate")
   }
 
+  test("c15: both LM table sets broadcast onto one pool pass; top-100 is TakeOrderedAndProject") {
+    val p = plan("c15_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"), "LM count lookups must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 cut must not plan a full global sort")
+    assert(p.contains("partial"), "LM counts and per-doc sums must partial-aggregate")
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
