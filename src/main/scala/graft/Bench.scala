@@ -18,7 +18,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warmup: pay scheduler/codegen/IO init before the first timed
     // query instead of inside it; touch every input table so no timed query
-    // pays first-footer/metadata reads (events via Tables for its NANOS cast)
+    // pays first-footer/metadata reads (events via Tables' adaptive ts read)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "embeddings").foreach { t =>

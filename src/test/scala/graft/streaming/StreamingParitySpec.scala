@@ -20,8 +20,9 @@ class StreamingParitySpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Events staged as a plain-micros parquet dir (the raw table is
-    * TIMESTAMP(NANOS), which the streaming file source can't schema). */
+  /** Events staged through [[Tables.events]]'s normalized read (the raw
+    * table's ts encoding drifts across regenerations; staging pins the
+    * streaming file source to the normalized TimestampType schema). */
   private lazy val stagedEvents: String = {
     val dir = Files.createTempDirectory("graft-events-staged").toString + "/ev"
     Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
