@@ -359,9 +359,14 @@ object Curation {
     "c15_dsir_selection" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // persisted: the two LM trainings (3 subqueries each) and the
+      // scoring pass would otherwise re-scan and re-tokenize the corpus
+      // seven times; the cached frame is the tokenized corpus a
+      // production pipeline stages once before any LM work
       val docs = Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .select($"doc_id", $"source", $"lang", split(trim($"text"), Tok.Ws).as("w"))
         .filter(size($"w") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (tbT, tcT, vvT) = TextAnalysis.lmTablesOf(docs.filter($"lang" === "en"))
       val pool = docs.filter($"lang" =!= "en")
       val (tbR, tcR, vvR) = TextAnalysis.lmTablesOf(pool)
