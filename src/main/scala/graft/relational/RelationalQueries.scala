@@ -696,6 +696,33 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Cohort retention — the classic product-analytics lattice: users
+    // bucketed by first-seen week (cohort), counted per weeks-since-first
+    // offset. Join-free, two-exchange shape: the distinct (user, week)
+    // activity set shuffles once, the per-user cohort comes from a window
+    // min over that same set (no self-join back to the fact), and the
+    // final (cohort, offset) distinct-user count shuffles only
+    // (cohort, offset, user_id) triples. At 100 TB the fact table never
+    // exchanges twice and the output is bounded by weeks², not rows.
+    // Both week truncations are Monday-start; offsets are exact integer
+    // DIV over day differences of week-aligned dates.
+    "q44_cohort_retention" -> { (s, d) =>
+      import s.implicits._
+      val ua = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+        .distinct()
+      val w = Window.partitionBy($"user_id")
+      ua.withColumn("cohort_week", min($"wk").over(w))
+        .withColumn("week_offset", expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        // date-typed outputs surface as python `object` vs the oracle's
+        // datetime64 — emit NTZ timestamps so the schema check is clean
+        .select($"cohort_week".cast("timestamp_ntz").as("cohort_week"),
+          $"week_offset", $"n_users")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1119,6 +1146,15 @@ object RelationalQueries {
          |  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
          |  RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // DATE subtraction yields integer days in DuckDB; both engines
+    // truncate weeks to Monday, so offsets are exact integer division
+    "q44_cohort_retention" ->
+      raw"""WITH ua AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+           |f AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM ua)
+           |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, CAST((wk - cohort_week) // 7 AS INTEGER) AS week_offset,
+           |  COUNT(DISTINCT user_id) AS n_users
+           |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,
