@@ -723,6 +723,42 @@ object RelationalQueries {
         .orderBy($"cohort_week", $"week_offset")
     },
 
+    // Funnel conversion — the other canonical event-analytics operator:
+    // how many users progressed view → click-after-view →
+    // purchase-after-click, with exact stage timestamps per user. ONE
+    // data exchange: three chained window passes over the same user_id
+    // partitioning compute each stage's first-qualifying timestamp (each
+    // conditions on the previous stage's materialized column), and the
+    // per-user reduce is a groupBy on the SAME key — plan-verified to
+    // reuse the window's hash partitioning with no new exchange. The
+    // only other exchange is the global census gather, one partial row
+    // per partition. Sequence semantics without a single self-join, at
+    // any scale.
+    "q45_funnel_conversion" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+        .agg(count(lit(1)).as("n_users"),
+          count($"t1").as("viewed"),
+          count($"t2").as("clicked_after_view"),
+          count($"t3").as("purchased_after_click"),
+          round(count($"t2").cast("double") / count($"t1").cast("double"), 6)
+            .as("view_to_click_rate"),
+          round(count($"t3").cast("double") / count($"t2").cast("double"), 6)
+            .as("click_to_purchase_rate"),
+          sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t1")))
+            .as("total_view_to_purchase_us"))
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1155,6 +1191,26 @@ object RelationalQueries {
            |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, CAST((wk - cohort_week) // 7 AS INTEGER) AS week_offset,
            |  COUNT(DISTINCT user_id) AS n_users
            |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // epoch_us over the naive timestamp == Spark's unix_micros under the
+    // pinned UTC session; all counts/sums are exact integers
+    "q45_funnel_conversion" ->
+      raw"""WITH s1 AS (SELECT user_id, event_type, ts,
+           |    min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1
+           |  FROM events),
+           |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+           |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+           |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+           |  FROM s3 GROUP BY user_id)
+           |SELECT COUNT(*) AS n_users, COUNT(t1) AS viewed,
+           |  COUNT(t2) AS clicked_after_view, COUNT(t3) AS purchased_after_click,
+           |  round(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6) AS view_to_click_rate,
+           |  round(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6) AS click_to_purchase_rate,
+           |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT)
+           |    AS total_view_to_purchase_us
+           |FROM u""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

@@ -420,6 +420,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "LM counts and per-doc sums must partial-aggregate")
   }
 
+  test("q45: funnel windows + per-user reduce share ONE data exchange; census gather is the only other") {
+    val p = plan("q45_funnel_conversion")
+    // 2 exchanges total: hash by user_id (windows + groupBy reuse it),
+    // then the 1-row-per-partition global census gather
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, plan has $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "funnel must not plan any join")
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
