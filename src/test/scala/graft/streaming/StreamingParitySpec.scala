@@ -370,6 +370,40 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming scored ${streamed.size} docs vs batch ${batch.size}")
   }
 
+  test("cohort retention runs as a stream against frozen first-seen weeks (q44)") {
+    // the live-retention-dashboard shape: per-user first-seen weeks are
+    // the frozen index (batch-built — inherently historical), the event
+    // feed streams against it, and the per-(cohort, offset, user)
+    // activity aggregates in complete mode. Distinct-user reduction runs
+    // on the bounded sink table (≤ weeks² × users rows) — the dashboard
+    // read — and must reproduce the batch lattice exactly.
+    val batch = SparkEntry.queries("q44_cohort_retention")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+    val wk = date_trunc("week", col("ts")).cast("date")
+    val frozen = Tables.events(spark, sf)
+      .select(col("user_id"), wk.as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val schema = spark.read.parquet(stagedEvents).schema
+    val live = spark.readStream.schema(schema).parquet(stagedEvents)
+      .select(col("user_id"), wk.as("wk"))
+      .join(frozen, "user_id")
+      .withColumn("week_offset", expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)"))
+      .groupBy(col("cohort_week"), col("week_offset"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = live.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_cohort")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_cohort did not finish within 120 s")
+    val streamed = spark.table("parity_cohort")
+      .groupBy(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming lattice ${streamed.size} cells vs batch ${batch.size}")
+  }
+
   test("BM25 retrieval scores a probe stream against the frozen postings index (t16)") {
     // the serving shape of retrieval-based decontamination/attribution:
     // the impact-scored postings index is built in batch over the train
