@@ -38,4 +38,26 @@ class FunnelSpec extends SparkSuite {
     // user 1's view->purchase span: 2 minutes in microseconds
     assert(r.getLong(6) == 2L * 60 * 1000000, s"total span: $r")
   }
+
+  test("q44: cohort lattice invariants on real events") {
+    val sf = "/root/testdata/sf0.01"
+    // NTZ timestamps collect as LocalDateTime — keep the key generic
+    val rows = SparkEntry.queries("q44_cohort_retention")(spark, sf).collect()
+      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    // every cohort member is active in their own first week, so offset 0
+    // is the cohort size and no later offset can exceed it
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val size0 = rs.find(_._2 == 0)
+        .getOrElse(fail(s"cohort $c has no offset-0 row"))._3
+      rs.foreach { case (_, off, n) =>
+        assert(n <= size0, s"cohort $c offset $off: $n > cohort size $size0")
+      }
+    }
+    // cohort sizes partition the user population
+    val totalUsers = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val sumSize0 = byCohort.values.map(_.find(_._2 == 0).get._3).sum
+    assert(sumSize0 == totalUsers, s"cohort sizes $sumSize0 != users $totalUsers")
+  }
 }
