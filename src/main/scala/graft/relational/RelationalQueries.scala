@@ -332,15 +332,16 @@ object RelationalQueries {
         .orderBy($"user_id", $"session_id")
     },
 
-    // Sketch aggregation: HyperLogLog++ approximate distinct next to the
-    // exact count. No DuckDB oracle (sketch estimates are engine-specific)
-    // → the driver records a rows-only check. At 100 TB the approx variant
-    // is the one you run: fixed-size sketch state, no expand, mergeable.
-    // SELF-ASSERTING: the output carries the relative error and a
-    // `within_5rsd` verdict (HLL++ at rsd 0.02 is deterministic for a
-    // fixed input set, and 5·rsd is far beyond its guarantee), so even
-    // the rows-only check fails loudly if the sketch ever degrades —
-    // Q20SketchSpec asserts every row's verdict is true.
+    // Sketch aggregation: HyperLogLog++ approximate distinct checked
+    // against the exact count. The raw HLL estimate is engine-specific,
+    // so the OUTPUT carries only oracle-expressible columns: the exact
+    // count plus a boolean `within_5rsd` verdict (HLL++ at rsd 0.02 is
+    // deterministic for a fixed input set, and 5·rsd is far beyond its
+    // guarantee — the oracle emits literal `true`, so a degraded sketch
+    // flips the verdict and hash-mismatches LOUDLY). Q20SketchSpec pins
+    // the raw estimate's error envelope; t09 is the deterministic
+    // cross-engine sketch twin. At 100 TB the approx variant is the one
+    // you run: fixed-size sketch state, no expand, mergeable.
     "q20_approx_distinct" -> { (s, d) =>
       import s.implicits._
       Tables.lineitem(s, d)
@@ -348,10 +349,9 @@ object RelationalQueries {
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
-        .withColumn("rel_err",
-          round(abs($"approx_parts" - $"exact_parts").cast("double")
-            / $"exact_parts".cast("double"), 6))
-        .withColumn("within_5rsd", $"rel_err" <= 0.10)
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts").cast("double")
+            / $"exact_parts".cast("double") <= 0.10).as("within_5rsd"))
         .orderBy($"l_returnflag")
     },
 
@@ -751,9 +751,13 @@ object RelationalQueries {
           count($"t1").as("viewed"),
           count($"t2").as("clicked_after_view"),
           count($"t3").as("purchased_after_click"),
-          round(count($"t2").cast("double") / count($"t1").cast("double"), 6)
+          // zero-guard: on a corpus with no views/clicks Spark's x/0 is
+          // NaN while DuckDB's differs by version — both emit NULL instead
+          when(count($"t1") > 0,
+            round(count($"t2").cast("double") / count($"t1").cast("double"), 6))
             .as("view_to_click_rate"),
-          round(count($"t3").cast("double") / count($"t2").cast("double"), 6)
+          when(count($"t2") > 0,
+            round(count($"t3").cast("double") / count($"t2").cast("double"), 6))
             .as("click_to_purchase_rate"),
           sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t1")))
             .as("total_view_to_purchase_us"))
@@ -1132,6 +1136,15 @@ object RelationalQueries {
          |FROM customer JOIN na ON c_nationkey = nk
          |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
 
+    // The HLL estimate itself is engine-specific, so the oracle emits the
+    // exact count and a literal `true` verdict: Spark's side computes the
+    // verdict from the sketch, so any sketch degradation hash-mismatches.
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS within_5rsd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q36_asof_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |  CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.click_id END AS click_id,
@@ -1206,8 +1219,10 @@ object RelationalQueries {
            |  FROM s3 GROUP BY user_id)
            |SELECT COUNT(*) AS n_users, COUNT(t1) AS viewed,
            |  COUNT(t2) AS clicked_after_view, COUNT(t3) AS purchased_after_click,
-           |  round(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6) AS view_to_click_rate,
-           |  round(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6) AS click_to_purchase_rate,
+           |  CASE WHEN COUNT(t1) > 0
+           |    THEN round(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6) END AS view_to_click_rate,
+           |  CASE WHEN COUNT(t2) > 0
+           |    THEN round(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6) END AS click_to_purchase_rate,
            |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT)
            |    AS total_view_to_purchase_us
            |FROM u""".stripMargin,
