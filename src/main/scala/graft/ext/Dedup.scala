@@ -42,6 +42,27 @@ object Dedup {
     12582917L, 23456789L, 37139213L, 49632323L,
     57885161L, 74207281L, 82589933L, 99990001L)
 
+  /** Production-width MinHash (d19): 128 permutations / 16 bands × 8 rows
+    * — the width published dedup pipelines actually run (d03's 8/4×2 is
+    * the demo form kept for the candidate-pipeline oracles). A/B are
+    * md5-derived 28-bit integers: deterministic, engine-neutral (the
+    * literal values are embedded in the oracle SQL), `A | 1` keeps every
+    * multiplier odd hence nonzero mod P. Products stay < 2^56 — exact in
+    * 64-bit integers in both engines. */
+  private[graft] val WideNumPerms = 128
+  private[graft] val WideBands = 16
+  private[graft] val WideRowsPerBand = WideNumPerms / WideBands
+  private def md5Prefix28(seed: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    ((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
+      ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xffL) >>> 4)
+  }
+  private[graft] val WideA: IndexedSeq[Long] =
+    (0 until WideNumPerms).map(j => md5Prefix28(s"graft-minhash-A:$j") | 1L)
+  private[graft] val WideB: IndexedSeq[Long] =
+    (0 until WideNumPerms).map(j => md5Prefix28(s"graft-minhash-B:$j"))
+
   /** Distinct word-3-gram shingle ARRAYS per doc: (doc_id, source, sarr).
     * Distinctness is DOCUMENT-local ((doc_id, source) is unique per doc),
     * so `array_distinct` deduplicates per-row — no shuffle, unlike
@@ -845,6 +866,57 @@ object Dedup {
         .orderBy($"source")
     },
 
+    // Production-width MinHash+LSH — d03 at the width published dedup
+    // pipelines actually run: 128 permutations, 16 bands × 8 rows.
+    // Signatures still come from ONE narrow codegen'd per-row pass
+    // (MinHashSigs at width 128; the md5 per shingle is shared, so the
+    // widening costs 120 extra multiply-mods per shingle, not 16× the
+    // hashing). Each 8-row band collapses to a single 60-bit integer key
+    // (md5 over the joined row values — engine-neutral), so the LSH
+    // bucket join shuffles 16 integer rows per doc: signature-bounded,
+    // never text, never all-pairs. At this width the S-curve is sharp —
+    // P(candidate) = 1-(1-j^8)^16 ≈ 0.998 at jaccard 0.9 vs ~1e-5 at
+    // 0.3, which is why 8 perms / 4×2 bands (threshold-mushy) is the
+    // demo and this is the production form. est_sim = matching fraction
+    // over all 128 perms (exact 1/128 multiples — bitwise in double).
+    "d19_minhash_wide" -> { (s, d) =>
+      import s.implicits._
+      // persisted: bands self-join + both est_sim sides = 4 consumers of
+      // a frame whose whole computation fused into the scan (same trade
+      // as minhashSigs; relies on LRU eviction across a Verify session)
+      val sigs = Tables.documents(s, d)
+        .select($"doc_id", split(trim($"text"), Tok.Ws).as("w"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id",
+          graft.functions.MinHashSigs($"w", WideNumPerms).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def bkey(b: Int): Column = conv(substring(md5(concat_ws(",",
+        (0 until WideRowsPerBand).map(r =>
+          element_at($"sig", b * WideRowsPerBand + r + 1).cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+      val bandCols = (0 until WideBands).map(b =>
+        struct(lit(b).as("band_idx"), bkey(b).as("band_key")))
+      val bands = sigs.filter(element_at($"sig", 1) =!= Long.MaxValue)
+        .select($"doc_id", explode(array(bandCols: _*)).as("band"))
+        .select($"doc_id", $"band.band_idx", $"band.band_key")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val matches: Column = (0 until WideNumPerms)
+        .map(j => when(element_at(col("x.sig"), j + 1)
+          === element_at(col("y.sig"), j + 1), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(sigs.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b",
+          (matches.cast("double") / lit(WideNumPerms.toDouble)).as("est_sim"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Span-level (paragraph) dedup census, Dolma-style: the corpus has no
     // paragraph breaks, so the span unit is the fixed 20-word chunk — the
     // same technique as duplicated-paragraph removal, keyed on md5(chunk).
@@ -1174,6 +1246,41 @@ object Dedup {
              |  round(CAST(COALESCE(h.dup_words, 0) AS DOUBLE) / CAST(total_words AS DOUBLE), 6)
              |    AS dup_frac
              |FROM src LEFT JOIN hit h USING (source) ORDER BY source""".stripMargin,
+
+      // the wide twin of d03's oracle: 128 generated permutation-min
+      // columns (literal md5-derived A/B constants — exact 64-bit integer
+      // arithmetic in both engines), 16 band keys via the same
+      // ('0x'||md5-prefix)::BIGINT trick over the joined row values
+      "d19_minhash_wide" -> {
+        val sigCols = (0 until WideNumPerms).map(j =>
+          s"min((${WideA(j)} * h + ${WideB(j)}) % $MinhashP) AS s$j").mkString(",\n    ")
+        val bandSelects = (0 until WideBands).map { b =>
+          val cat = (0 until WideRowsPerBand)
+            .map(r => s"s${WideRowsPerBand * b + r}::VARCHAR").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band_idx, ('0x' || substr(md5($cat), 1, 15))::BIGINT AS band_key FROM sigs"
+        }.mkString("\n  UNION ALL ")
+        // parenthesized groups of 16: a flat 128-term `+` chain parses
+        // left-deep and trips DuckDB's 128-deep binder recursion limit
+        val matches = (0 until WideNumPerms).map(j =>
+          s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
+          .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+        raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+             |shr AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w) - 1),
+             |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM words WHERE len(w) >= 3),
+             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM shr),
+             |sigs AS (SELECT doc_id,
+             |    $sigCols
+             |  FROM hs GROUP BY doc_id),
+             |bands AS ($bandSelects),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+             |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $WideNumPerms.0 AS est_sim
+             |FROM cand JOIN sigs x ON doc_a = x.doc_id JOIN sigs y ON doc_b = y.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin
+      },
 
       "d13_chunk_dedup" ->
         raw"""WITH w AS (SELECT doc_id, source,

@@ -9,9 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** All 8 MinHash permutation minima over a document's word-3-gram shingles
-  * in ONE per-row pass: `sig[j] = min over shingles of (A_j*h + B_j) mod P`
-  * where `h` is the 28-bit md5 prefix of the shingle string.
+/** All `numPerms` MinHash permutation minima over a document's word-3-gram
+  * shingles in ONE per-row pass: `sig[j] = min over shingles of
+  * (A_j*h + B_j) mod P` where `h` is the 28-bit md5 prefix of the shingle
+  * string. Two widths are registered: 8 (the legacy demo constants, d03's
+  * oracle-pinned form) and 128 (the production width, md5-derived
+  * constants — d19). Widening changes only the permutation table; the
+  * per-shingle hashing is shared, so the cost of 128 perms over 8 is 120
+  * more multiply-mods per shingle, not 16× the hashing.
   *
   * Value-identical to the relational signature pipeline (explode shingles →
   * md5 → 8 permutation mins in a groupBy) and to its DuckDB oracle CTEs —
@@ -32,35 +37,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * `size(w) >= 3` first (as every shingle consumer already does), the
   * sentinel never collides with a real permutation value (all < 2^31).
   */
-case class MinHashSigs(child: Expression) extends UnaryExpression {
+case class MinHashSigs(child: Expression, numPerms: Int = 8)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if !MinHashSigs.widths.contains(numPerms) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName supports widths ${MinHashSigs.widths.keys.toSeq.sorted}, got $numPerms")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigs.compute(input.asInstanceOf[ArrayData])
+    MinHashSigs.compute(input.asInstanceOf[ArrayData], numPerms)
 
   // MODULE$-qualified for the same reason as ToUpperCamelCase: resolving
   // through the case class relies on a static forwarder scalac may omit.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs$$.MODULE$$.compute($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSigs$$.MODULE$$.compute($c, $numPerms)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)
 }
 
 object MinHashSigs {
-  import graft.ext.Dedup.{MinhashA, MinhashB, MinhashP}
+  import graft.ext.Dedup.{MinhashA, MinhashB, MinhashP, WideA, WideB, WideNumPerms}
 
-  private val NumPerms = MinhashA.size
-  private val A = MinhashA.toArray
-  private val B = MinhashB.toArray
+  // permutation tables by width: 8 = legacy demo constants, 128 = wide
+  private[functions] val widths: Map[Int, (Array[Long], Array[Long])] = Map(
+    MinhashA.size -> ((MinhashA.toArray, MinhashB.toArray)),
+    WideNumPerms -> ((WideA.toArray, WideB.toArray)))
 
   // one digest per thread — codegen calls this per row; no per-row churn
   private val digest = new ThreadLocal[MessageDigest] {
@@ -68,9 +79,10 @@ object MinHashSigs {
   }
   private val Space = Array[Byte](' ')
 
-  def compute(words: ArrayData): ArrayData = {
+  def compute(words: ArrayData, numPerms: Int): ArrayData = {
+    val (a, b) = widths(numPerms)
     val n = words.numElements()
-    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val mins = Array.fill(numPerms)(Long.MaxValue)
     val md = digest.get()
     var i = 0
     while (i + 2 < n) {
@@ -92,8 +104,8 @@ object MinHashSigs {
       val h = ((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
         ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xffL) >>> 4)
       var j = 0
-      while (j < NumPerms) {
-        val p = (A(j) * h + B(j)) % MinhashP
+      while (j < numPerms) {
+        val p = (a(j) * h + b(j)) % MinhashP
         if (p < mins(j)) mins(j) = p
         j += 1
       }
@@ -103,5 +115,8 @@ object MinHashSigs {
   }
 
   import org.apache.spark.sql.GraftShims
-  def apply(c: Column): Column = GraftShims.column(MinHashSigs(GraftShims.expression(c)))
+  def apply(c: Column): Column =
+    GraftShims.column(MinHashSigs(GraftShims.expression(c)))
+  def apply(c: Column, numPerms: Int): Column =
+    GraftShims.column(MinHashSigs(GraftShims.expression(c), numPerms))
 }
