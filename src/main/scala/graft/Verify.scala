@@ -27,6 +27,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-query cache hygiene: several queries persist() intermediates
+      // (MinHash bands, tokenized corpora) that only their own action
+      // consumes; without an explicit drop those MEMORY_AND_DISK blocks
+      // accumulate across the 100+-query sweep and squeeze later queries'
+      // execution memory. Queries are independent, so clearing between
+      // them is safe and also prevents accidental cross-query cached-plan
+      // reuse from masking a query's real cost.
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -251,13 +251,22 @@ object Dedup {
     * scan is defensible as a recall-calibration baseline. */
   private[graft] val AllPairsMaxRows = 100000L
 
-  /** Scale guard for the exact all-pairs baseline: counting the input (a
-    * parquet metadata count — no data pages read) and refusing above
-    * [[AllPairsMaxRows]] turns "someone pointed the calibration baseline at
-    * the production corpus" from a cluster-melting silent quadratic into an
-    * immediate error naming the scale-shaped alternative. */
+  /** Scale guard for the exact all-pairs baseline: counting the input and
+    * refusing above [[AllPairsMaxRows]] turns "someone pointed the
+    * calibration baseline at the production corpus" from a cluster-melting
+    * silent quadratic into an immediate error naming the scale-shaped
+    * alternative. The count is cheap for the current caller (a bare parquet
+    * scan — metadata-only, no data pages) but would be a data scan for a
+    * filtered/derived input, so it is MEMOIZED per (canonical plan): one
+    * guard job per distinct input per JVM, not one per invocation, keeping
+    * repeated timed runs (Bench reps, Verify) guard-cost-free after the
+    * first. */
+  private val guardCounts =
+    scala.collection.concurrent.TrieMap
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
   private[graft] def guardAllPairs(df: DataFrame, what: String): DataFrame = {
-    val n = df.count()
+    val n = guardCounts.getOrElseUpdate(
+      df.queryExecution.logical.canonicalized, df.count())
     require(n <= AllPairsMaxRows,
       s"$what: exact all-pairs baseline over $n rows (> $AllPairsMaxRows). " +
         "This O(n²) scan exists for recall calibration only; at scale use " +
