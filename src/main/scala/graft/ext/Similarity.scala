@@ -1038,92 +1038,105 @@ object Similarity {
     // scored (8 table lookups over its 8-byte code). At 100 TB this is the
     // billion-vector serving layout: the corpus pass reads nprobe/#cells
     // of the codes — here 4/8, production 1-5% — and never touches a raw
-    // vector after encoding. Encode shape: the one-row codebook carries
-    // per-entry full norms AND per-subspace self-dots, so the per-row
-    // coarse argmax (s12's unrolled when-chain) and the per-subspace
-    // argmin over the norm-expansion distance xsn − 2·x·c + csn are ALL
-    // codegen'd DotProducts over 8-dim slices — zero shuffle, zero HOF in
-    // the corpus pass, distances as materialized columns (s12's lesson).
-    // Probe ranking and ADC tables live on the 5-row query side. Measured
-    // at sf0.01: recall@5 identical to s11's full-corpus ADC — the
-    // quantization error dominates, so probing 4 of 8 cells loses nothing
-    // while scanning half the codes.
+    // vector after encoding.
+    //
+    // Encode shape — s15's LONG SUBSPACE form, adopted after the wide form
+    // (64 materialized distance columns + argmin chains in one stage)
+    // exceeded whole-stage fusion's 64 KB generated-method budget and
+    // silently ran per-operator: the coarse cell lands first as a real
+    // column (8 cosines over the one-row broadcast codebook + one argmax
+    // when-chain — s12's fused shape), then each vector explodes to 8
+    // narrow (m, slice) rows carrying its cell, joins the 8-row broadcast
+    // subspace codebook on `m`, and scores only its OWN subspace's 8
+    // entries: 8 norm-expansion distances (xsn − 2·x·c + csn) as real
+    // columns + one argmin chain, everything codegen'd DotProducts and
+    // plain attributes — the whole corpus pass stays inside ONE fused
+    // stage (spec-verified to compile under the method limit). The code
+    // then collapses back to one row per vector via map-side collect_list
+    // partials, so the ONE exchange this buys carries (vec_id, cell,
+    // 8 small ints) — ~20 bytes/vector at any scale, the price of full
+    // fusion vs the wide form's zero-exchange-but-interpreted pass; at
+    // production codebook widths (256 entries) the long form is also the
+    // only compilable option. Probe ranking and ADC tables live on the
+    // 5-row query side. Measured at sf0.01: recall@5 identical to s11's
+    // full-corpus ADC — the quantization error dominates, so probing 4 of
+    // 8 cells loses nothing while scanning half the codes.
     "s13_ivfpq_search" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d)
       def subv(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
-      // entries carry the full vector (coarse cosines), per-subspace
-      // self-dots, AND the pre-sliced subvectors — slicing the 8 rows
-      // once here keeps 64 slice() loops out of the fused corpus stage
-      // (part of holding its generated code under the method limit)
+      // one-row coarse codebook: full vectors + norms (coarse stage and
+      // the query side's probe ranking / ADC tables)
       val cb = e.filter($"vec_id" < 8)
         .select($"vec_id", $"v", dot($"v", $"v").as("cnrm"),
-          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"),
-          array((0 until 8).map(m => subv($"v", m)): _*).as("svs"))
+          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"))
         .agg(sort_array(collect_list(struct(
-          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn", $"svs")))
+          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn")))
           .as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def cbe(i: Int): Column = element_at($"cb", i + 1)
-      // corpus encode: subvector slices land as real columns first, then
-      // norms + per-subspace self-dots, then the 8 coarse cosines and 64
-      // subspace distances, then the per-chain best values, and ONLY then
-      // the argmax/argmin when-chains — each projection references plain
-      // attributes of the previous one. This staging is what keeps every
-      // generated method under janino's 64 KB limit: with slices and
-      // best-values inlined, the fused stage failed to compile and the
-      // whole corpus pass silently ran interpreted. No per-entry size
-      // guards: the codebook is the fixed 8 seed vectors (vec_id < 8),
-      // it cannot shrink — unlike s15's trained codebook, which can.
-      // KNOWN LIMIT, measured: this stage's 72 distance expressions +
-      // two argmin/argmax chains exceed whole-stage fusion's 64 KB
-      // method budget no matter how the operators are staged, so Spark
-      // logs one "codegen disabled" for it and runs the stage with
-      // PER-OPERATOR codegen instead (each projection below compiles on
-      // its own — verified; only the fusion attempt fails). The staging
-      // here still matters: it is what keeps each individual operator
-      // compilable. s15's long subspace form — 8 narrow rows per vector,
-      // 8 distances per row — is the shape that stays fully fused, and
-      // at production codebook widths (256 entries) it is the only
-      // option; s13 keeps the wide form because its fixed 8-seed
-      // codebook pairs cell + code in one pass with zero exchanges.
-      val p0 = e.crossJoin(broadcast(cb)).select(
-        Seq($"vec_id", $"v", $"cb") ++
-          (0 until 8).map(m => subv($"v", m).as(s"sv$m")): _*)
-      val p0b = p0.select(
-        Seq($"vec_id", $"v", $"cb", dot($"v", $"v").as("nrm")) ++
-          (0 until 8).map(m => col(s"sv$m")) ++
-          (0 until 8).map(m => dot(col(s"sv$m"), col(s"sv$m")).as(s"xsn$m")): _*)
+      // subspace codebook in s15's 8-row long form: (m, ents by cell asc);
+      // csn is the same in-order self-dot the oracle's norm expansion uses
+      val cbSub = e.filter($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cell"),
+          explode(array((0 until 8).map(m =>
+            struct(lit(m).as("m"), subv($"v", m).as("cv"))): _*)).as("a"))
+        .select($"cell", $"a.m".as("m"), $"a.cv".as("cv"))
+        .withColumn("csn", dot($"cv", $"cv"))
+        .groupBy($"m")
+        .agg(sort_array(collect_list(struct($"cell", $"cv", $"csn"))).as("ents"))
+      // coarse stage: cosines as real columns, then best, then the argmax
+      // chain (s12's staging — multi-referenced non-trivial aliases live
+      // in their own projection so CollapseProject can't copy them)
+      val pc0 = e.crossJoin(broadcast(cb))
+        .select($"vec_id", $"v", $"cb", dot($"v", $"v").as("nrm"))
       val ccCols = (0 until 8).map { i =>
         cosineWithNorms($"v", cbe(i).getField("cv"), $"nrm", cbe(i).getField("cnrm"))
           .as(s"cc$i")
       }
-      val dCols = for { m <- 0 until 8; c <- 0 until 8 } yield
-        (col(s"xsn$m") - lit(2.0) * dot(col(s"sv$m"),
-            element_at(cbe(c).getField("svs"), m + 1))
-          + element_at(cbe(c).getField("csn"), m + 1)).as(s"d${m}_$c")
-      val p1 = p0b.select(Seq($"vec_id", $"cb") ++ ccCols ++ dCols: _*)
+      val pc1 = pc0.select(Seq($"vec_id", $"v", $"cb") ++ ccCols: _*)
       val ccs = (0 until 8).map(i => col(s"cc$i"))
-      val bests = greatest(ccs: _*).as("bc") +: (0 until 8).map(m =>
-        least((0 until 8).map(c => col(s"d${m}_$c")): _*).as(s"bm$m"))
-      val p2 = p1.select(Seq($"vec_id", $"cb") ++ ccs ++
-        (for { m <- 0 until 8; c <- 0 until 8 } yield col(s"d${m}_$c")) ++ bests: _*)
-      // coalesce makes the chain NON-NULLABLE (element_at is type-nullable
-      // even though i < 8 can never miss an 8-entry list): without it the
-      // downstream equi-join on `cell` infers isnotnull(cell), and
-      // predicate pushdown substitutes the ENTIRE when-chain into the
-      // broadcast-join condition — the duplicated expression blew janino's
-      // 64 KB method limit and the whole encode stage ran interpreted
+      val pc2 = pc1.select(Seq($"vec_id", $"v", $"cb", greatest(ccs: _*).as("bc")) ++ ccs: _*)
+      // coalesce keeps the chain non-nullable (element_at is type-nullable
+      // even though i < 8 can never miss an 8-entry list) — same values,
+      // and no inferred isnotnull(chain) can be pushed into a join
       val cellCol = coalesce((0 until 8).foldRight(lit(-1)) { (i, els) =>
         when(ccs(i) === $"bc", cbe(i).getField("cell")).otherwise(els)
       }, lit(-1))
-      val codeCols = (0 until 8).map { m =>
-        (0 until 8).foldRight(lit(-1)) { (c, els) =>
-          when(col(s"d${m}_$c") === col(s"bm$m"), cbe(c).getField("cell")).otherwise(els)
-        }
+      val assigned = pc2.select($"vec_id", $"v", cellCol.as("cell"))
+      // long subspace rows: (vec_id, cell, m, 8-dim slice), one generator
+      val eSub = assigned.select($"vec_id", $"cell",
+          explode(array((0 until 8).map(m =>
+            struct(lit(m).as("m"), subv($"v", m).as("sv"))): _*)).as("a"))
+        .select($"vec_id", $"cell", $"a.m".as("m"), $"a.sv".as("sv"))
+      // per-(vec, m) argmin against the row's own subspace entries; no
+      // size guards — the seed codebook is the fixed 8 vectors (vec_id <
+      // 8), it cannot shrink, unlike s15's trained one. Ties go to the
+      // lowest position = lowest cell (the sort order), the wide form's
+      // (and the oracle's) rule.
+      val p0 = eSub.join(broadcast(cbSub), Seq("m"))
+        .withColumn("xsn", dot($"sv", $"sv"))
+      val dCols = (0 until 8).map { k =>
+        val ent = element_at($"ents", k + 1)
+        ($"xsn" - lit(2.0) * dot($"sv", ent.getField("cv")) + ent.getField("csn"))
+          .as(s"d$k")
       }
-      val enc = p2.select($"vec_id", cellCol.as("cell"), array(codeCols: _*).as("code"))
+      val p1 = p0.select(Seq($"vec_id", $"cell", $"m", $"ents") ++ dCols: _*)
+      val ds = (0 until 8).map(k => col(s"d$k"))
+      val p2 = p1.select(
+        Seq($"vec_id", $"cell", $"m", $"ents", least(ds: _*).as("bm")) ++ ds: _*)
+      val codeCol = (0 until 8).foldRight(lit(-1)) { (k, els) =>
+        when(ds(k) === $"bm", element_at($"ents", k + 1).getField("cell")).otherwise(els)
+      }
+      // collapse to one row per vector: collect_list partial-aggregates
+      // map-side (the 8 rows of a vector never leave their partition
+      // unaggregated), min(cell) is just the constant cell of the group
+      val enc = p2.select($"vec_id", $"cell", $"m", codeCol.as("mc"))
+        .groupBy($"vec_id")
+        .agg(min($"cell").as("cell"),
+          transform(sort_array(collect_list(struct($"m", $"mc"))),
+            x => x.getField("mc")).as("code"))
       // query side: probe ranking + flat ADC tables (5 rows — HOFs fine)
       val qs = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
         .withColumn("nrm", dot($"v", $"v"))

@@ -430,6 +430,42 @@ class PlanShapeSpec extends SparkSuite {
       "funnel must not plan any join")
   }
 
+  test("s13: every fused stage compiles under the codegen method limit; the encode pass IS fused") {
+    // The former wide ADC form (64 distance columns in one stage) exceeded
+    // janino's 64 KB generated-method budget: Spark logged one "Failed to
+    // compile" and silently ran the corpus pass with per-operator codegen.
+    // This guard makes that failure mode a red test: compile every
+    // WholeStageCodegen subtree the way WholeStageCodegenExec would, and
+    // require the DotProduct-bearing encode projections to live INSIDE a
+    // fused stage (not between stages as bare per-operator projections).
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf until executed),
+    // hiding the codegen stages from collect — plan without it
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("s13_ivfpq_search")(spark, sf)
+        .queryExecution.executedPlan
+      val stages = exec.collect { case w: WholeStageCodegenExec => w }
+      assert(stages.nonEmpty, "plan must contain fused stages")
+      val limit = spark.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+      stages.foreach { w =>
+        val (_, code) = w.doCodeGen()
+        val (_, stats) = CodeGenerator.compile(code) // throws if janino rejects
+        assert(stats.maxMethodCodeSize <= limit,
+          s"generated method ${stats.maxMethodCodeSize} bytes exceeds the " +
+            s"$limit fallback threshold — stage would run unfused:\n" +
+            w.treeString.linesIterator.take(20).mkString("\n"))
+      }
+      // the subspace-distance encode projection must sit inside a fused
+      // stage: if it fell out, dot_product would appear in the plan only
+      // OUTSIDE the collected WholeStageCodegen subtrees
+      assert(stages.exists(_.treeString.contains("dot_product")),
+        "the DotProduct encode projections must be inside a fused stage")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
