@@ -139,6 +139,54 @@ object Curation {
         col("first_doc"), col("last_doc"),
         round(col("tokens").cast("double") / L.toDouble, 6).as("fill"))
 
+  /** Width-parameterized decontamination census (c03 = 5-gram, c16 =
+    * 13-gram): flag training docs sharing any word-n-gram with the eval
+    * set. Codegen'd TOTAL shingle expression (short docs → empty array;
+    * cheap even where Catalyst duplicates the generator input) — see
+    * [[graft.functions.ShingleArr]]. Doc-local distinctness is free and
+    * semantics-preserving: duplicate (id, s) hits collapse inside
+    * countDistinct/min anyway, and it shrinks the join input. (eval_id, s)
+    * is already distinct after the per-doc distinct arrays, so no DISTINCT
+    * shuffle on either side: the training side joins its raw shingle
+    * stream — the 100 TB side never shuffles. */
+  private def decontaminate(s: SparkSession, d: String, n: Int): DataFrame = {
+    import s.implicits._
+    def sh(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(graft.functions.ShingleArr(split(trim(col("text")), Tok.Ws), n)).as("s"))
+    val docs = Tables.documents(s, d)
+    val evalSh = sh(docs.filter(isEvalDoc($"doc_id")), "eval_id")
+    val trainSh = sh(docs.filter(!isEvalDoc($"doc_id")), "train_id")
+    trainSh.join(broadcast(evalSh), "s")
+      .groupBy($"train_id")
+      .agg(countDistinct($"eval_id").as("n_eval_hits"),
+        min($"eval_id").as("first_eval_hit"))
+      .orderBy($"train_id")
+  }
+
+  /** DuckDB twin of the [[decontaminate]] shingle stream at width `n` —
+    * the same per-doc DISTINCT word n-grams (range upper bound is
+    * exclusive: len(w) − n + 2). */
+  private def sqlShingles(n: Int): String = {
+    val cat = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    raw"""SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(w) - ${n - 2}),
+         |      i -> $cat)) AS s
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
+         |  WHERE len(w) >= $n""".stripMargin
+  }
+
+  /** DuckDB twin of [[decontaminate]] at width `n`. */
+  private def sqlDecontaminate(n: Int): String =
+    raw"""WITH sh AS (
+         |  ${sqlShingles(n)}),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0)
+         |SELECT train_id, COUNT(DISTINCT eval_id) AS n_eval_hits,
+         |  min(eval_id) AS first_eval_hit
+         |FROM tr JOIN ev USING (s)
+         |GROUP BY train_id ORDER BY train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified downsampling for data mixing: keep 25% of the dominant
     // language, 75% of the rest — per-row hash gate, no shuffle, no RNG.
@@ -156,28 +204,17 @@ object Curation {
     // construction and broadcast, so the training side is a single scan +
     // broadcast-hash join — the shape that decontaminates 100 TB of
     // training text against megabytes of benchmarks without a shuffle.
-    "c03_decontaminate" -> { (s, d) =>
-      import s.implicits._
-      // codegen'd TOTAL shingle expression (short docs → empty array;
-      // cheap even where Catalyst duplicates the generator input) — see
-      // graft.functions.ShingleArr. Doc-local distinctness is free and
-      // semantics-preserving here: duplicate (id, s) hits collapse
-      // inside countDistinct/min anyway, and it shrinks the join input.
-      def sh5(df: DataFrame, idAs: String) = df
-        .select($"doc_id".as(idAs),
-          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5)).as("s"))
-      val docs = Tables.documents(s, d)
-      // (eval_id, s) is already distinct after the per-doc distinct
-      // arrays, so no DISTINCT shuffle on either side: the training side
-      // joins its raw shingle stream — the 100 TB side never shuffles
-      val evalSh = sh5(docs.filter(isEvalDoc($"doc_id")), "eval_id")
-      val trainSh = sh5(docs.filter(!isEvalDoc($"doc_id")), "train_id")
-      trainSh.join(broadcast(evalSh), "s")
-        .groupBy($"train_id")
-        .agg(countDistinct($"eval_id").as("n_eval_hits"),
-          min($"eval_id").as("first_eval_hit"))
-        .orderBy($"train_id")
-    },
+    "c03_decontaminate" -> (decontaminate(_, _, 5)),
+
+    // The published-practice width: eval-decontamination pipelines in the
+    // literature (GPT-3 appendix C, PaLM, Llama) use 13-gram exact
+    // overlap, not 5-gram — longer shingles cut false positives from
+    // common phrases to near zero while still catching verbatim leakage.
+    // Same single-scan + broadcast shape as c03 (only the width changes);
+    // at 100 TB the wider shingle also SHRINKS the broadcast side: an
+    // eval doc of L words carries L-12 distinct 13-grams vs L-4 5-grams,
+    // and far fewer of them recur across documents.
+    "c16_decontaminate_13g" -> (decontaminate(_, _, 13)),
 
     // The inverse report of c03: decontamination tells you which TRAIN
     // docs to drop; this tells you which EVAL items are compromised and
@@ -733,19 +770,9 @@ object Curation {
            |  round(CAST(SUM(least(tk, 100)) AS DOUBLE) / 100.0, 6) AS expected_docs
            |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
-    "c03_decontaminate" ->
-      raw"""WITH sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(list_transform(range(1, len(w) - 3),
-           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
-           |  WHERE len(w) >= 5),
-           |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
-           |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0)
-           |SELECT train_id, COUNT(DISTINCT eval_id) AS n_eval_hits,
-           |  min(eval_id) AS first_eval_hit
-           |FROM tr JOIN ev USING (s)
-           |GROUP BY train_id ORDER BY train_id""".stripMargin,
+    "c03_decontaminate" -> sqlDecontaminate(5),
+
+    "c16_decontaminate_13g" -> sqlDecontaminate(13),
 
     "c08_contamination_report" ->
       raw"""WITH sh AS (
