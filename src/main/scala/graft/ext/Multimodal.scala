@@ -33,13 +33,16 @@ final case class FrameSummary(
   * `mapInPandas` batch: one JVM call per partition, imperative per-blob
   * work inside, declarative plan outside.
   *
-  * ==STUBS==
-  * No image/audio codecs exist in this container, so the decoders are
-  * **deterministic fakes** over the raw bytes (clearly marked below). The
-  * Spark-side plumbing — schema, typed Encoders, partitioning, batch shape,
-  * feature extraction through `mapPartitions` — is real and tested; swap
-  * `decodeStub`/`resizeStub`/`frameSampleStub` for real codecs in
-  * production.
+  * ==CODECS==
+  * One REAL pure-JVM codec is wired in: binary PGM (P5) via [[Pgm]] — a
+  * blob that parses as PGM is decoded to its raster and featured/resized
+  * from real pixels (`decode`/`resize` dispatch on a strict parse). No
+  * other image/audio codecs exist in this container, so every other
+  * format falls through to **deterministic fakes** over the raw bytes
+  * (clearly marked below). The Spark-side plumbing — schema, typed
+  * Encoders, partitioning, batch shape, feature extraction through
+  * `mapPartitions` — is real and tested; in production the dispatch
+  * grows JPEG/PNG/audio arms in place of the stub fallback.
   *
   * There is no media table in the harness, so `documents.text` cast to
   * binary stands in for the blob column (ASCII, so byte == code point —
@@ -56,12 +59,37 @@ object Multimodal {
     f
   }
 
+  /** Real-codec dispatch: a blob that parses as a binary PGM ([[Pgm]] —
+    * the one image format the container lets us decode with zero
+    * dependencies) gets its features from the DECODED RASTER (same
+    * j-mod-4 accumulators, but over pixel samples — header bytes never
+    * contaminate the features); anything else falls through to the byte
+    * stub. [[Pgm.parse]]'s strict header + exact-length validation is
+    * what makes the dispatch safe on the harness corpus: text blobs
+    * cannot satisfy it, so the m01/m03/m04 oracles (stub features over
+    * text) are untouched. */
+  def decode(bytes: Array[Byte]): Array[Long] = Pgm.parse(bytes) match {
+    case Some(img) => decodeStub(img.pixels)
+    case None => decodeStub(bytes)
+  }
+
   /** STUB resize: keep every byte whose index maps into the target "area"
     * (a real implementation decodes + bilinear-resamples). */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val n = math.min(bytes.length, w * h)
     java.util.Arrays.copyOfRange(bytes, 0, n)
   }
+
+  /** Real-codec dispatch for resize: a PGM blob is decoded and
+    * nearest-neighbor resampled to `w`×`h` ([[Pgm.resizeNearest]] — the
+    * real decode → resample → per-frame path); other blobs keep the
+    * prefix-truncation stub, so harness text rows (and the m02 oracle)
+    * behave exactly as before. */
+  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    Pgm.parse(bytes) match {
+      case Some(img) => Pgm.resizeNearest(img, w, h).pixels
+      case None => resizeStub(bytes, w, h)
+    }
 
   /** STUB frame sampling: every `everyN`-th byte is a "frame". */
   def frameSampleStub(bytes: Array[Byte], everyN: Int): Array[Byte] = {
@@ -75,7 +103,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val f = decodeStub(r.content)
+        val f = decode(r.content)
         MediaFeatures(r.media_id, r.kind, r.content.length.toLong, f(0), f(1), f(2), f(3))
       }
     }.toDF()
@@ -89,7 +117,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val frames = frameSampleStub(resizeStub(r.content, 8, 8), 4)
+        val frames = frameSampleStub(resize(r.content, 8, 8), 4)
         FrameSummary(
           r.media_id,
           frames.length,

@@ -59,6 +59,42 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("planted PGM blob decodes through the real codec inside the mapPartitions batch") {
+    import spark.implicits._
+    // a real 3x2 image planted next to a text blob: the image's features
+    // must come from its decoded raster, the text's from the byte stub —
+    // both through the SAME extractFeatures pipeline
+    val pgm = Pgm.encode(Pgm.Image(3, 2, Array[Byte](10, 20, 30, 40, 50, 60)))
+    val media = Seq(
+      (1L, "image", pgm),
+      (2L, "text", "abcd".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "content")
+    val got = Multimodal.extractFeatures(spark, media)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // image: pixel sums by position mod 4 = (10+50, 20+60, 30, 40); n_bytes
+    // is the BLOB length (header + raster), the honest storage accounting
+    assert(got(0) == ((1L, pgm.length.toLong, 60L, 80L, 30L, 40L)))
+    // text: stub over raw bytes, unchanged
+    assert(got(1) == ((2L, 4L, 'a'.toLong, 'b'.toLong, 'c'.toLong, 'd'.toLong)))
+  }
+
+  test("planted PGM blob rides sampleFrames through the real resize") {
+    import spark.implicits._
+    // 16x16 gradient: pixel (y,x) = y*16+x. Real path: decode → nearest
+    // 8x8 (rows/cols 0,2,4,..,14) → every-4th frame sampling.
+    val px = Array.tabulate(256)(i => i.toByte)
+    val pgm = Pgm.encode(Pgm.Image(16, 16, px))
+    val media = Seq((7L, "image", pgm)).toDF("media_id", "kind", "content")
+    val r = Multimodal.sampleFrames(spark, media).collect().head
+    val resized = Pgm.resizeNearest(Pgm.Image(16, 16, px), 8, 8).pixels
+    val frames = resized.grouped(4).map(_.head).toArray
+    assert(r.getInt(1) == frames.length)
+    assert(r.getInt(2) == (frames.head & 0xff))
+    assert(r.getInt(3) == (frames.last & 0xff))
+    assert(r.getLong(4) == frames.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("m01 query runs over the harness documents table") {
     val df = Multimodal.queries("m01_media_features")(spark, "/root/testdata/sf0.001")
     val rows = df.limit(5).collect()
