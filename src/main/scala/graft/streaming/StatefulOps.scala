@@ -45,6 +45,49 @@ object StatefulOps {
     }
   }
 
+  /** Streaming funnel — the incremental twin of the batch q45 stage
+    * machine. Keyed by user; state is one fixed-size row per user:
+    * `(seen, t1, t2, t3)` in event-time micros with −1 for "stage not
+    * reached" — the state store never holds events, so 100 TB/day of
+    * traffic costs 32 bytes × active users.
+    *
+    * Correctness contract: EVENT-TIME-ORDERED DELIVERY across triggers
+    * (the live-feed condition; within a trigger rows are re-sorted here,
+    * so only cross-trigger order matters). Under it the incremental fold
+    * computes exactly the batch semantics — t1 = min view ts, t2 = min
+    * click ts strictly after t1, t3 = min purchase ts strictly after t2:
+    * processing in ts order makes "first qualifying seen" ≡ "min
+    * qualifying", including the equal-timestamp edge (strict `>` rejects
+    * an equal-ts successor in both modes, whichever side of the sort it
+    * lands on). Out-of-order tails need the watermark machinery instead —
+    * that accounting is q46's territory. Each trigger emits the key's
+    * updated state (Update mode); `seen` is the per-user event count,
+    * monotone, so the row with max `seen` is the final state. */
+  class FunnelProcessor
+    extends StatefulProcessor[Long, (Long, String, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long, Long)](
+        "funnel", ExpressionEncoder[(Long, Long, Long, Long)](), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      var (seen, t1, t2, t3) =
+        if (state.exists()) state.get() else (0L, -1L, -1L, -1L)
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, ts) =>
+        seen += 1
+        if (et == "view" && t1 < 0) t1 = ts
+        else if (et == "click" && t2 < 0 && t1 >= 0 && ts > t1) t2 = ts
+        else if (et == "purchase" && t3 < 0 && t2 >= 0 && ts > t2) t3 = ts
+      }
+      state.update((seen, t1, t2, t3))
+      Iterator.single((key, seen, t1, t2, t3))
+    }
+  }
+
   /** MinHash signature over a words-array column (same permutation
     * constants as the batch d03 pipeline). Requires `size(wordsCol) >= 3`;
     * callers must provide a fallback for shorter inputs. */

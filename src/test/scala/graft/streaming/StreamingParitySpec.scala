@@ -404,6 +404,92 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming lattice ${streamed.size} cells vs batch ${batch.size}")
   }
 
+  test("funnel conversion runs as a stream: per-user stage times and census equal batch q45") {
+    // the stateful-streaming form of the funnel: one fixed-size state row
+    // per user (transformWithState + RocksDB provider), real events
+    // delivered in event-time order across three triggers — the live-feed
+    // contract FunnelProcessor documents. Parity is checked at BOTH
+    // levels: every user's (t1, t2, t3) against the engine's own batch
+    // window pass, and the derived census against the q45 catalog row.
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch per-user stage times via the engine's q45 window machinery
+      val w = Window.partitionBy($"user_id")
+      val batchPerUser = Tables.events(spark, sf)
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+        .select($"user_id",
+          coalesce(unix_micros($"t1"), lit(-1L)).as("t1"),
+          coalesce(unix_micros($"t2"), lit(-1L)).as("t2"),
+          coalesce(unix_micros($"t3"), lit(-1L)).as("t3"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      val ev = Tables.events(spark, sf)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .orderBy($"us", $"event_type", $"user_id")
+        .as[(Long, String, Long)].collect()
+      val mem = MemoryStream[(Long, String, Long)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StatefulOps.FunnelProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "seen", "t1", "t2", "t3")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("parity_funnel").start()
+      // three chronological triggers: the funnel must be INCREMENTALLY
+      // correct across state checkpoints, not just on one big batch
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val finalRows = spark.table("parity_funnel")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"seen".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"t1", $"t2", $"t3")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      q.stop()
+      assert(finalRows.map(_._1).toSet.size == finalRows.length, "duplicate final state rows")
+      assert(finalRows.toSet == batchPerUser,
+        s"streaming per-user stages ${finalRows.length} vs batch ${batchPerUser.size}")
+
+      // census derived from the streamed states == the q45 catalog row
+      val batchCensus = SparkEntry.queries("q45_funnel_conversion")(spark, sf)
+        .collect().head
+      def cnt(f: ((Long, Long, Long, Long)) => Long) = finalRows.count(f(_) >= 0).toLong
+      val (nUsers, viewed, clicked, purchased) =
+        (finalRows.length.toLong, cnt(_._2), cnt(_._3), cnt(_._4))
+      def rate(num: Long, den: Long): Any =
+        if (den == 0) null
+        else BigDecimal(num.toDouble / den.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val total = finalRows.filter(_._4 >= 0).map(r => r._4 - r._2).sum
+      assert(batchCensus.getLong(0) == nUsers && batchCensus.getLong(1) == viewed
+        && batchCensus.getLong(2) == clicked && batchCensus.getLong(3) == purchased,
+        s"census counts drifted: $batchCensus vs ($nUsers, $viewed, $clicked, $purchased)")
+      assert(batchCensus.get(4) == rate(clicked, viewed)
+        && batchCensus.get(5) == rate(purchased, clicked),
+        s"census rates drifted: $batchCensus")
+      assert(batchCensus.getLong(6) == total, s"total_view_to_purchase_us drifted")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("BM25 retrieval scores a probe stream against the frozen postings index (t16)") {
     // the serving shape of retrieval-based decontamination/attribution:
     // the impact-scored postings index is built in batch over the train
