@@ -763,6 +763,47 @@ object RelationalQueries {
             .as("total_view_to_purchase_us"))
     },
 
+    // Late-data / watermark-drop accounting — the replay-log analysis an
+    // event pipeline runs before choosing a watermark delay: under a
+    // deterministic adversarial arrival order (md5 shuffle of the ingest
+    // sequence — the engine-replayable stand-in for network reordering),
+    // how many events would arrive later than the shard's high-watermark
+    // by more than 10 min / 1 h? Lateness is tracked PER INGEST SHARD
+    // (event_id mod 8 — the Kafka-partition-local form watermark tracking
+    // actually takes): the running-max window partitions by shard, so at
+    // 100 TB each ingest partition's arrival log is scanned independently
+    // — no global ordering, no single-reducer window, and the census agg
+    // is map-side partials. The streaming twin plants this same arrival
+    // order and proves Spark's watermark machinery admits/drops exactly
+    // the trigger-granular subset (StreamingParitySpec).
+    "q46_late_data_census" -> { (s, d) =>
+      import s.implicits._
+      // arrival key as a 60-bit integer (conv of the md5 prefix — the
+      // engine's standard replayable-pseudo-hash), not the 32-char hex:
+      // the key rides the per-shard exchange on every event, and 8 bytes
+      // vs 32 is ~40% of this query's total shuffle at any scale
+      val arr = Tables.events(s, d).select($"event_id", $"ts", $"event_type",
+        conv(substring(md5(concat(lit("q46:"), $"event_id".cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("ak"),
+        pmod($"event_id", lit(8)).as("shard"))
+      val w = Window.partitionBy($"shard").orderBy($"ak", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      arr.withColumn("hw", max($"ts").over(w))
+        .select($"event_type",
+          greatest(unix_micros(coalesce($"hw", $"ts")) - unix_micros($"ts"), lit(0L))
+            .as("late_us"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"late_us" > 600000000L, 1L).otherwise(0L)).as("n_late_10m"),
+          sum(when($"late_us" > 3600000000L, 1L).otherwise(0L)).as("n_dropped_1h"),
+          max($"late_us").as("max_late_us"))
+        .select($"event_type", $"n_events", $"n_late_10m", $"n_dropped_1h",
+          $"max_late_us",
+          round($"n_late_10m".cast("double") / $"n_events".cast("double"), 6)
+            .as("late_rate"))
+        .orderBy($"event_type")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1226,6 +1267,26 @@ object RelationalQueries {
            |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT)
            |    AS total_view_to_purchase_us
            |FROM u""".stripMargin,
+
+    // same md5 arrival key text both engines; epoch_us over the naive
+    // timestamp == Spark's unix_micros under the pinned UTC session
+    "q46_late_data_census" ->
+      raw"""WITH a AS (SELECT event_id, ts, event_type,
+           |    ('0x' || substr(md5('q46:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS ak,
+           |    event_id % 8 AS shard
+           |  FROM events),
+           |t AS (SELECT event_type, ts,
+           |    max(ts) OVER (PARTITION BY shard ORDER BY ak, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+           |  FROM a),
+           |l AS (SELECT event_type,
+           |    greatest(epoch_us(coalesce(hw, ts)) - epoch_us(ts), 0) AS late_us FROM t)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  CAST(COUNT(*) FILTER (late_us > 600000000) AS BIGINT) AS n_late_10m,
+           |  CAST(COUNT(*) FILTER (late_us > 3600000000) AS BIGINT) AS n_dropped_1h,
+           |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+           |  round(CAST(COUNT(*) FILTER (late_us > 600000000) AS DOUBLE) / COUNT(*), 6) AS late_rate
+           |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

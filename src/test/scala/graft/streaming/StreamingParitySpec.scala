@@ -490,6 +490,85 @@ class StreamingParitySpec extends SparkSuite {
     }
   }
 
+  test("watermark drops exactly the predicted late tail under q46's planted arrival order (late-data accounting)") {
+    // q46's census quantifies row-granular lateness under a deterministic
+    // adversarial arrival order; this twin REPLAYS that arrival order
+    // (one ingest shard) against Spark's real watermark machinery — a
+    // 1 h-delay watermark over 1 h tumbling windows, update mode — and
+    // asserts the engine admits EXACTLY the trigger-granular subset the
+    // documented semantics predict: a row is dropped iff its window end
+    // ≤ the watermark computed from PREVIOUS triggers' max event time
+    // minus the delay. Every dropped row must also be late in q46's
+    // row-granular log (the census is the upper-bound accounting).
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+
+    // shard 0 of q46's deterministic md5 shuffle, in arrival order
+    val arrival = Tables.events(spark, sf)
+      .filter(pmod($"event_id", lit(8)) === 0)
+      .select($"event_id",
+        conv(substring(md5(concat(lit("q46:"), $"event_id".cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("ak"),
+        unix_micros($"ts").as("us"))
+      .orderBy($"ak", $"event_id")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._3))
+    assert(arrival.length > 50, "shard 0 must carry a real arrival log")
+
+    val HourUs = 3600L * 1000 * 1000
+    def winStart(us: Long): Long = Math.floorDiv(us, HourUs) * HourUs
+    // trigger-granular prediction of the admitted set
+    val chunks = arrival.grouped(25).toSeq
+    var wm = 0L
+    val admitted = Seq.newBuilder[(Long, Long)]
+    chunks.foreach { c =>
+      c.foreach { case (id, us) =>
+        if (winStart(us) + HourUs > wm) admitted += ((id, us))
+      }
+      wm = math.max(wm, c.map(_._2).max - HourUs)
+    }
+    val admittedRows = admitted.result()
+    val dropped = arrival.toSet -- admittedRows.toSet
+    assert(dropped.nonEmpty, "the planted shuffle must produce real drops")
+    // every dropped row is late in q46's row-granular census log
+    val rowLate = {
+      var hw = Long.MinValue
+      arrival.map { case (id, us) =>
+        val late = if (hw == Long.MinValue) 0L else math.max(hw - us, 0L)
+        hw = math.max(hw, us)
+        (id, us) -> late
+      }.toMap
+    }
+    dropped.foreach { r =>
+      assert(rowLate(r) > 0, s"dropped row $r was not late in the census log")
+    }
+    val expected = admittedRows.groupBy(r => winStart(r._2))
+      .map { case (ws, rs) => (ws, rs.length.toLong, rs.map(_._1).sum) }.toSet
+
+    val mem = MemoryStream[(Long, Long)]
+    val windows = mem.toDF().toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_ids"))
+      .select(unix_micros($"window.start").as("ws"), $"n", $"sum_ids")
+    val q = windows.writeStream.outputMode("update")
+      .format("memory").queryName("parity_late").start()
+    chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // update mode re-emits a window each time it changes; counts are
+    // monotone, so the max-n row per window is its final state
+    val streamed = spark.table("parity_late")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ws").orderBy($"n".desc, $"sum_ids".desc)))
+      .filter($"rn" === 1).select($"ws", $"n", $"sum_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == expected,
+      s"windowed census over ${streamed.size} windows vs predicted ${expected.size} " +
+        s"(admitted ${admittedRows.length}/${arrival.length}, dropped ${dropped.size})")
+  }
+
   test("BM25 retrieval scores a probe stream against the frozen postings index (t16)") {
     // the serving shape of retrieval-based decontamination/attribution:
     // the impact-scored postings index is built in batch over the train
