@@ -176,6 +176,60 @@ object Curation {
          |  WHERE len(w) >= $n""".stripMargin
   }
 
+  /** Width-parameterized per-eval-item contamination report (c08 = 5-gram,
+    * c17 = 13-gram): which eval items share n-grams with the training
+    * corpus, and what fraction of their shingles is compromised. Same
+    * broadcast-eval shape as [[decontaminate]]; zero-hit eval items stay
+    * in the report via the left join from the eval base. */
+  private def contaminationReport(s: SparkSession, d: String, n: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val evalBase = docs.filter(isEvalDoc($"doc_id"))
+      .select($"doc_id".as("eval_id"),
+        graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), n).as("sarr"))
+      .select($"eval_id", size($"sarr").cast("long").as("n_shingles"), $"sarr")
+    val evalSh = evalBase.select($"eval_id", explode($"sarr").as("s"))
+    val trainSh = docs.filter(!isEvalDoc($"doc_id"))
+      .select($"doc_id".as("train_id"),
+        explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), n)).as("s"))
+    val hits = trainSh.join(broadcast(evalSh), "s")
+      .groupBy($"eval_id")
+      .agg(countDistinct($"train_id").as("h_train"),
+        countDistinct($"s").as("h_sh"))
+    evalBase.select($"eval_id", $"n_shingles")
+      .join(hits, Seq("eval_id"), "left")
+      .select($"eval_id", $"n_shingles",
+        coalesce($"h_train", lit(0L)).as("n_train_hits"),
+        coalesce($"h_sh", lit(0L)).as("n_hit_shingles"),
+        when($"n_shingles" > 0,
+          round(coalesce($"h_sh", lit(0L)).cast("double") / $"n_shingles".cast("double"), 6))
+          .otherwise(lit(0.0)).as("contamination_rate"))
+      .orderBy($"eval_id")
+  }
+
+  /** DuckDB twin of [[contaminationReport]] at width `n`. */
+  private def sqlContamination(n: Int): String =
+    raw"""WITH sh AS (
+         |  ${sqlShingles(n)}),
+         |ev_base AS (SELECT doc_id AS eval_id FROM documents WHERE doc_id % 10 = 0),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+         |ev_cnt AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY eval_id),
+         |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT eval_id, COUNT(DISTINCT train_id) AS h_train,
+         |    COUNT(DISTINCT s) AS h_sh
+         |  FROM tr JOIN ev USING (s) GROUP BY eval_id)
+         |SELECT b.eval_id,
+         |  COALESCE(c.n_shingles, 0) AS n_shingles,
+         |  COALESCE(h.h_train, 0) AS n_train_hits,
+         |  COALESCE(h.h_sh, 0) AS n_hit_shingles,
+         |  CASE WHEN COALESCE(c.n_shingles, 0) > 0
+         |    THEN round(CAST(COALESCE(h.h_sh, 0) AS DOUBLE) / c.n_shingles, 6)
+         |    ELSE 0.0 END AS contamination_rate
+         |FROM ev_base b
+         |LEFT JOIN ev_cnt c USING (eval_id)
+         |LEFT JOIN hits h USING (eval_id)
+         |ORDER BY eval_id""".stripMargin
+
   /** DuckDB twin of [[decontaminate]] at width `n`. */
   private def sqlDecontaminate(n: Int): String =
     raw"""WITH sh AS (
@@ -223,31 +277,13 @@ object Curation {
     // as c03 (the 100 TB training side never shuffles); eval items with
     // zero hits stay in the report via a left join from the eval base —
     // absence of contamination must be a row, not a missing row.
-    "c08_contamination_report" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val evalBase = docs.filter(isEvalDoc($"doc_id"))
-        .select($"doc_id".as("eval_id"),
-          graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5).as("sarr"))
-        .select($"eval_id", size($"sarr").cast("long").as("n_shingles"), $"sarr")
-      val evalSh = evalBase.select($"eval_id", explode($"sarr").as("s"))
-      val trainSh = docs.filter(!isEvalDoc($"doc_id"))
-        .select($"doc_id".as("train_id"),
-          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 5)).as("s"))
-      val hits = trainSh.join(broadcast(evalSh), "s")
-        .groupBy($"eval_id")
-        .agg(countDistinct($"train_id").as("h_train"),
-          countDistinct($"s").as("h_sh"))
-      evalBase.select($"eval_id", $"n_shingles")
-        .join(hits, Seq("eval_id"), "left")
-        .select($"eval_id", $"n_shingles",
-          coalesce($"h_train", lit(0L)).as("n_train_hits"),
-          coalesce($"h_sh", lit(0L)).as("n_hit_shingles"),
-          when($"n_shingles" > 0,
-            round(coalesce($"h_sh", lit(0L)).cast("double") / $"n_shingles".cast("double"), 6))
-            .otherwise(lit(0.0)).as("contamination_rate"))
-        .orderBy($"eval_id")
-    },
+    "c08_contamination_report" -> (contaminationReport(_, _, 5)),
+
+    // c16's inverse-report twin: the same per-eval-item census at the
+    // published 13-gram width — the report a lab actually reads before
+    // trusting an eval number, free of the common-phrase false positives
+    // the 5-gram report carries.
+    "c17_contamination_13g" -> (contaminationReport(_, _, 13)),
 
     // Data mixing with a token budget: derive per-source sampling rates
     // from corpus statistics (equal token share per source within a 50%
@@ -774,31 +810,9 @@ object Curation {
 
     "c16_decontaminate_13g" -> sqlDecontaminate(13),
 
-    "c08_contamination_report" ->
-      raw"""WITH sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(list_transform(range(1, len(w) - 3),
-           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)
-           |  WHERE len(w) >= 5),
-           |ev_base AS (SELECT doc_id AS eval_id FROM documents WHERE doc_id % 10 = 0),
-           |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
-           |ev_cnt AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY eval_id),
-           |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
-           |hits AS (SELECT eval_id, COUNT(DISTINCT train_id) AS h_train,
-           |    COUNT(DISTINCT s) AS h_sh
-           |  FROM tr JOIN ev USING (s) GROUP BY eval_id)
-           |SELECT b.eval_id,
-           |  COALESCE(c.n_shingles, 0) AS n_shingles,
-           |  COALESCE(h.h_train, 0) AS n_train_hits,
-           |  COALESCE(h.h_sh, 0) AS n_hit_shingles,
-           |  CASE WHEN COALESCE(c.n_shingles, 0) > 0
-           |    THEN round(CAST(COALESCE(h.h_sh, 0) AS DOUBLE) / c.n_shingles, 6)
-           |    ELSE 0.0 END AS contamination_rate
-           |FROM ev_base b
-           |LEFT JOIN ev_cnt c USING (eval_id)
-           |LEFT JOIN hits h USING (eval_id)
-           |ORDER BY eval_id""".stripMargin,
+    "c08_contamination_report" -> sqlContamination(5),
+
+    "c17_contamination_13g" -> sqlContamination(13),
 
     "c04_token_budget_mix" ->
       raw"""WITH toks AS (SELECT doc_id, source,

@@ -201,6 +201,28 @@ object Multimodal {
         .orderBy($"kind")
     },
 
+    // The REAL-codec arm of the decode path, oracle-checked: each document
+    // is packed into a genuine binary PGM blob (16-wide raster, height =
+    // min(len/16, 8) rows of its text bytes — built with Spark binary
+    // concat, no codec needed to ENCODE), then decoded by [[Pgm.parse]]
+    // inside the same mapPartitions batch as m01. Features must come from
+    // the parsed RASTER: if the strict parse ever regressed (header
+    // mis-read, wrong payload slicing), header bytes would contaminate
+    // the sums and the DuckDB oracle — which computes the expected
+    // pixel sums directly from the text — would hash-mismatch loudly.
+    // This is what upgrades the codec from spec-tested to oracle-gated.
+    "m05_pgm_decode" -> { (s, d) =>
+      import s.implicits._
+      val h = least(floor(length($"text") / 16), lit(8)).cast("int")
+      val media = Tables.documents(s, d)
+        .filter(length($"text") >= 16)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          concat(
+            concat(lit("P5\n16 "), h.cast("string"), lit("\n255\n")).cast("binary"),
+            $"text".substr(lit(1), h * 16).cast("binary")).as("content"))
+      extractFeatures(s, media).orderBy($"media_id")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -284,6 +306,21 @@ object Multimodal {
            |  CAST(SUM(CASE WHEN NOT text_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
            |  CAST(SUM(CASE WHEN media_rep AND text_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM p GROUP BY kind ORDER BY kind""".stripMargin
+    },
+
+    // the oracle computes the expected PIXEL sums straight from the text
+    // (raster = first 16·h chars); n_bytes counts the whole blob —
+    // 12-byte header ("P5\n16 h\n255\n", h is one digit for h ≤ 8) + raster
+    "m05_pgm_decode" -> {
+      def f(j: Int) =
+        s"CAST(list_sum(list_transform(range(1, 16*h + 1), i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS f$j"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 16, 8) AS h
+           |  FROM documents WHERE length(text) >= 16)
+           |SELECT media_id, kind,
+           |  CAST(12 + 16*h AS BIGINT) AS n_bytes,
+           |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |FROM t ORDER BY media_id""".stripMargin
     },
 
     // resize = prefix-truncate to 64 bytes; frames = bytes 0,4,8,… of the
