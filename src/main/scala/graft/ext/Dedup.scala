@@ -892,7 +892,8 @@ object Dedup {
       import s.implicits._
       // persisted: bands self-join + both est_sim sides = 4 consumers of
       // a frame whose whole computation fused into the scan (same trade
-      // as minhashSigs; relies on LRU eviction across a Verify session)
+      // as minhashSigs; Verify/Bench clear the cache between queries, so
+      // nothing accumulates across a sweep)
       val sigs = Tables.documents(s, d)
         .select($"doc_id", split(trim($"text"), Tok.Ws).as("w"))
         .filter(size($"w") >= 3)
