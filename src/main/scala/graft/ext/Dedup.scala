@@ -953,6 +953,51 @@ object Dedup {
           round($"n_dup_chunks".cast("double") / $"n_chunks".cast("double"), 6)
             .as("dup_fraction"))
         .orderBy($"source")
+    },
+
+    // Boilerplate removal census (RefinedWeb/CCNet line-dedup rule): a
+    // span appearing in >= 3 DISTINCT documents corpus-wide is boilerplate
+    // (nav bars, footers, license headers) and EVERY occurrence is removed
+    // — unlike d16's near-dup rule, which keeps the first occurrence. The
+    // span unit is d13's fixed 20-word chunk (the corpus has no line
+    // breaks). Scale shape: chunking stays narrow in the scan; the heavy
+    // exchange groups per-(hash, doc) partials on the 16-byte hash —
+    // map-side combinable, text never moves; the per-hash distinct-doc
+    // count is a window COUNT over those per-doc rows (bounded per hash
+    // by the doc count of a genuinely shared span — and a mega-shared
+    // span concentrates at most its own instance rows, which this very
+    // rule then deletes). docs_affected needs doc-grain verdicts, so the
+    // census aggregates straight off the windowed per-(hash, doc) frame.
+    "d20_boilerplate_removal" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cw = 20
+      val inst = Tables.documents(s, d)
+        .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("ws"))
+        .filter(size($"ws") > 0)
+        .select($"doc_id", $"source",
+          explode(transform(
+            sequence(lit(0L), ceil(size($"ws") / lit(cw.toDouble)).cast("long") - 1),
+            i => {
+              val chunk = slice($"ws", (i * cw + 1).cast("int"), lit(cw))
+              struct(md5(concat_ws(" ", chunk)).as("h"),
+                size(chunk).cast("long").as("nw"))
+            })).as("ck"))
+        .select($"doc_id", $"source", $"ck.h".as("h"), $"ck.nw".as("nw"))
+      val perDoc = inst.groupBy($"h", $"doc_id", $"source")
+        .agg(count(lit(1)).as("c"), sum($"nw").as("wsum"))
+      val withNd = perDoc
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+      withNd.groupBy($"source")
+        .agg(sum($"c").as("n_chunks"),
+          sum(when($"nd" >= 3, $"c").otherwise(0L)).as("bp_chunks"),
+          countDistinct(when($"nd" >= 3, $"doc_id")).as("docs_affected"),
+          sum(when($"nd" >= 3, $"wsum").otherwise(0L)).as("words_removed"))
+        .select($"source", $"n_chunks", $"bp_chunks", $"docs_affected",
+          $"words_removed",
+          round($"bp_chunks".cast("double") / $"n_chunks".cast("double"), 6)
+            .as("bp_fraction"))
+        .orderBy($"source")
     }
   )
 
@@ -1304,7 +1349,32 @@ object Dedup {
              |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
              |  round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
              |    AS dup_fraction
-             |FROM ch JOIN ph USING (h) GROUP BY source ORDER BY source""".stripMargin
+             |FROM ch JOIN ph USING (h) GROUP BY source ORDER BY source""".stripMargin,
+
+      // nd counts rows of the per-(hash, doc) frame per hash == distinct
+      // docs (doc_id is globally unique); list_slice is 1-based inclusive
+      // clamped at the tail, matching Spark's slice()
+      "d20_boilerplate_removal" ->
+        raw"""WITH w AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '[${Tok.WsChars}]+') AS ws FROM documents),
+             |ch AS (SELECT doc_id, source,
+             |    md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')) AS h,
+             |    len(list_slice(ws, i*20 + 1, i*20 + 20)) AS nw
+             |  FROM (SELECT doc_id, source, ws,
+             |          unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS i
+             |        FROM w WHERE len(ws) > 0)),
+             |pd AS (SELECT h, doc_id, source, COUNT(*) AS c, SUM(nw) AS wsum
+             |  FROM ch GROUP BY 1, 2, 3),
+             |nd AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS nd FROM pd)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN nd >= 3 THEN c ELSE 0 END) AS BIGINT) AS bp_chunks,
+             |  CAST(COUNT(DISTINCT CASE WHEN nd >= 3 THEN doc_id END) AS BIGINT)
+             |    AS docs_affected,
+             |  CAST(SUM(CASE WHEN nd >= 3 THEN wsum ELSE 0 END) AS BIGINT)
+             |    AS words_removed,
+             |  round(CAST(SUM(CASE WHEN nd >= 3 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+             |    AS bp_fraction
+             |FROM nd GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }

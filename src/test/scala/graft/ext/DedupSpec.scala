@@ -256,4 +256,30 @@ class DedupSpec extends SparkSuite {
       assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
     }
   }
+
+  test("d20: df>=3 spans drop EVERY occurrence (incl. repeats in one doc); df=2 survive") {
+    // bp chunk shared by docs 1/2/3 (boilerplate — every instance flagged,
+    // doc 2 carries it TWICE so per-doc instance partials matter);
+    // pair chunk shared by docs 4/5 only (df=2 — NOT boilerplate, the rule
+    // d16 would still dedup but the df-threshold rule keeps both)
+    val bp = (1 to 20).map(i => s"b$i").mkString(" ")
+    val pair = (1 to 20).map(i => s"p$i").mkString(" ")
+    val dir = stage(Seq(
+      (1L, bp + " u1 u2 u3 u4 u5", "en", "sa"),
+      (2L, bp + " " + bp, "en", "sb"),
+      (3L, bp, "en", "sc"),
+      (4L, pair, "en", "sd"),
+      (5L, pair, "en", "se"),
+      (6L, "only unique words here", "en", "sf")))
+    val rows = Dedup.queries("d20_boilerplate_removal")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(rows == List(
+      ("sa", 2L, 1L, 1L, 20L), // bp chunk + 5-word tail; only bp removed
+      ("sb", 2L, 2L, 1L, 40L), // both instances of the bp chunk removed
+      ("sc", 1L, 1L, 1L, 20L),
+      ("sd", 1L, 0L, 0L, 0L),  // df=2: kept
+      ("se", 1L, 0L, 0L, 0L),
+      ("sf", 1L, 0L, 0L, 0L)), s"got $rows")
+  }
 }
