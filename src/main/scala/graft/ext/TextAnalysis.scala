@@ -488,6 +488,61 @@ object TextAnalysis {
         .orderBy($"eval_id", $"rank")
     },
 
+    // PII detection + redaction census — the scrubbing pass every
+    // public-web training pipeline runs before anything else (emails,
+    // phone numbers, IP addresses → typed placeholder tokens). The
+    // harness corpus carries no real PII, so the query PLANTS
+    // deterministic PII derived from doc_id (m05's oracle-gated pattern:
+    // the oracle replays the planting from the raw table and computes
+    // the same counts/redacted-text checksum directly, so a regex or
+    // replacement-order regression hash-mismatches loudly). The regexes
+    // stay inside the Java-regex/RE2 shared subset (classes, counted
+    // repeats, no lookaround/backrefs) — leftmost, non-overlapping
+    // matching is identical in both engines.
+    //
+    // Scale shape: everything up to the census is NARROW per-row work
+    // fused into the scan (regexp_count/regexp_replace are codegen'd
+    // expressions); the one exchange carries per-source integer partials.
+    // The 40-bit md5-prefix checksum of each redacted doc rides the agg
+    // as an integer sum, so redacted text itself never moves — c13's
+    // file-checksum idea applied to an in-flight transform.
+    "t17_pii_scrub" -> { (s, d) =>
+      import s.implicits._
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val planted = Tables.documents(s, d).select($"source", concat($"text",
+        when($"doc_id" % 3 === 0, concat(lit(" contact user"),
+          $"doc_id".cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 4 === 0, concat(lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0, concat(lit(" from 10.0."),
+          ($"doc_id" % 256).cast("string"), lit("."),
+          (($"doc_id" * 7) % 256).cast("string"), lit(" logged")))
+          .otherwise(lit(""))).as("pt"))
+      val scrubbed = planted.select($"source", $"pt",
+        regexp_count($"pt", lit(emailRe)).cast("long").as("emails"),
+        regexp_count($"pt", lit(phoneRe)).cast("long").as("phones"),
+        regexp_count($"pt", lit(ipRe)).cast("long").as("ips"),
+        // fixed scrub order (email, phone, ip) — placeholders contain no
+        // digits/@, so later passes cannot re-match earlier replacements
+        regexp_replace(regexp_replace(regexp_replace($"pt",
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")).as("st"))
+      scrubbed.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"emails" + $"phones" + $"ips" > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum($"emails").as("emails"), sum($"phones").as("phones"),
+          sum($"ips").as("ips"),
+          sum(length($"pt") - length($"st")).cast("long").as("chars_redacted"),
+          sum(conv(substring(md5($"st".cast("binary")), 1, 10), 16, 10)
+            .cast("long")).as("scrub_check"))
+        .orderBy($"source")
+    },
+
     // Token/char statistics per document.
     "t01_text_stats" -> { (s, d) =>
       import s.implicits._
@@ -879,6 +934,32 @@ object TextAnalysis {
            |  FROM agg)
            |SELECT eval_id, rank, train_id, round(CAST(sfx AS DOUBLE) / 1000000.0, 6) AS bm25
            |FROM r WHERE rank <= 3 ORDER BY eval_id, rank""".stripMargin,
+
+    // same planting, same regexes (RE2 == Java regex on this subset),
+    // same scrub order; regexp_replace needs the 'g' flag (DuckDB
+    // replaces only the first match by default, Spark replaces all)
+    "t17_pii_scrub" ->
+      raw"""WITH planted AS (SELECT doc_id, source, text ||
+           |  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
+           |  (CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END) ||
+           |  (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged' ELSE '' END)
+           |  AS pt FROM documents),
+           |scrub AS (SELECT source, pt,
+           |  len(regexp_extract_all(pt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+           |  len(regexp_extract_all(pt, '555-[0-9]{4}')) AS phones,
+           |  len(regexp_extract_all(pt, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS ips,
+           |  regexp_replace(regexp_replace(regexp_replace(pt,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '555-[0-9]{4}', '<PHONE>', 'g'),
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS st FROM planted)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           |  CAST(SUM(emails) AS BIGINT) AS emails,
+           |  CAST(SUM(phones) AS BIGINT) AS phones,
+           |  CAST(SUM(ips) AS BIGINT) AS ips,
+           |  CAST(SUM(len(pt) - len(st)) AS BIGINT) AS chars_redacted,
+           |  CAST(SUM(('0x' || substr(md5(st), 1, 10))::BIGINT) AS BIGINT) AS scrub_check
+           |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
 
     "t05_bpe_pair_counts" ->
       raw"""WITH words AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word

@@ -93,4 +93,25 @@ class TextAnalysisSpec extends SparkSuite {
         s"round-$r winner '$winner' still counted after its merge")
     }
   }
+
+  test("t17: organic PII is caught alongside planted, every occurrence redacted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    // doc 12: %3==0 and %4==0 → planted email + phone; base text carries an
+    // ORGANIC email, so the scrubber must catch both. doc 7: nothing.
+    Seq((12L, "hello a@b.io world", "en", "sa"),
+        (7L, "plain words only", "en", "sb"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("t17_pii_scrub")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList.sortBy(_._1)
+    // sa: organic a@b.io + planted user12@example.com = 2 emails, 1 phone;
+    // chars_redacted = (6-7) + (18-7) + (8-7) = 11
+    assert(rows == List(
+      ("sa", 1L, 1L, 2L, 1L, 0L, 11L),
+      ("sb", 1L, 0L, 0L, 0L, 0L, 0L)), s"got $rows")
+  }
 }
