@@ -804,6 +804,58 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // Spike-window census — interval DETECTION then a two-sided range
+    // join, the non-equi join shape q37's broadcast band join can't
+    // cover (there the interval side is 5 literal rows; here it is
+    // DERIVED from the fact table and grows with it). Stage 1 finds
+    // "hot" minutes (per-minute count above 1.5× the corpus mean — an
+    // integer cross-product rule, no engine-specific doubles; 1.5× keeps
+    // the rule non-degenerate at every harness SF) and merges
+    // hot minutes within a 5-minute gap into maximal spike windows
+    // (q18's lag + running flag-sum sessionization, run over the REDUCED
+    // hot-minute set — the global-order window scans spikes, not
+    // events). Stage 2 joins every event to its containing window via
+    // operators.RangeJoin: intervals explode to 60-minute bins, events
+    // map to one bin each, and the join is an EQUI-join on the bin with
+    // BETWEEN as a residual — no BroadcastNestedLoopJoin anywhere
+    // (plan-guarded), so the same plan holds when a year of telemetry
+    // yields millions of intervals. Windows are disjoint by
+    // construction, so each event lands in ≤ 1 window and the census
+    // needs no dedup.
+    "q47_spike_census" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_id", $"user_id", $"value",
+        expr("unix_micros(ts) DIV 60000000").as("mi"))
+      val pm = ev.groupBy($"mi").agg(count(lit(1)).as("c"))
+      val st = pm.agg(count(lit(1)).as("n_min"), sum($"c").as("n_ev"))
+      val hot = pm.crossJoin(broadcast(st))
+        .filter($"c" * lit(2) * $"n_min" > lit(3) * $"n_ev").select($"mi")
+      val wAll = Window.orderBy($"mi")
+      val iv = hot
+        .withColumn("nf",
+          when($"mi" - lag($"mi", 1).over(wAll) <= 5, 0L).otherwise(1L))
+        .withColumn("grp", sum($"nf").over(
+          wAll.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"grp")
+        .agg(min($"mi").as("s_mi"), max($"mi").as("e_mi"),
+          count(lit(1)).as("n_hot"))
+        .drop("grp")
+      graft.operators.RangeJoin
+        .pointInInterval(ev, "mi", iv, "s_mi", "e_mi", binWidth = 60L)
+        .groupBy($"s_mi", $"e_mi", $"n_hot")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum(dec2($"value")), 2).cast("double").as("total_value"))
+        .select(
+          timestamp_micros($"s_mi" * 60000000L).cast("timestamp_ntz")
+            .as("window_start"),
+          timestamp_micros(($"e_mi" + 1L) * 60000000L).cast("timestamp_ntz")
+            .as("window_end"),
+          ($"e_mi" - $"s_mi" + 1L).as("n_minutes"), $"n_hot",
+          $"n_events", $"n_users", $"total_value")
+        .orderBy($"window_start")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1287,6 +1339,32 @@ object RelationalQueries {
            |  CAST(max(late_us) AS BIGINT) AS max_late_us,
            |  round(CAST(COUNT(*) FILTER (late_us > 600000000) AS DOUBLE) / COUNT(*), 6) AS late_rate
            |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle replays the interval construction and joins with a
+    // plain BETWEEN — semantically identical to the binned equi-join
+    // (RangeJoinSpec proves the operator == the naive join); windows
+    // are whole minutes, so minute-granular containment is exact
+    "q47_spike_census" ->
+      raw"""WITH e AS (SELECT event_id, user_id, value,
+           |    epoch_us(ts) // 60000000 AS mi FROM events),
+           |pm AS (SELECT mi, COUNT(*) AS c FROM e GROUP BY mi),
+           |st AS (SELECT COUNT(*) AS n_min, CAST(SUM(c) AS BIGINT) AS n_ev FROM pm),
+           |hot AS (SELECT mi FROM pm CROSS JOIN st WHERE c * 2 * n_min > 3 * n_ev),
+           |fl AS (SELECT mi, CASE WHEN mi - LAG(mi) OVER (ORDER BY mi) <= 5
+           |    THEN 0 ELSE 1 END AS nf FROM hot),
+           |isl AS (SELECT mi, SUM(nf) OVER (ORDER BY mi
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl),
+           |iv AS (SELECT MIN(mi) AS s_mi, MAX(mi) AS e_mi, COUNT(*) AS n_hot
+           |  FROM isl GROUP BY grp),
+           |j AS (SELECT iv.*, e.event_id, e.user_id, e.value
+           |  FROM e JOIN iv ON e.mi >= iv.s_mi AND e.mi <= iv.e_mi)
+           |SELECT make_timestamp(s_mi * 60000000) AS window_start,
+           |  make_timestamp((e_mi + 1) * 60000000) AS window_end,
+           |  e_mi - s_mi + 1 AS n_minutes, n_hot,
+           |  COUNT(*) AS n_events,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  ${sDSum(sDec2("value"))} AS total_value
+           |FROM j GROUP BY s_mi, e_mi, n_hot ORDER BY window_start""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

@@ -474,4 +474,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "LM count tables must broadcast")
     assert(p.contains("partial"), "LM counts and the per-doc sum must partial-aggregate")
   }
+
+  test("q47: derived-interval range join is an equi-join on the bin, never a nested loop") {
+    val p = plan("q47_spike_census")
+    assert(!p.contains("CartesianProduct"))
+    // the interval containment join must meet on the bin id (hash or
+    // sort-merge — Catalyst's choice), with BETWEEN as a residual
+    assert((p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin")) && p.contains("__bin"),
+      "the point-in-interval join must be an equi-join on __bin")
+    // the ONLY nested loop allowed is the documented one-row global-stats
+    // broadcast (hot-minute threshold), never the interval join itself.
+    // Formatted mode prints each operator in the tree AND as a "(n) Op"
+    // detail header — count the detail headers to count operators once.
+    assert("(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "unexpected extra nested-loop join")
+  }
 }
