@@ -27,6 +27,10 @@ final case class MediaFeatures(
 final case class FrameSummary(
     media_id: Long, n_frames: Int, first_b: Int, last_b: Int, checksum: Long)
 
+final case class AudioFrameStats(
+    media_id: Long, kind: String, n_bytes: Long,
+    n_frames: Long, total_energy: Long, peak_energy: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -95,6 +99,72 @@ object Multimodal {
   def frameSampleStub(bytes: Array[Byte], everyN: Int): Array[Byte] = {
     require(everyN > 0, "everyN must be positive")
     bytes.grouped(everyN).map(_.head).toArray
+  }
+
+  /** Strict parser for the engine's minimal audio container ("AU\n<len
+    * decimal>\n<payload>"): magic, decimal length line, EXACT payload
+    * length — any violation returns None. Like [[Pgm.parse]], the
+    * strictness is what lets m06's oracle gate the codec: a header
+    * mis-read or wrong payload slice would contaminate the energy sums
+    * with header bytes and hash-mismatch. */
+  def parseAu(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 5 || bytes(0) != 'A' || bytes(1) != 'U' || bytes(2) != '\n')
+      return None
+    var i = 3
+    var n = 0L
+    var digits = 0
+    while (i < bytes.length && bytes(i) != '\n') {
+      val c = bytes(i)
+      if (c < '0' || c > '9' || n > Int.MaxValue) return None
+      n = n * 10 + (c - '0'); digits += 1; i += 1
+    }
+    if (i >= bytes.length || digits == 0) return None
+    i += 1
+    if (bytes.length - i != n) return None
+    Some(java.util.Arrays.copyOfRange(bytes, i, bytes.length))
+  }
+
+  /** Per-blob framing census over a PCM-like byte payload: sliding frames
+    * of `frame` bytes every `hop` bytes (full frames only — the 25 ms /
+    * 10 ms speech-pipeline convention scaled to bytes), per-frame energy
+    * = sum of unsigned byte values. Returns (n_frames, total_energy,
+    * peak_energy); overlapping bytes count once per covering frame. */
+  def audioFrameCensus(payload: Array[Byte], frame: Int, hop: Int): (Long, Long, Long) = {
+    require(frame > 0 && hop > 0, "frame and hop must be positive")
+    val n = payload.length
+    val nf = if (n >= frame) (n - frame) / hop + 1 else 0
+    var total = 0L; var peak = 0L
+    var k = 0
+    while (k < nf) {
+      var e = 0L
+      var j = k * hop
+      val end = j + frame
+      while (j < end) { e += payload(j) & 0xff; j += 1 }
+      total += e
+      if (e > peak) peak = e
+      k += 1
+    }
+    (nf.toLong, total, peak)
+  }
+
+  /** Audio analog of [[extractFeatures]]: decode-once mapPartitions batch,
+    * strict [[parseAu]] then [[audioFrameCensus]] — a blob that fails the
+    * parse contributes a sentinel (-1) row rather than silently framing
+    * raw container bytes. */
+  def frameAudio(spark: SparkSession, media: DataFrame,
+      frame: Int = 400, hop: Int = 160): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        parseAu(r.content) match {
+          case Some(p) =>
+            val (nf, tot, peak) = audioFrameCensus(p, frame, hop)
+            AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, nf, tot, peak)
+          case None =>
+            AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
   }
 
   /** Batch feature extraction: typed Dataset in, typed Dataset out, one
@@ -223,6 +293,28 @@ object Multimodal {
       extractFeatures(s, media).orderBy($"media_id")
     },
 
+    // The AUDIO arm of the decode path, oracle-gated like m05: each doc's
+    // text bytes are packed into the engine's minimal audio container
+    // (built with Spark binary concat — no codec needed to encode), then
+    // strictly parsed back and framed 400-bytes/160-hop (the speech
+    // 25 ms / 10 ms convention scaled to bytes) inside the decode-once
+    // mapPartitions batch. The oracle computes the expected frame
+    // energies straight from the text characters, so a parser or framing
+    // regression (off-by-one hop, header bytes leaking into the payload)
+    // hash-mismatches loudly. Scale shape: one decoder invocation per
+    // blob, features are a handful of integers per media row — the blob
+    // dies in the batch that decoded it.
+    "m06_audio_frames" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          concat(
+            concat(lit("AU\n"), length($"text").cast("string"), lit("\n"))
+              .cast("binary"),
+            $"text".cast("binary")).as("content"))
+      frameAudio(s, media).orderBy($"media_id")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -322,6 +414,27 @@ object Multimodal {
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
            |FROM t ORDER BY media_id""".stripMargin
     },
+
+    // the oracle frames the TEXT directly (payload == text bytes, ASCII):
+    // frame k covers chars [k*160+1, k*160+400]; n_bytes adds the
+    // "AU\n<len>\n" header (4 + digits of len)
+    "m06_audio_frames" ->
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    length(text) AS n,
+           |    CASE WHEN length(text) >= 400
+           |         THEN (length(text) - 400) // 160 + 1 ELSE 0 END AS nf
+           |  FROM documents),
+           |fe AS (SELECT media_id, kind, n, nf,
+           |    list_transform(range(0, nf), k ->
+           |      list_sum(list_transform(range(1, 401),
+           |        j -> ord(substr(text, CAST(k * 160 + j AS BIGINT), 1))))) AS es
+           |  FROM t)
+           |SELECT media_id, kind,
+           |  CAST(4 + length(CAST(n AS VARCHAR)) + n AS BIGINT) AS n_bytes,
+           |  CAST(nf AS BIGINT) AS n_frames,
+           |  CAST(coalesce(list_sum(es), 0) AS BIGINT) AS total_energy,
+           |  CAST(coalesce(list_max(es), 0) AS BIGINT) AS peak_energy
+           |FROM fe ORDER BY media_id""".stripMargin,
 
     // resize = prefix-truncate to 64 bytes; frames = bytes 0,4,8,… of the
     // truncation; ASCII stand-in blobs keep it SQL-expressible.

@@ -856,6 +856,37 @@ object RelationalQueries {
         .orderBy($"window_start")
     },
 
+    // Quantile SKETCH validated by its own rank guarantee — q20's
+    // oracle-gating pattern applied to approx_percentile (Greenwald-
+    // Khanna): the sketch's estimate is engine-specific, so the OUTPUT
+    // carries only oracle-expressible columns (group size, the exact
+    // median — q35's proven interpolation parity — and a boolean rank
+    // verdict the oracle emits as literal true). The verdict re-ranks
+    // the estimate against the data: #values ≤ estimate must sit within
+    // 1% of n of the true median rank (GK at accuracy 10000 guarantees
+    // 0.01% — two orders of margin, so the verdict is partition-order-
+    // proof while a degraded sketch still trips it LOUDLY). Integer
+    // cross-product comparison — no doubles in the gate. Scale shape:
+    // the sketch is the 100 TB path (mergeable, bounded memory — what
+    // q35's exact percentile is NOT); pass 2 broadcasts the 3-row group
+    // stats back onto the scan (q19's agg-join shape).
+    "q48_sketch_quantile" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val g = li.groupBy($"l_returnflag".as("rf"))
+        .agg(count(lit(1)).as("n"),
+          percentile($"l_extendedprice", lit(0.5)).as("p50_exact"),
+          approx_percentile($"l_extendedprice", lit(0.5), lit(10000)).as("est"))
+      li.join(broadcast(g), $"l_returnflag" === $"rf")
+        .groupBy($"rf", $"n", $"p50_exact", $"est")
+        .agg(sum(when($"l_extendedprice" <= $"est", 1L).otherwise(0L))
+          .as("cnt_le"))
+        .select($"rf".as("l_returnflag"), $"n", $"p50_exact",
+          (abs($"cnt_le" * 2L - $"n") * 100L <= ($"n" + lit(100L)) * 2L)
+            .as("sketch_ok"))
+        .orderBy($"l_returnflag")
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1365,6 +1396,15 @@ object RelationalQueries {
            |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            |  ${sDSum(sDec2("value"))} AS total_value
            |FROM j GROUP BY s_mi, e_mi, n_hot ORDER BY window_start""".stripMargin,
+
+    // the oracle emits the exact median (quantile_cont == Spark's
+    // percentile interpolation, proven by q35) and literal true for the
+    // rank verdict — a degraded sketch flips the boolean and the hash
+    "q48_sketch_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |  true AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

@@ -101,4 +101,42 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(df.columns.toSeq == Seq("media_id", "kind", "n_bytes", "f0", "f1", "f2", "f3"))
   }
+
+  test("parseAu: strict magic / length-line / exact-payload validation") {
+    def au(n: Int, payload: String) = s"AU\n$n\n$payload".getBytes("US-ASCII")
+    assert(Multimodal.parseAu(au(3, "abc")).map(new String(_, "US-ASCII")) == Some("abc"))
+    assert(Multimodal.parseAu(au(0, "")).map(_.length) == Some(0))
+    assert(Multimodal.parseAu(au(4, "abc")).isEmpty)       // short payload
+    assert(Multimodal.parseAu(au(2, "abc")).isEmpty)       // long payload
+    assert(Multimodal.parseAu("AV\n3\nabc".getBytes).isEmpty)  // bad magic
+    assert(Multimodal.parseAu("AU\nx3\nabc".getBytes).isEmpty) // non-digit len
+    assert(Multimodal.parseAu("AU\n3abc".getBytes).isEmpty)    // no len terminator
+    assert(Multimodal.parseAu("AU\n\nabc".getBytes).isEmpty)   // empty len
+  }
+
+  test("audioFrameCensus: full-frames-only boundaries and overlap counting") {
+    val b = Array.tabulate(560)(_ => 1.toByte) // every byte contributes 1
+    // 560 bytes, frame 400 hop 160: frames at 0 and 160 → 2 frames
+    assert(Multimodal.audioFrameCensus(b, 400, 160) == ((2L, 800L, 400L)))
+    // 559 bytes: second frame would need byte 559 → only 1 full frame
+    assert(Multimodal.audioFrameCensus(b.take(559), 400, 160) == ((1L, 400L, 400L)))
+    assert(Multimodal.audioFrameCensus(b.take(400), 400, 160) == ((1L, 400L, 400L)))
+    assert(Multimodal.audioFrameCensus(b.take(399), 400, 160) == ((0L, 0L, 0L)))
+    // unsigned byte handling: 0xFF counts as 255, not -1
+    val hot = Array.fill(400)(0xff.toByte)
+    assert(Multimodal.audioFrameCensus(hot, 400, 160) == ((1L, 102000L, 102000L)))
+  }
+
+  test("m06: planted blob frames through the strict parser; corrupt blob sentinels") {
+    import spark.implicits._
+    val good = ("AU\n500\n" + "a" * 500).getBytes("US-ASCII")
+    val bad = ("AU\n501\n" + "a" * 500).getBytes("US-ASCII") // length lie
+    val media = Seq((1L, "audio", good), (2L, "audio", bad))
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.frameAudio(spark, media).orderBy("media_id").collect()
+    // 500 'a's: frames at 0 and 160 (bytes 160..559 would overrun → only k=0)
+    // nf = (500-400)/160 + 1 = 1; energy = 400*97
+    assert(rows(0).getLong(3) == 1L && rows(0).getLong(4) == 400L * 97)
+    assert(rows(1).getLong(3) == -1L && rows(1).getLong(4) == -1L)
+  }
 }
