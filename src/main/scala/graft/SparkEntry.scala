@@ -22,7 +22,8 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
-      ext.Curation.queries
+      ext.Curation.queries ++
+      ext.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       ext.Dedup.oracle ++
       ext.Similarity.oracle ++
       ext.Multimodal.oracle ++
-      ext.Curation.oracle
+      ext.Curation.oracle ++
+      ext.Graph.oracle
 }

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Stage a minimal orders/lineitem pair encoding a path graph:
+    * customers 1 and 2 each order from supplier 1. */
+  private def stagePath(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (20L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("g01: hand-computed 3-round fixed-point PageRank on the path graph") {
+    // nodes: c1=2 (deg 1), c2=4 (deg 1), s1=3 (deg 2); SCALE=1e6
+    // r1: s(3)=150000+85*2000000/100=1850000; s(2)=s(4)=150000+85*500000/100=575000
+    // r2: s(3)=150000+85*1150000/100=1127500; s(2)=s(4)=150000+85*925000/100=936250
+    // r3: s(3)=150000+85*(936250*2)/100=1741625
+    val rows = Graph.queries("g01_pagerank")(spark, stagePath()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((1, 1L, 2L, 1741625L)), s"got $r")
+  }
+
+  test("g02: degree census partitions nodes; sum_deg doubles the edge count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.queries("g02_degree_census")(spark, sf).collect()
+    val byKind = rows.groupBy(_.getString(0))
+    assert(byKind.keySet == Set("customer", "supplier"))
+    // every edge contributes 1 to a customer's degree and 1 to a supplier's
+    val custDeg = byKind("customer").map(_.getLong(3)).sum
+    val suppDeg = byKind("supplier").map(_.getLong(3)).sum
+    assert(custDeg == suppDeg, s"$custDeg != $suppDeg")
+    // buckets are consistent with their own min/max
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getInt(1), r.getLong(4), r.getLong(5))
+      assert(64 - java.lang.Long.numberOfLeadingZeros(mn) - 1 == b)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(mx) - 1 == b)
+    }
+  }
+
+  test("g01: score mass stays within the damping fixed-point envelope on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.queries("g01_pagerank")(spark, sf).collect()
+    // sf0.001 has 10 suppliers — top-20 returns min(20, #suppliers) rows
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every score at least the damping floor and below the total mass
+    assert(scores.forall(s => s >= 150000L))
+  }
+}
