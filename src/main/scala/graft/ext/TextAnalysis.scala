@@ -741,10 +741,76 @@ object TextAnalysis {
           round($"vocab".cast("double") / $"n_tokens".cast("double"), 6).as("ttr"),
           round($"hapax".cast("double") / $"vocab".cast("double"), 6).as("hapax_frac"))
         .orderBy($"source")
+    },
+
+    // Zipf-slope census per source: the least-squares slope (and r²) of
+    // log2(frequency) against log2(rank) over the source's vocabulary —
+    // the distribution-fit corpus diagnostic (natural text runs slope
+    // ≈ −1; a flat slope flags synthetic/boilerplate floods, a cliff
+    // flags truncated vocab). Determinism: both logs are the INTEGER
+    // bit-length quantization (t08's trick), the regression runs on
+    // q40's exact-moment pattern — six integer sums, then one identical
+    // double formula — so the fit is engine- and partition-order-exact.
+    // Scale shape: (source, word) wordcount partials (vocab-bounded,
+    // t10's exchange), a per-source rank window over the vocab rows
+    // only (never token instances), and integer moment partials.
+    "t18_zipf_slope" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.documents(s, d)
+        .select($"source", explode(split(trim($"text"), Tok.Ws)).as("wd"))
+        .groupBy($"source", $"wd").agg(count(lit(1)).as("c"))
+      val xy = wc
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"source").orderBy($"c".desc, $"wd")))
+        .select($"source",
+          (length(conv($"rnk", 10, 2)) - 1).cast("long").as("x"),
+          (length(conv($"c", 10, 2)) - 1).cast("long").as("y"))
+      val m = xy.groupBy($"source").agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      m.select($"source", $"n".as("n_types"),
+          when($"n" * $"sxx" - $"sx" * $"sx" > 0,
+            round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+              / ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6))
+            .as("slope"),
+          when(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy") > 0,
+            round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
+              .cast("double")
+              / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy"))
+                .cast("double"), 6))
+            .as("r2"))
+        .orderBy($"source")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // integer bit-length logs + exact integer moments, one final double
+    // formula — identical in both engines; degenerate denominators → NULL
+    "t18_zipf_slope" ->
+      raw"""WITH w AS (SELECT source,
+           |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS wd
+           |  FROM documents),
+           |wc AS (SELECT source, wd, COUNT(*) AS c FROM w GROUP BY 1, 2),
+           |r AS (SELECT source, c,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, wd) AS rnk
+           |  FROM wc),
+           |xy AS (SELECT source, CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+           |    CAST(length(bin(c)) - 1 AS BIGINT) AS y FROM r),
+           |m AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+           |  FROM xy GROUP BY source)
+           |SELECT source, CAST(n AS BIGINT) AS n_types,
+           |  CASE WHEN n*sxx - sx*sx > 0 THEN
+           |    round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+           |  END AS slope,
+           |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+           |    round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+           |      / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 6)
+           |  END AS r2
+           |FROM m ORDER BY source""".stripMargin,
+
     "t08_bigram_fluency" ->
       raw"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
            |sh AS (SELECT DISTINCT doc_id,

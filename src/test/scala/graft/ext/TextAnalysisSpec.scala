@@ -114,4 +114,22 @@ class TextAnalysisSpec extends SparkSuite {
       ("sa", 1L, 1L, 2L, 1L, 0L, 11L),
       ("sb", 1L, 0L, 0L, 0L, 0L, 0L)), s"got $rows")
   }
+
+  test("t18: hand-computed bit-length regression on a geometric vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // freqs 8,4,2,1 → ranks 1..4 → x = bitlen(rank)-1 = 0,1,1,2;
+    // y = 3,2,1,0. Moments: n=4 sx=4 sy=6 sxx=6 sxy=3 syy=14
+    // slope = (12-24)/(24-16) = -1.5; r2 = 144/(8*(56-36)) = 0.9
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b")
+      ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    Seq((1L, text, "en", "sz")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.queries("t18_zipf_slope")(spark, dir).collect().head
+    assert(r.getString(0) == "sz" && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == -1.5, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.9, s"r2 ${r.getDouble(3)}")
+  }
 }
