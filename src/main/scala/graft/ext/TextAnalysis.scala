@@ -55,6 +55,39 @@ object TextAnalysis {
   // — the production serving shape: tables trained in batch, scoring
   // narrow enough to run unchanged on a streaming scan ----
 
+  /** t17's per-row stage: deterministic PII planting (from doc_id) +
+    * detection counts + placeholder redaction. NARROW — no state, no
+    * aggregation — so the identical definition runs on the batch table
+    * and on a live document stream (`StreamingParitySpec`): PII
+    * scrubbing is the canonical ingest-time transform. Regexes stay in
+    * the Java-regex/RE2 shared subset (classes, counted repeats, no
+    * lookaround); scrub order is fixed (email, phone, ip) and the
+    * placeholders contain no digits/@, so later passes cannot re-match
+    * earlier replacements. */
+  private[graft] def piiScrubbed(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val planted = docs.select(col("doc_id"), col("source"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(" logged")))
+        .otherwise(lit(""))).as("pt"))
+    planted.select(col("doc_id"), col("source"), col("pt"),
+      regexp_count(col("pt"), lit(emailRe)).cast("long").as("emails"),
+      regexp_count(col("pt"), lit(phoneRe)).cast("long").as("phones"),
+      regexp_count(col("pt"), lit(ipRe)).cast("long").as("ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("pt"),
+        lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")),
+        lit(ipRe), lit("<IP>")).as("st"))
+  }
+
   /** Tokenized + split-labeled view of a documents-shaped DF. All narrow
     * per-row ops — runs unchanged on a streaming scan. */
   private[graft] def lmPrep(docs: DataFrame): DataFrame =
@@ -508,30 +541,7 @@ object TextAnalysis {
     // file-checksum idea applied to an in-flight transform.
     "t17_pii_scrub" -> { (s, d) =>
       import s.implicits._
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phoneRe = "555-[0-9]{4}"
-      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-      val planted = Tables.documents(s, d).select($"source", concat($"text",
-        when($"doc_id" % 3 === 0, concat(lit(" contact user"),
-          $"doc_id".cast("string"), lit("@example.com now"))).otherwise(lit("")),
-        when($"doc_id" % 4 === 0, concat(lit(" call 555-"),
-          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" today")))
-          .otherwise(lit("")),
-        when($"doc_id" % 5 === 0, concat(lit(" from 10.0."),
-          ($"doc_id" % 256).cast("string"), lit("."),
-          (($"doc_id" * 7) % 256).cast("string"), lit(" logged")))
-          .otherwise(lit(""))).as("pt"))
-      val scrubbed = planted.select($"source", $"pt",
-        regexp_count($"pt", lit(emailRe)).cast("long").as("emails"),
-        regexp_count($"pt", lit(phoneRe)).cast("long").as("phones"),
-        regexp_count($"pt", lit(ipRe)).cast("long").as("ips"),
-        // fixed scrub order (email, phone, ip) — placeholders contain no
-        // digits/@, so later passes cannot re-match earlier replacements
-        regexp_replace(regexp_replace(regexp_replace($"pt",
-          lit(emailRe), lit("<EMAIL>")),
-          lit(phoneRe), lit("<PHONE>")),
-          lit(ipRe), lit("<IP>")).as("st"))
-      scrubbed.groupBy($"source")
+      piiScrubbed(Tables.documents(s, d)).groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"emails" + $"phones" + $"ips" > 0, 1L).otherwise(0L))
             .as("docs_with_pii"),

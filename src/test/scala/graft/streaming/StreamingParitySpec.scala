@@ -341,6 +341,37 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming gate selected ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("PII scrubbing runs unchanged on a document stream (t17's per-row stage)") {
+    // the canonical ingest-time transform: stateless planting + regex
+    // detect/redact — identical per-doc verdicts batch vs stream
+    val batch = graft.ext.TextAnalysis.piiScrubbed(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("emails"), col("phones"), col("ips"),
+        md5(col("st").cast("binary")).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-pii").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val scrubbed = graft.ext.TextAnalysis.piiScrubbed(
+        spark.readStream.schema(schema).parquet(docsDir))
+      .select(col("doc_id"), col("emails"), col("phones"), col("ips"),
+        md5(col("st").cast("binary")).as("sh"))
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("parity_pii")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_pii did not finish within 120 s")
+    val streamed = spark.table("parity_pii").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(streamed == batch,
+      s"streaming scrub produced ${streamed.size} verdicts vs batch ${batch.size}")
+  }
+
   test("LM quality scoring runs as a stream against frozen batch-trained tables (t15)") {
     // the serving shape of the perplexity filter: LM tables trained in
     // batch (the c02 train split), a LIVE document stream scored against
