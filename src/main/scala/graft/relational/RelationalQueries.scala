@@ -887,6 +887,57 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // Three-valued-logic / NULL-semantics parity census. Spark and
+    // DuckDB disagree on DEFAULTS here (Spark sorts ASC NULLS FIRST,
+    // DuckDB ASC NULLS LAST), so every nullable surface in the engine
+    // must be pinned explicitly — this query is the tripwire that the
+    // pinning discipline works end-to-end: NULL-producing expression
+    // (nullif), NULL groups in GROUP BY (their own group in both),
+    // count(*) vs count(col) (the latter skips NULLs), an explicitly
+    // UNKNOWN comparison counted via IS NULL on the predicate itself,
+    // and an explicit NULLS FIRST output ordering.
+    "q49_null_semantics" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_mktsegment",
+          nullif($"c_nationkey" % 5, lit(0)).as("nv"),
+          dec2($"c_acctbal").as("bal"))
+        .groupBy($"c_mktsegment", $"nv")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"nv").as("n_nonnull"),
+          sum(when(($"nv" === 2).isNull, 1L).otherwise(0L)).as("n_unknown_cmp"),
+          round(sum($"bal"), 2).cast("double").as("total_bal"))
+        .orderBy($"c_mktsegment", $"nv".asc_nulls_first)
+    },
+
+    // Correlated-subquery surface (Catalyst decorrelation): two
+    // correlated scalar subqueries + a correlated EXISTS with an
+    // inequality, written as plain SQL. "Strictly above the customer's
+    // own average order value" is compared as price·n > Σprice in EXACT
+    // decimals — no AVG(double) ever materializes, so the predicate is
+    // engine-exact. Catalyst rewrites the correlated scalars into
+    // aggregate+join (RewriteCorrelatedScalarSubquery) and the EXISTS
+    // into a semi-join — the decorrelated plan is the scalable shape;
+    // the oracle runs the identical SQL text directly.
+    "q50_correlated_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_q50")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q50")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_above,
+          |  MIN(o_orderkey) AS min_orderkey
+          |FROM orders_q50 o
+          |WHERE CAST(o_totalprice AS DECIMAL(14,2))
+          |      * (SELECT COUNT(*) FROM orders_q50 o2
+          |         WHERE o2.o_custkey = o.o_custkey)
+          |    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(14,2)))
+          |       FROM orders_q50 o3 WHERE o3.o_custkey = o.o_custkey)
+          |  AND EXISTS (SELECT 1 FROM lineitem_q50 l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1405,6 +1456,36 @@ object RelationalQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  true AS sketch_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // NULLS FIRST pinned explicitly — DuckDB's ASC default is NULLS
+    // LAST, Spark's is NULLS FIRST; everything else (NULL groups,
+    // count(col) skipping, UNKNOWN comparisons) agrees by the standard
+    "q49_null_semantics" ->
+      s"""SELECT c_mktsegment, nullif(c_nationkey % 5, 0) AS nv,
+         |  COUNT(*) AS n_rows,
+         |  CAST(COUNT(nullif(c_nationkey % 5, 0)) AS BIGINT) AS n_nonnull,
+         |  CAST(SUM(CASE WHEN (nullif(c_nationkey % 5, 0) = 2) IS NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_cmp,
+         |  ${sDSum(sDec2("c_acctbal"))} AS total_bal
+         |FROM customer
+         |GROUP BY c_mktsegment, nullif(c_nationkey % 5, 0)
+         |ORDER BY c_mktsegment, nv ASC NULLS FIRST""".stripMargin,
+
+    // identical SQL text to the Spark side (run directly by DuckDB)
+    "q50_correlated_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        |  MIN(o_orderkey) AS min_orderkey
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(14,2))
+        |      * (SELECT COUNT(*) FROM orders o2
+        |         WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(14,2)))
+        |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q39_window_navigation" ->
       """SELECT o_custkey, o_orderkey,

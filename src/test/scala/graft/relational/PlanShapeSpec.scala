@@ -475,6 +475,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "LM counts and the per-doc sum must partial-aggregate")
   }
 
+  test("q50: correlated subqueries decorrelate to aggregate-joins + a semi join") {
+    val p = plan("q50_correlated_subquery")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated scalars must rewrite to joins, not per-row nested loops")
+    assert(p.contains("LeftSemi"), "the correlated EXISTS must become a semi join")
+  }
+
   test("q47: derived-interval range join is an equi-join on the bin, never a nested loop") {
     val p = plan("q47_spike_census")
     assert(!p.contains("CartesianProduct"))
