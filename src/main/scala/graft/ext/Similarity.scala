@@ -1199,6 +1199,64 @@ object Similarity {
         .select($"query_id", $"n_hits",
           round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"))
         .orderBy($"query_id")
+    },
+
+    // kNN-GRAPH construction census — the build step under every
+    // graph-ANN index (HNSW neighborhoods, NN-descent seeds) and under
+    // dataset-cartography tools: each vector's top-3 cosine neighbors
+    // WITHIN ITS IVF CELL (s03's cells bound the quadratic exactly like
+    // d12 — cells parallelize, all-pairs never crosses a cell), then the
+    // symmetrization census: mutual edges (i∈knn(j) ∧ j∈knn(i)) are the
+    // high-confidence backbone graph-ANN actually keeps. Per-cell
+    // output: members, directed edges, mutual pairs, mean mutual cosine.
+    // Determinism: ranking ties break on neighbor id; the mean is an
+    // integer sum of per-edge fixed-point (1e-6) rounded cosines (t16's
+    // trick), so no double ever sums in engine order. Scale shape: pair
+    // generation is an equi-join on cell; top-3 is the salted TopK; the
+    // mutual join touches 3·n directed edges, not pairs; census partials
+    // are per-cell integers.
+    "s21_knn_graph" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"v", $"nrm", $"cent_id",
+          cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+          $"b.cent_id".as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.cell").as("cell"), col("a.vec_id").as("i"),
+          col("b.vec_id").as("j"),
+          cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+            .as("cos"))
+      val dir = graft.operators.TopK.perKey(
+          pairs, $"i", Seq($"cos".desc, $"j"), 3, saltFrom = $"j")
+        .select($"cell", $"i", $"j",
+          round($"cos" * 1000000.0).cast("long").as("fx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mutual = dir.as("x").join(dir.as("y"),
+          col("x.i") === col("y.j") && col("x.j") === col("y.i")
+            && col("x.i") < col("x.j"))
+        .select(col("x.cell").as("cell"), col("x.fx").as("fx"))
+      val cellStats = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      val edgeStats = dir.groupBy($"cell").agg(count(lit(1)).as("ne"))
+      val mutualStats = mutual.groupBy($"cell")
+        .agg(count(lit(1)).as("nm"), sum($"fx").as("sfx"))
+      cellStats
+        .join(edgeStats, Seq("cell"), "left")
+        .join(mutualStats, Seq("cell"), "left")
+        .select($"cell", $"n_vectors",
+          coalesce($"ne", lit(0L)).as("n_edges"),
+          coalesce($"nm", lit(0L)).as("n_mutual"),
+          round($"sfx".cast("double") / ($"nm".cast("double") * 1000000.0), 6)
+            .as("mean_mutual_cos"))
+        .orderBy($"cell")
     }
   )
 
@@ -1806,6 +1864,40 @@ object Similarity {
            |  round(absmax / 127.0, 6) AS scale,
            |  round(list_sum(list_transform(range(1, len(v) + 1),
            |      i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * absmax / 127.0))) / len(v), 6) AS mae
-           |FROM q ORDER BY vec_id""".stripMargin
+           |FROM q ORDER BY vec_id""".stripMargin,
+
+    // within-cell top-3 by the identical cosine doubles (tie-break on
+    // neighbor id), fixed-point mean over mutual edges — NULL when a
+    // cell has no mutual pair, in both engines
+    "s21_knn_graph" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+           |    ${sqlCosine("a.v", "b.v")} AS cos
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |r AS (SELECT cell, i, j, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM p),
+           |dir AS (SELECT cell, i, j, CAST(round(cos * 1000000) AS BIGINT) AS fx
+           |  FROM r WHERE rn <= 3),
+           |m AS (SELECT x.cell, x.fx FROM dir x
+           |  JOIN dir y ON x.i = y.j AND x.j = y.i AND x.i < x.j),
+           |cs AS (SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell),
+           |es AS (SELECT cell, COUNT(*) AS ne FROM dir GROUP BY cell),
+           |ms AS (SELECT cell, COUNT(*) AS nm, CAST(SUM(fx) AS BIGINT) AS sfx
+           |  FROM m GROUP BY cell)
+           |SELECT cs.cell, cs.n_vectors,
+           |  CAST(coalesce(ne, 0) AS BIGINT) AS n_edges,
+           |  CAST(coalesce(nm, 0) AS BIGINT) AS n_mutual,
+           |  round(CAST(sfx AS DOUBLE) / (CAST(nm AS DOUBLE) * 1000000.0), 6)
+           |    AS mean_mutual_cos
+           |FROM cs LEFT JOIN es USING (cell) LEFT JOIN ms USING (cell)
+           |ORDER BY cell""".stripMargin
   )
 }

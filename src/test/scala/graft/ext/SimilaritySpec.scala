@@ -139,4 +139,26 @@ class SimilaritySpec extends SparkSuite {
         s"mae ${r.getDouble(1)} exceeds half-step ${step / 2}")
     }
   }
+
+  test("s21: kNN-graph census invariants — edge bounds, mutual subset, cosine range") {
+    val rows = Similarity.queries("s21_knn_graph")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    var totVec = 0L
+    rows.foreach { r =>
+      val (n, ne, nm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      totVec += n
+      // each vector emits at most 3 directed edges (fewer in tiny cells)
+      assert(ne <= 3 * n && ne >= 0, s"cell ${r.getLong(0)}: $ne edges for $n vectors")
+      // a mutual pair consumes two directed edges
+      assert(2 * nm <= ne, s"cell ${r.getLong(0)}: $nm mutual > ${ne / 2}")
+      if (nm > 0) {
+        val m = r.getDouble(4)
+        assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9, s"mean cos $m out of range")
+      } else assert(r.isNullAt(4), "mean must be NULL when no mutual pair exists")
+    }
+    // cells partition the corpus
+    val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(totVec == corpus, s"$totVec != $corpus")
+  }
 }
