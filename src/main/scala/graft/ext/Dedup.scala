@@ -998,6 +998,66 @@ object Dedup {
           round($"bp_chunks".cast("double") / $"n_chunks".cast("double"), 6)
             .as("bp_fraction"))
         .orderBy($"source")
+    },
+
+    // Exact-substring REMOVAL materialization — the operation d18's
+    // census reports on (Lee et al. 2022's actual cleanup): every-offset
+    // 20-word windows; a window hash occurring ≥ 2 times corpus-wide is
+    // duplicated; its lexicographically-first occurrence (min (doc, pos))
+    // is the protected WINNER. A word is removed iff some duplicated
+    // window covers it and NO winner occurrence covers it — so the first
+    // copy of a shared run survives intact and every other copy drops,
+    // at word granularity (catches the boundary-straddling duplicates
+    // d16's chunk grid misses). Emits the per-source removal census +
+    // a 40-bit checksum of each rebuilt doc (kept words, one-space
+    // joined) so the oracle pins the exact cleaned text.
+    //
+    // Scale shape: window hashing is fused into the scan (codegen'd
+    // ShingleHashes); the per-hash (count, min-winner) partials exchange
+    // 8-byte hashes; coverage explodes DUPLICATED window instances only
+    // (20 integer rows each, map-side combined to (doc, word-index)
+    // verdicts — the corpus-wide duplicated fraction, not the corpus);
+    // the rebuild joins each doc's removed-index SET back by doc_id, so
+    // text moves once, co-partitioned at scale. At extreme duplication
+    // the 20× explode could interval-merge per doc instead (d18's span
+    // islands) — documented trade, not needed while dup coverage ≪ 1.
+    "d21_substring_removal" -> { (s, d) =>
+      import s.implicits._
+      val K = 20
+      val docs = Tables.spread(s, Tables.documents(s, d))
+        .select($"doc_id", $"source", split(trim($"text"), Tok.Ws).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pos = docs
+        .select($"doc_id", graft.functions.ShingleHashes($"w", K).as("hs"))
+        .select($"doc_id", posexplode($"hs").as(Seq("p0", "h")))
+        .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+      val dupW = pos.groupBy($"h")
+        .agg(count(lit(1)).as("c"), min(struct($"doc_id", $"pos")).as("win"))
+        .filter($"c" >= 2)
+        .select($"h", $"win.doc_id".as("wdoc"), $"win.pos".as("wpos"))
+      val removed = pos.join(dupW, "h")
+        .select($"doc_id",
+          explode(sequence($"pos", $"pos" + lit(K - 1).cast("long"))).as("i"),
+          ($"doc_id" === $"wdoc" && $"pos" === $"wpos").as("iswin"))
+        .groupBy($"doc_id", $"i")
+        .agg(max(when($"iswin", 1).otherwise(0)).as("anywin"))
+        .filter($"anywin" === 0)
+      val remSets = removed.groupBy($"doc_id")
+        .agg(collect_set($"i").as("rem"), count(lit(1)).as("nrem"))
+      docs.join(remSets, Seq("doc_id"), "left")
+        .select($"source", size($"w").cast("long").as("nw"),
+          coalesce($"nrem", lit(0L)).as("nrem"),
+          concat_ws(" ", filter($"w", (_, idx) =>
+            !coalesce(array_contains($"rem", (idx + 1).cast("long")), lit(false))))
+            .as("cleaned"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"nrem" > 0, 1L).otherwise(0L)).as("docs_touched"),
+          sum($"nw").as("total_words"),
+          sum($"nrem").as("words_removed"),
+          sum(conv(substring(md5($"cleaned".cast("binary")), 1, 10), 16, 10)
+            .cast("long")).as("cleaned_check"))
+        .orderBy($"source")
     }
   )
 
@@ -1374,7 +1434,44 @@ object Dedup {
              |    AS words_removed,
              |  round(CAST(SUM(CASE WHEN nd >= 3 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
              |    AS bp_fraction
-             |FROM nd GROUP BY source ORDER BY source""".stripMargin
+             |FROM nd GROUP BY source ORDER BY source""".stripMargin,
+
+      // d18's positional window hashes + winner protection at word
+      // granularity; the rebuild replays the index filter with 1-based
+      // range positions, so the cleaned-text checksums pin exact output
+      "d21_substring_removal" ->
+        raw"""WITH dw AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '[${Tok.WsChars}]+') AS w FROM documents),
+             |pos AS (SELECT doc_id, i AS pos,
+             |    ('0x' || substr(md5(array_to_string(w[i:i+19], ' ')), 1, 15))::BIGINT AS h
+             |  FROM dw, unnest(generate_series(1, greatest(0, len(w) - 19))) t(i)),
+             |inst AS (SELECT doc_id, pos,
+             |    COUNT(*) OVER (PARTITION BY h) AS c,
+             |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |  FROM pos),
+             |di AS (SELECT doc_id, pos, (rn = 1) AS iswin FROM inst WHERE c >= 2),
+             |rw AS (SELECT doc_id, pos + k AS i, iswin
+             |  FROM di, unnest(range(0, 20)) t(k)),
+             |rem AS (SELECT doc_id, i FROM rw GROUP BY doc_id, i
+             |  HAVING MAX(CASE WHEN iswin THEN 1 ELSE 0 END) = 0),
+             |rs AS (SELECT doc_id, list(i) AS rem, COUNT(*) AS nrem
+             |  FROM rem GROUP BY doc_id),
+             |rb AS (SELECT dw.doc_id, source, len(w) AS nw,
+             |    COALESCE(nrem, 0) AS nrem,
+             |    -- coalesce: array_to_string of an EMPTY list is NULL in
+             |    -- DuckDB, while Spark's concat_ws yields '' for a fully
+             |    -- removed doc — both must checksum md5('')
+             |    COALESCE(array_to_string(list_filter(list_transform(range(1, len(w) + 1),
+             |      k -> CASE WHEN rs.rem IS NOT NULL AND list_contains(rs.rem, k)
+             |           THEN NULL ELSE w[k] END), x -> x IS NOT NULL), ' '), '') AS cleaned
+             |  FROM dw LEFT JOIN rs USING (doc_id))
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN nrem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+             |  CAST(SUM(nw) AS BIGINT) AS total_words,
+             |  CAST(SUM(nrem) AS BIGINT) AS words_removed,
+             |  CAST(SUM(('0x' || substr(md5(cleaned), 1, 10))::BIGINT) AS BIGINT)
+             |    AS cleaned_check
+             |FROM rb GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }

@@ -282,4 +282,28 @@ class DedupSpec extends SparkSuite {
       ("se", 1L, 0L, 0L, 0L),
       ("sf", 1L, 0L, 0L, 0L)), s"got $rows")
   }
+
+  test("d21: first copy survives intact, every later copy drops at word grain") {
+    // A (doc 1) and B (doc 2) are identical 25-word docs: A's windows are
+    // the corpus winners, so A keeps all 25 words and B loses all 25.
+    // C (doc 3) is 30 unique words; D (doc 4) shares exactly C's words
+    // 11..30 behind 10 unique prefix words — ONE duplicated window, C
+    // wins, D loses exactly those 20 words (the boundary-straddling case
+    // a fixed chunk grid misses).
+    val run = (1 to 25).map(i => s"r$i").mkString(" ")
+    val c = (1 to 30).map(i => s"c$i")
+    val dDoc = ((1 to 10).map(i => s"d$i") ++ c.drop(10)).mkString(" ")
+    val dir = stage(Seq(
+      (1L, run, "en", "sa"), (2L, run, "en", "sb"),
+      (3L, c.mkString(" "), "en", "sc"), (4L, dDoc, "en", "sd")))
+    val rows = Dedup.queries("d21_substring_removal")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(rows == List(
+      ("sa", 1L, 0L, 25L, 0L),   // winner copy untouched
+      ("sb", 1L, 1L, 25L, 25L),  // full duplicate vanishes
+      ("sc", 1L, 0L, 30L, 0L),   // shared-run winner untouched
+      ("sd", 1L, 1L, 30L, 20L)), // loses exactly the shared 20-word run
+      s"got $rows")
+  }
 }
