@@ -57,7 +57,10 @@ object Graph {
     // salt or cap before running g01 at scale.
     "g02_degree_census" -> { (s, d) =>
       import s.implicits._
-      edges(s, d).groupBy($"u").agg(count(lit(1)).as("deg"))
+      // same persisted node-partitioned frame as g01, so a session
+      // running both queries distills and lays out the edge list ONCE
+      // (CacheManager plan-matching — the Bench session's shape)
+      ed2(s, d).groupBy($"u").agg(count(lit(1)).as("deg"))
         .select(when($"u" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("kind"),
           (length(conv($"deg", 10, 2)) - 1).cast("int").as("bucket"),
