@@ -753,6 +753,47 @@ object TextAnalysis {
         .orderBy($"source")
     },
 
+    // Source-drift census — the domain-shift detector run before mixing
+    // corpora (is src X distributed like the rest of the pool?): per
+    // source, its tokens' add-one-smoothed unigram cost in QUANTIZED
+    // BITS (t15's integer bit-length trick) under the CORPUS-wide
+    // distribution (cross_bits) and under the source's OWN distribution
+    // (self_bits); drift = cross − self, the quantized-bits analog of
+    // the KL divergence D(src ‖ corpus) — ~0 for in-distribution
+    // sources, large for off-domain ones (the harness's non-English
+    // sources surface immediately). Every term is an exact integer
+    // (count × bit-length difference), so the per-source sums are
+    // order-free and engine-exact; ONE final double division.
+    // Scale shape: (source, word) wordcount partials (vocab-bounded),
+    // corpus table derived from them by a second partial agg, the tiny
+    // global stats row broadcast — the corpus never re-scans.
+    "t19_source_drift" -> { (s, d) =>
+      import s.implicits._
+      val sc = Tables.documents(s, d)
+        .select($"source", explode(split(trim($"text"), Tok.Ws)).as("wd"))
+        .groupBy($"source", $"wd").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = sc.groupBy($"wd").agg(sum($"c").as("cg"))
+      val st = cc.agg(count(lit(1)).as("v"), sum($"cg").as("n"))
+      val ss = sc.groupBy($"source")
+        .agg(sum($"c").as("ns"), count(lit(1)).as("vs"))
+      def bitlen(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+      sc.join(cc, "wd").join(ss, "source").crossJoin(broadcast(st))
+        .select($"source", $"c",
+          (bitlen($"n" + $"v") - bitlen($"cg" + 1)).as("cross_b"),
+          (bitlen($"ns" + $"vs") - bitlen($"c" + 1)).as("self_b"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          sum($"c" * $"cross_b").as("cross_bits"),
+          sum($"c" * $"self_b").as("self_bits"),
+          sum($"c" * ($"cross_b" - $"self_b")).as("drift_bits"))
+        .select($"source", $"n_tokens", $"cross_bits", $"self_bits",
+          $"drift_bits",
+          round($"drift_bits".cast("double") / $"n_tokens".cast("double"), 6)
+            .as("drift_per_token"))
+        .orderBy($"source")
+    },
+
     // Zipf-slope census per source: the least-squares slope (and r²) of
     // log2(frequency) against log2(rank) over the source's vocabulary —
     // the distribution-fit corpus diagnostic (natural text runs slope
@@ -796,6 +837,28 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact integer count × bit-length terms; one final double division
+    "t19_source_drift" ->
+      raw"""WITH w AS (SELECT source,
+           |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS wd
+           |  FROM documents),
+           |sc AS (SELECT source, wd, COUNT(*) AS c FROM w GROUP BY 1, 2),
+           |cc AS (SELECT wd, CAST(SUM(c) AS BIGINT) AS cg FROM sc GROUP BY wd),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(cg) AS BIGINT) AS n FROM cc),
+           |ss AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+           |    CAST(COUNT(*) AS BIGINT) AS vs FROM sc GROUP BY source),
+           |terms AS (SELECT sc.source, sc.c,
+           |    length(bin(n + v)) - length(bin(cg + 1)) AS cross_b,
+           |    length(bin(ns + vs)) - length(bin(sc.c + 1)) AS self_b
+           |  FROM sc JOIN cc USING (wd) JOIN ss USING (source) CROSS JOIN st)
+           |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(c * cross_b) AS BIGINT) AS cross_bits,
+           |  CAST(SUM(c * self_b) AS BIGINT) AS self_bits,
+           |  CAST(SUM(c * (cross_b - self_b)) AS BIGINT) AS drift_bits,
+           |  round(CAST(SUM(c * (cross_b - self_b)) AS DOUBLE) / SUM(c), 6)
+           |    AS drift_per_token
+           |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
     // integer bit-length logs + exact integer moments, one final double
     // formula — identical in both engines; degenerate denominators → NULL
     "t18_zipf_slope" ->

@@ -132,4 +132,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.getDouble(2) == -1.5, s"slope ${r.getDouble(2)}")
     assert(r.getDouble(3) == 0.9, s"r2 ${r.getDouble(3)}")
   }
+
+  test("t19: hand-computed drift — the minority disjoint-vocab source pays the bits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: 'a'×100; B: 'b'×10 (disjoint vocab). Corpus: n=110, v=2 →
+    // bitlen(112)=7. A: ns=100,vs=1 → bitlen(101)=7; cg(a)=100 →
+    // cross_b = 7-bitlen(101)=0, self_b = 7-7=0 → drift 0.
+    // B: ns=10,vs=1 → bitlen(11)=4; cg(b)=10 → cross_b = 7-4=3,
+    // self_b = 4-4=0 → drift_bits = 10·3 = 30, 3.0/token.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Seq((1L, Seq.fill(100)("a").mkString(" "), "en", "sa"),
+        (2L, Seq.fill(10)("b").mkString(" "), "en", "sb"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("t19_source_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(rows == List(
+      ("sa", 100L, 0L, 0L, 0L, 0.0),
+      ("sb", 10L, 30L, 0L, 30L, 3.0)), s"got $rows")
+  }
 }
