@@ -285,6 +285,44 @@ object Curation {
     // the 5-gram report carries.
     "c17_contamination_13g" -> (contaminationReport(_, _, 13)),
 
+    // Deterministic EPOCH SHUFFLE — the loader-prep reshuffle between
+    // training epochs (c05 packs shards, c14 packs sequences; this is
+    // the step that reorders the corpus per epoch without materializing
+    // a permutation): each doc's epoch-e position is the 60-bit integer
+    // of md5("c18:<e>:<doc_id>") — a content-stable pseudo-random key,
+    // so the order is reproducible, epochs decorrelate (fresh salt), and
+    // NO global rank/sort is ever computed: the shard is key mod 8 and
+    // the within-shard order IS the key. Census per (epoch, shard):
+    // docs, tokens, the lead (min-key) doc, and for epoch 1 how many
+    // docs stayed in their epoch-0 shard (the stickiness a broken salt
+    // would push to 100%). Scale shape: one narrow scan computes both
+    // epochs' keys per doc; the census exchanges per-(epoch, shard)
+    // integer partials; lead doc is a map-side min_by.
+    "c18_epoch_shuffle" -> { (s, d) =>
+      import s.implicits._
+      def key(e: Int) = conv(substring(md5(concat(lit(s"c18:$e:"),
+        $"doc_id".cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+      val keyed = Tables.documents(s, d)
+        .select($"doc_id",
+          size(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("tk"),
+          key(0).as("k0"), key(1).as("k1"))
+        .select($"doc_id", $"tk", ($"k0" % 8).as("s0"), ($"k1" % 8).as("s1"),
+          $"k0", $"k1")
+      keyed
+        .select($"doc_id", $"tk", explode(array(
+          struct(lit(0L).as("epoch"), $"s0".as("shard"), $"k0".as("k"),
+            lit(false).as("sticky")),
+          struct(lit(1L).as("epoch"), $"s1".as("shard"), $"k1".as("k"),
+            ($"s0" === $"s1").as("sticky")))).as("x"))
+        .select($"doc_id", $"tk", $"x.epoch".as("epoch"), $"x.shard".as("shard"),
+          $"x.k".as("k"), $"x.sticky".as("sticky"))
+        .groupBy($"epoch", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"),
+          min_by($"doc_id", struct($"k", $"doc_id")).as("lead_doc"),
+          sum(when($"sticky", 1L).otherwise(0L)).as("n_sticky"))
+        .orderBy($"epoch", $"shard")
+    },
+
     // Data mixing with a token budget: derive per-source sampling rates
     // from corpus statistics (equal token share per source within a 50%
     // global budget, capped at 1), then apply them with a SALTED hash
@@ -665,6 +703,25 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    // same md5 epoch keys; lead doc via rank over (k, doc_id)
+    "c18_epoch_shuffle" ->
+      raw"""WITH k AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk,
+           |    ('0x' || substr(md5('c18:0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k0,
+           |    ('0x' || substr(md5('c18:1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k1
+           |  FROM documents),
+           |x AS (SELECT doc_id, tk, 0 AS epoch, k0 % 8 AS shard, k0 AS kk, false AS sticky FROM k
+           |  UNION ALL
+           |  SELECT doc_id, tk, 1 AS epoch, k1 % 8 AS shard, k1 AS kk,
+           |    (k0 % 8 = k1 % 8) AS sticky FROM k),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch, shard
+           |    ORDER BY kk, doc_id) AS rn FROM x)
+           |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+           |  COUNT(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+           |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS lead_doc,
+           |  CAST(SUM(CASE WHEN sticky THEN 1 ELSE 0 END) AS BIGINT) AS n_sticky
+           |FROM r GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
     "c09_corpus_build" -> {
       val hits = Seq("en", "de", "es", "fr").map(l =>
         s"CAST(len(list_filter(w, x -> x IN (${TextAnalysis.sqlList(TextAnalysis.Stop(l))}))) AS INTEGER) AS ${l}_hits")

@@ -272,4 +272,28 @@ class CurationSpec extends SparkSuite {
     // blob 2: 2 bytes -> 1 frame ('x')
     assert(got(1) == ((2L, 1, 'x'.toInt, 'x'.toInt, 'x'.toLong)))
   }
+
+  test("c18: each epoch partitions the corpus; epochs decorrelate; epoch 0 never sticky") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Curation.queries("c18_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = graft.core.Tables.documents(spark, sf).count()
+    (0L to 1L).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._2).sorted.toSeq == (0L to 7L), s"epoch $e shards")
+      assert(ep.map(_._3).sum == n, s"epoch $e must partition the corpus")
+    }
+    // epoch 0 has no previous epoch — sticky is identically 0
+    assert(rows.filter(_._1 == 0L).forall(_._6 == 0L))
+    // fresh salt: stickiness is the ~1/8 random-agreement rate, nowhere
+    // near a broken-salt 100% (allow wide slack: under half the docs)
+    val sticky = rows.filter(_._1 == 1L).map(_._6).sum
+    assert(sticky > 0 && sticky < n / 2, s"sticky $sticky of $n")
+    // the within-shard leaders reshuffle between epochs (decorrelation
+    // smoke: at least one of the 8 leads changes)
+    val lead0 = rows.filter(_._1 == 0L).sortBy(_._2).map(_._5).toSeq
+    val lead1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._5).toSeq
+    assert(lead0 != lead1, "epoch leads identical — salt not applied")
+  }
 }
