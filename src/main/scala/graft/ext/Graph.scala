@@ -35,15 +35,24 @@ object Graph {
 
   private val Scale = 1000000L
 
+  /** Distinct (customer, supplier) relationships — the graph's raw
+    * bipartite edge set, shared by the node-encoded PageRank edges and
+    * the co-occurrence projection. */
+  private def custSupp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
+      .distinct()
+  }
+
   /** Undirected bipartite edge list, both directions: node id = 2·custkey
     * for customers, 2·suppkey+1 for suppliers (disjoint id spaces). */
   private def edges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ed0 = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
+    val ed0 = custSupp(s, d)
+      .select(($"c" * 2).as("c"), ($"sp" * 2 + 1).as("s"))
     ed0.select($"c".as("u"), $"s".as("v"))
       .union(ed0.select($"s".as("u"), $"c".as("v")))
   }
@@ -69,6 +78,45 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("sum_deg"),
           min($"deg").as("min_deg"), max($"deg").as("max_deg"))
         .orderBy($"kind", $"bucket")
+    },
+
+    // Co-occurrence / market-basket analysis — the bipartite PROJECTION:
+    // top-20 supplier pairs by distinct shared customers, with the lift
+    // (observed co-occurrence over the independence expectation). The
+    // association-mining workload every commerce warehouse runs. Scale
+    // shape: pairs are generated per customer from the REDUCED distinct
+    // (customer, supplier) table, so the fan-out is Σ basket(c)² — the
+    // inherent a-priori candidate cost, bounded by basket width (67 max
+    // here), never |customers|²; pair counts are map-side-combinable
+    // partials over a key space capped at |suppliers|² (dimension-sized
+    // at any corpus scale, which also makes the final rank window safe);
+    // per-supplier counts broadcast back onto that reduced pair table.
+    // Lift = shared·n_cust / (cnt_a·cnt_b): exact integers until one
+    // identical double division, rounded to 6 dp.
+    "g03_cooccurrence" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cs = custSupp(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sc = cs.groupBy($"sp").agg(count(lit(1)).as("cnt"))
+      val n = cs.agg(countDistinct($"c").as("nc"))
+      val p = cs.as("a").join(cs.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+      p.join(broadcast(sc.withColumnRenamed("sp", "sa")
+            .withColumnRenamed("cnt", "ca")), "sa")
+        .join(broadcast(sc.withColumnRenamed("sp", "sb")
+            .withColumnRenamed("cnt", "cb")), "sb")
+        .crossJoin(broadcast(n))
+        .select($"sa", $"sb", $"shared",
+          round(($"shared".cast("double") * $"nc") / ($"ca" * $"cb"), 6)
+            .as("lift"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"shared".desc, $"sa", $"sb")))
+        .filter($"rank" <= 20)
+        .select($"rank", $"sa", $"sb", $"shared", $"lift")
+        .orderBy($"rank")
     },
 
     // Fixed-point integer PageRank, 3 rounds, over the undirected
@@ -127,6 +175,22 @@ object Graph {
         |deg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u)""".stripMargin
 
     Map(
+      // identical double expression order: (shared_as_double · nc) /
+      // (exact integer product), rounded 6 dp
+      "g03_cooccurrence" ->
+        raw"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |sc AS (SELECT sp, COUNT(*) AS cnt FROM cs GROUP BY sp),
+             |n AS (SELECT COUNT(DISTINCT c) AS nc FROM cs),
+             |p AS (SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS shared
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |r AS (SELECT sa, sb, shared,
+             |    round(CAST(shared AS DOUBLE) * nc / (x.cnt * y.cnt), 6) AS lift,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY shared DESC, sa, sb) AS INTEGER) AS rank
+             |  FROM p JOIN sc x ON sa = x.sp JOIN sc y ON sb = y.sp CROSS JOIN n)
+             |SELECT rank, sa, sb, CAST(shared AS BIGINT) AS shared, lift
+             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
       "g02_degree_census" ->
         raw"""WITH $edgeCtes
              |SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,

@@ -29,6 +29,23 @@ class GraphSpec extends SparkSuite {
       == ((1, 1L, 2L, 1741625L)), s"got $r")
   }
 
+  test("g03: hand-computed co-occurrence — shared counts and independence lift") {
+    // customers 1,2 buy {A,B}; customer 3 buys {A,C}. Pairs: (A,B)
+    // shared=2, (A,C) shared=1; nc=3, cnt A=3 B=2 C=1.
+    // lift(A,B) = 2*3/(3*2) = 1.0; lift(A,C) = 1*3/(3*1) = 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-g03").toString
+    Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Graph.queries("g03_cooccurrence")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList
+    assert(rows == List((1, 1L, 2L, 2L, 1.0), (2, 1L, 3L, 1L, 1.0)),
+      s"got $rows")
+  }
+
   test("g02: degree census partitions nodes; sum_deg doubles the edge count") {
     val sf = "/root/testdata/sf0.001"
     val rows = Graph.queries("g02_degree_census")(spark, sf).collect()
