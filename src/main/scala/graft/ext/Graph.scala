@@ -139,6 +139,15 @@ object Graph {
       val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var sc = deg.select($"u", lit(Scale).as("sc"), $"deg")
+      // Iterative-loop cache hygiene: each round is materialized EAGERLY
+      // (the convergence-check action an iterate-to-convergence loop
+      // performs anyway), after which round n-1's frame — now superseded,
+      // its data folded into round n — is released. Without this, a long
+      // session accumulates one dead node-sized cached frame per round.
+      // deg and ed stay persisted: both are re-read every round (real
+      // reuse), and ed's layout is shared with g02/g03 in a Bench
+      // session; Spark's LRU block eviction handles their end-of-life.
+      var prev: DataFrame = null
       for (_ <- 1 to 3) {
         val contrib = ed.join(sc, "u")
           .groupBy($"v").agg(sum(expr("sc DIV deg")).as("m"))
@@ -147,6 +156,9 @@ object Graph {
           .join(deg, "u")
           .select($"u", $"sc", $"deg")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sc.count()
+        if (prev != null) prev.unpersist(false)
+        prev = sc
       }
       val suppliers = sc.filter($"u" % 2 === 1)
         .select(expr("(u - 1) DIV 2").as("s_suppkey"), $"deg".as("n_partners"),

@@ -33,6 +33,8 @@ object RangeJoin {
     * inclusive) contain `pointCol`. All three columns must be numeric on
     * one shared axis (e.g. epoch minutes). Emits all columns of both
     * inputs; the internal bin column is dropped. */
+  private val binSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
@@ -41,13 +43,23 @@ object RangeJoin {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val ip = intervals.withColumn("__bin", explode(sequence(
+    // a same-named column on the intervals side would make the output's
+    // pointCol ambiguous to downstream name-based resolution — reject
+    // loudly rather than emit a frame with duplicate names
+    require(!intervals.columns.contains(pointCol),
+      s"intervals side must not carry the point column '$pointCol'")
+    // uniquified temp name: withColumn REPLACES an existing column, so a
+    // fixed "__bin" would silently clobber user data on either input
+    val bin = s"__graft_bin_${binSeq.incrementAndGet()}"
+    require(!points.columns.contains(bin) && !intervals.columns.contains(bin),
+      s"internal bin column '$bin' collides with an input column")
+    val ip = intervals.withColumn(bin, explode(sequence(
       floor(col(loCol) / binWidth).cast("long"),
       floor(col(hiCol) / binWidth).cast("long"))))
-    val pp = points.withColumn("__bin",
+    val pp = points.withColumn(bin,
       floor(col(pointCol) / binWidth).cast("long"))
-    pp.join(ip, pp("__bin") === ip("__bin")
+    pp.join(ip, pp(bin) === ip(bin)
         && pp(pointCol) >= ip(loCol) && pp(pointCol) <= ip(hiCol))
-      .drop("__bin")
+      .drop(bin)
   }
 }
