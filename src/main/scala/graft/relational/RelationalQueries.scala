@@ -565,8 +565,12 @@ object RelationalQueries {
     },
 
     // Exact percentiles (linear interpolation — identical formula in both
-    // engines over identical doubles). At 100 TB you'd use approx_percentile
-    // (mergeable sketch); the exact form is the correctness baseline.
+    // engines over identical doubles). DELIBERATE small-data baseline:
+    // `percentile()` buffers every group value (non-mergeable). At 100 TB
+    // use approx_percentile (mergeable sketch) — or, for an EXACT median
+    // at scale, q48's count-based rank selection over a cents histogram,
+    // which is the scale-true exact form (map-side-combinable partials,
+    // spillable rank scan, no per-group buffer).
     "q35_percentiles" -> { (s, d) =>
       import s.implicits._
       Tables.orders(s, d)
@@ -860,29 +864,65 @@ object RelationalQueries {
     // oracle-gating pattern applied to approx_percentile (Greenwald-
     // Khanna): the sketch's estimate is engine-specific, so the OUTPUT
     // carries only oracle-expressible columns (group size, the exact
-    // median — q35's proven interpolation parity — and a boolean rank
-    // verdict the oracle emits as literal true). The verdict re-ranks
-    // the estimate against the data: #values ≤ estimate must sit within
-    // 1% of n of the true median rank (GK at accuracy 10000 guarantees
-    // 0.01% — two orders of margin, so the verdict is partition-order-
-    // proof while a degraded sketch still trips it LOUDLY). Integer
-    // cross-product comparison — no doubles in the gate. Scale shape:
-    // the sketch is the 100 TB path (mergeable, bounded memory — what
-    // q35's exact percentile is NOT); pass 2 broadcasts the 3-row group
-    // stats back onto the scan (q19's agg-join shape).
+    // median, and a boolean rank verdict the oracle emits as literal
+    // true).
+    //
+    // p50_exact is computed by COUNT-BASED RANK SELECTION over a cents
+    // histogram, not `percentile()`: the exact-percentile aggregate
+    // buffers every group value (non-mergeable — the one memory-unbounded
+    // shape in the catalog until round 12), whereas groupBy(rf, cents)
+    // + count is fully map-side-combinable and the per-group state after
+    // the exchange is one row per DISTINCT price — domain-bounded, and
+    // the rank scan over it is a spillable sort, not an in-memory buffer.
+    // Prices are exact 2-dp decimals, so cents are exact longs; the
+    // median's two middle elements v1/v2 (ranks ⌈n/2⌉ and ⌈(n+1)/2⌉) come
+    // from a cumulative-count window, and (v1+v2)/200.0 — one double
+    // division of identical integers — reproduces interpolated
+    // quantile_cont(0.5) bitwise in both engines. q35 keeps the buffered
+    // exact form as the small-data baseline; THIS is the scale-true
+    // exact median.
+    //
+    // The verdict re-ranks the estimate against the data using its RANK
+    // INTERVAL: the estimate (an element GK returns from the data)
+    // occupies ranks (cnt_lt, cnt_le]; the sketch guarantee is that SOME
+    // rank of that element is within eps*n of n/2, so the gate checks the
+    // interval INTERSECTS the 1%-of-n band (GK at accuracy 10000
+    // guarantees 0.01% — two orders of margin). Interval-vs-band — not
+    // |cnt_le - n/2| — so a heavy tie run AT the median (which
+    // legitimately inflates cnt_le) cannot flip the verdict on valid
+    // data, while a degraded sketch still trips it LOUDLY. Integer
+    // cross-product comparison — no doubles in the gate.
     "q48_sketch_quantile" -> { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d)
+      // pass 1 (mergeable sketch): group size + GK estimate
       val g = li.groupBy($"l_returnflag".as("rf"))
         .agg(count(lit(1)).as("n"),
-          percentile($"l_extendedprice", lit(0.5)).as("p50_exact"),
           approx_percentile($"l_extendedprice", lit(0.5), lit(10000)).as("est"))
-      li.join(broadcast(g), $"l_returnflag" === $"rf")
-        .groupBy($"rf", $"n", $"p50_exact", $"est")
-        .agg(sum(when($"l_extendedprice" <= $"est", 1L).otherwise(0L))
-          .as("cnt_le"))
-        .select($"rf".as("l_returnflag"), $"n", $"p50_exact",
-          (abs($"cnt_le" * 2L - $"n") * 100L <= ($"n" + lit(100L)) * 2L)
+      // pass 2 (mergeable histogram): exact median by rank selection
+      val hist = li
+        .groupBy($"l_returnflag".as("rf"),
+          (dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist.select($"rf", $"cents", $"cnt",
+        sum($"cnt").over(Window.partitionBy($"rf").orderBy($"cents")).as("cum"),
+        sum($"cnt").over(Window.partitionBy($"rf")).as("nn"))
+      val med = cum.groupBy($"rf")
+        .agg(min(when($"cum" >= expr("(nn + 1) DIV 2"), $"cents")).as("v1"),
+          min(when($"cum" >= expr("(nn + 2) DIV 2"), $"cents")).as("v2"))
+      // pass 3: the estimate's rank interval, vs the raw scan (q19's
+      // broadcast agg-join shape)
+      val verdict = li.join(broadcast(g), $"l_returnflag" === $"rf")
+        .groupBy($"rf", $"n")
+        .agg(
+          sum(when($"l_extendedprice" < $"est", 1L).otherwise(0L)).as("cnt_lt"),
+          sum(when($"l_extendedprice" <= $"est", 1L).otherwise(0L)).as("cnt_le"))
+      verdict.join(broadcast(med), "rf")
+        .select($"rf".as("l_returnflag"), $"n",
+          (($"v1" + $"v2").cast("double") / 200.0).as("p50_exact"),
+          ((lit(100L) * (($"cnt_lt" + 1L) * 2L - $"n") <= ($"n" + 100L) * 2L)
+            && (lit(100L) * ($"n" - $"cnt_le" * 2L) <= ($"n" + 100L) * 2L))
             .as("sketch_ok"))
         .orderBy($"l_returnflag")
     },
@@ -1448,14 +1488,28 @@ object RelationalQueries {
            |  ${sDSum(sDec2("value"))} AS total_value
            |FROM j GROUP BY s_mi, e_mi, n_hot ORDER BY window_start""".stripMargin,
 
-    // the oracle emits the exact median (quantile_cont == Spark's
-    // percentile interpolation, proven by q35) and literal true for the
-    // rank verdict — a degraded sketch flips the boolean and the hash
+    // the oracle replays the SAME cents-histogram rank selection (exact
+    // integers until the one final double division — bitwise parity by
+    // construction) and emits literal true for the rank verdict — a
+    // degraded sketch flips the boolean and the hash
     "q48_sketch_quantile" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-        |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
-        |  true AS sketch_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""WITH h AS (SELECT l_returnflag AS rf,
+         |    CAST(${sDec2("l_extendedprice")} * 100 AS BIGINT) AS cents,
+         |    COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (SELECT rf, cents,
+         |    SUM(cnt) OVER (PARTITION BY rf ORDER BY cents) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY rf) AS nn
+         |  FROM h),
+         |m AS (SELECT rf,
+         |    MIN(CASE WHEN cum >= (nn + 1) // 2 THEN cents END) AS v1,
+         |    MIN(CASE WHEN cum >= (nn + 2) // 2 THEN cents END) AS v2,
+         |    MIN(nn) AS n
+         |  FROM c GROUP BY rf)
+         |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+         |  CAST(v1 + v2 AS DOUBLE) / 200.0 AS p50_exact,
+         |  true AS sketch_ok
+         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // NULLS FIRST pinned explicitly — DuckDB's ASC default is NULLS
     // LAST, Spark's is NULLS FIRST; everything else (NULL groups,

@@ -37,6 +37,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<event_type:string,value:double,props:string>"))
   }
 
+  test("q48: no buffered exact-percentile aggregate anywhere in the plan") {
+    // the exact median must come from the mergeable cents-histogram rank
+    // selection — `percentile()` buffers every group value and is the one
+    // memory-unbounded aggregate shape banned from the scale path (q35 is
+    // the labeled small-data baseline; q48 is the scale-true form)
+    val p = plan("q48_sketch_quantile")
+    val exactPercentiles =
+      "percentile\\(".r.findAllIn(p).size - "approx_percentile\\(".r.findAllIn(p).size
+    assert(exactPercentiles == 0,
+      s"q48 plan contains $exactPercentiles buffered percentile() aggregate(s)")
+    assert(p.contains("approx_percentile"), "the GK sketch arm must remain")
+  }
+
   test("d03: LSH candidate generation is an equi-join (no cartesian/BNLJ)") {
     val p = plan("d03_dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
@@ -489,8 +502,8 @@ class PlanShapeSpec extends SparkSuite {
     // the interval containment join must meet on the bin id (hash or
     // sort-merge — Catalyst's choice), with BETWEEN as a residual
     assert((p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-        || p.contains("ShuffledHashJoin")) && p.contains("__bin"),
-      "the point-in-interval join must be an equi-join on __bin")
+        || p.contains("ShuffledHashJoin")) && p.contains("__graft_bin_"),
+      "the point-in-interval join must be an equi-join on the bin column")
     // the ONLY nested loop allowed is the documented one-row global-stats
     // broadcast (hot-minute threshold), never the interval join itself.
     // Formatted mode prints each operator in the tree AND as a "(n) Op"
