@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -38,12 +38,14 @@ final case class AudioFrameStats(
   * work inside, declarative plan outside.
   *
   * ==CODECS==
-  * One REAL pure-JVM codec is wired in: binary PGM (P5) via [[Pgm]] — a
-  * blob that parses as PGM is decoded to its raster and featured/resized
-  * from real pixels (`decode`/`resize` dispatch on a strict parse). No
-  * other image/audio codecs exist in this container, so every other
-  * format falls through to **deterministic fakes** over the raw bytes
-  * (clearly marked below). The Spark-side plumbing — schema, typed
+  * Two REAL pure-JVM image codecs are wired in: binary PGM (P5) via
+  * [[Pgm]] and 8-bit paletted uncompressed BMP via [[Bmp]] — a blob that
+  * strictly parses as either is decoded to its raster and featured/
+  * resized from real pixels (`decode`/`resize` dispatch on the strict
+  * parses, PGM first). The audio arm has the strict AU-style container
+  * ([[parseAu]]). No richer codecs (JPEG/PNG/WAV) exist in this
+  * container, so every other format falls through to **deterministic
+  * fakes** over the raw bytes (clearly marked below). The Spark-side plumbing — schema, typed
   * Encoders, partitioning, batch shape, feature extraction through
   * `mapPartitions` — is real and tested; in production the dispatch
   * grows JPEG/PNG/audio arms in place of the stub fallback.
@@ -72,10 +74,11 @@ object Multimodal {
     * what makes the dispatch safe on the harness corpus: text blobs
     * cannot satisfy it, so the m01/m03/m04 oracles (stub features over
     * text) are untouched. */
-  def decode(bytes: Array[Byte]): Array[Long] = Pgm.parse(bytes) match {
-    case Some(img) => decodeStub(img.pixels)
-    case None => decodeStub(bytes)
-  }
+  def decode(bytes: Array[Byte]): Array[Long] =
+    Pgm.parse(bytes).orElse(Bmp.parse(bytes)) match {
+      case Some(img) => decodeStub(img.pixels)
+      case None => decodeStub(bytes)
+    }
 
   /** STUB resize: keep every byte whose index maps into the target "area"
     * (a real implementation decodes + bilinear-resamples). */
@@ -90,7 +93,7 @@ object Multimodal {
     * prefix-truncation stub, so harness text rows (and the m02 oracle)
     * behave exactly as before. */
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    Pgm.parse(bytes) match {
+    Pgm.parse(bytes).orElse(Bmp.parse(bytes)) match {
       case Some(img) => Pgm.resizeNearest(img, w, h).pixels
       case None => resizeStub(bytes, w, h)
     }
@@ -283,13 +286,18 @@ object Multimodal {
     // This is what upgrades the codec from spec-tested to oracle-gated.
     "m05_pgm_decode" -> { (s, d) =>
       import s.implicits._
-      val h = least(floor(length($"text") / 16), lit(8)).cast("int")
+      // dims and payload slice are derived from the BYTE length of the
+      // UTF-8 payload, not the character count — the two only coincide on
+      // ASCII (the harness corpus invariant SchemaCanarySpec pins), and a
+      // codec header must describe octets
+      val bin = $"text".cast("binary")
+      val h = least(floor(length(bin) / 16), lit(8)).cast("int")
       val media = Tables.documents(s, d)
-        .filter(length($"text") >= 16)
+        .filter(length(bin) >= 16)
         .select($"doc_id".as("media_id"), $"source".as("kind"),
           concat(
             concat(lit("P5\n16 "), h.cast("string"), lit("\n255\n")).cast("binary"),
-            $"text".substr(lit(1), h * 16).cast("binary")).as("content"))
+            bin.substr(lit(1), h * 16)).as("content"))
       extractFeatures(s, media).orderBy($"media_id")
     },
 
@@ -306,13 +314,79 @@ object Multimodal {
     // dies in the batch that decoded it.
     "m06_audio_frames" -> { (s, d) =>
       import s.implicits._
+      // header length = BYTE length of the UTF-8 payload (length over the
+      // binary cast), not the character count: on non-ASCII text a
+      // char-count header under-reports the payload and the strict parse
+      // rejects the blob (SchemaCanarySpec pins the corpus ASCII
+      // invariant, but the codec must be correct for any input)
+      val bin = $"text".cast("binary")
       val media = Tables.documents(s, d)
         .select($"doc_id".as("media_id"), $"source".as("kind"),
           concat(
-            concat(lit("AU\n"), length($"text").cast("string"), lit("\n"))
+            concat(lit("AU\n"), length(bin).cast("string"), lit("\n"))
               .cast("binary"),
-            $"text".cast("binary")).as("content"))
+            bin).as("content"))
       frameAudio(s, media).orderBy($"media_id")
+    },
+
+    // The SECOND real-codec arm (r11 ask #5): each document's text bytes
+    // are packed into a genuine 8-bit paletted uncompressed BMP —
+    // little-endian header words built with hex/lpad/unhex byte surgery,
+    // a 256-entry gray BGRA palette literal, and the raster laid out
+    // BOTTOM-UP with width 15 so every row carries a real stride-padding
+    // byte — then decoded by [[Bmp.parse]] inside the same mapPartitions
+    // batch as m01/m05. Width 15 (not 16) is deliberate: it forces the
+    // 4-byte row-stride padding logic to run on every row, so a parser
+    // that mis-handles stride or the bottom-up flip contaminates the
+    // pixel sums and the oracle — which computes expected sums straight
+    // from the text — hash-mismatches loudly. Features must come from
+    // the parsed raster (palette-resolved, re-flipped to top-down), so
+    // the oracle's char order only matches if ALL of LE fields, palette
+    // indirection, stride and row order decode correctly.
+    "m07_bmp_decode" -> { (s, d) =>
+      import s.implicits._
+      val W = 15
+      // little-endian u32/u16 from an int column: big-endian hex, byte
+      // pairs reversed, unhex'd back to binary — pure codegen'd string ops
+      def le32(x: Column): Column = {
+        val hx = lpad(hex(x), 8, "0")
+        unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      def le16(x: Column): Column = {
+        val hx = lpad(hex(x), 4, "0")
+        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      val bin = $"text".cast("binary")
+      val h = least(floor(length(bin) / W), lit(8)).cast("int")
+      val palette = lit((0 until 256)
+        .flatMap(i => Seq(i, i, i, 0)).map(_.toByte).toArray)
+      val pad = lit(Array[Byte](0))
+      val rows = (0 until 8).map { k =>
+        // stored row k = image row h-1-k (bottom-up), 15 payload bytes
+        // + 1 stride-padding byte
+        when(lit(k) < h,
+          concat(bin.substr((h - lit(1 + k)) * W + 1, lit(W)), pad))
+          .otherwise(lit(Array.empty[Byte]))
+      }
+      val header = concat(
+        lit("BM").cast("binary"),
+        le32(lit(14 + 40 + 1024) + h * 16), // file size
+        le32(lit(0)),                       // reserved
+        le32(lit(1078)),                    // pixel-data offset
+        le32(lit(40)),                      // BITMAPINFOHEADER size
+        le32(lit(W)),                       // width
+        le32(h),                            // height > 0: bottom-up
+        le16(lit(1)), le16(lit(8)),         // planes, bits-per-pixel
+        le32(lit(0)),                       // BI_RGB
+        le32(h * 16),                       // image size (stride 16)
+        le32(lit(2835)), le32(lit(2835)),   // 72 dpi in px/metre
+        le32(lit(256)), le32(lit(0)))       // clrUsed, clrImportant
+      val media = Tables.documents(s, d)
+        .filter(length(bin) >= W)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          concat((header +: palette +: rows): _*).as("content"))
+      extractFeatures(s, media).orderBy($"media_id")
     },
 
     "m03_media_phash_dedup" -> { (s, d) =>
@@ -411,6 +485,23 @@ object Multimodal {
            |  FROM documents WHERE length(text) >= 16)
            |SELECT media_id, kind,
            |  CAST(12 + 16*h AS BIGINT) AS n_bytes,
+           |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // the oracle computes expected pixel sums straight from the text
+    // (decoded raster = first 15·h chars in ORIGINAL order — the parser
+    // undoes the bottom-up storage); n_bytes = 1078-byte header+palette
+    // + h padded 16-byte rows. Only a fully-correct LE/palette/stride/
+    // row-order decode reproduces these sums.
+    "m07_bmp_decode" -> {
+      def f(j: Int) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS f$j"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CAST(1078 + 16*h AS BIGINT) AS n_bytes,
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
            |FROM t ORDER BY media_id""".stripMargin
     },

@@ -73,6 +73,26 @@ class SchemaCanarySpec extends SparkSuite {
     }
   }
 
+  test("canary: documents.text is pure ASCII (byte length == char length)") {
+    // The multimodal oracles (m01, m03–m07) compute expected features
+    // from CHARACTERS (`ord(substr(text, i, 1))`) while the engine
+    // features BYTES of the UTF-8 blob — equal only while the corpus is
+    // ASCII. A regeneration that introduces non-ASCII must fail HERE with
+    // one clear message, not as a scattered oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    // sf0.01 is checked too: it is the scale the driver's oracle gate
+    // actually runs at
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/documents.parquet").exists()) {
+      val bad = Tables.documents(spark, dir)
+        .filter(length(col("text").cast("binary")) =!= length(col("text")))
+        .count()
+      assert(bad === 0L,
+        s"$bad document(s) in $dir contain non-ASCII text — the corpus " +
+          "invariant the multimodal char-based oracles rely on has been broken")
+    }
+  }
+
   test("canary: Tables.events normalizes ts to TimestampType") {
     val dt = Tables.events(spark, sf).schema("ts").dataType
     assert(dt === TimestampType || dt === TimestampNTZType,
