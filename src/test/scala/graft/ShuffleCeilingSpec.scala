@@ -1,0 +1,110 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.GraftShims
+
+/** The engine's 100 TB argument, as a RED TEST.
+  *
+  * SCALE.md's measured shuffle table is what backs every "signatures move,
+  * text never does" claim — but a plan regression (a lost `broadcast()`
+  * hint, a join reorder that exchanges the corpus, a window that sorts the
+  * world) used to show up only if someone re-ran `ShuffleAudit` and
+  * re-read the doc. This spec executes the scale-critical queries at
+  * sf0.01 under the noop sink (the audit-honest action — `count()` lets
+  * Catalyst prune whole arms, see CLAUDE.md) with a task-metrics listener,
+  * and asserts a per-query ceiling on SHUFFLE WRITE BYTES (each exchanged
+  * byte counted once at its producer).
+  *
+  * Ceilings are 2× the values measured at spec-authoring time (round 12,
+  * sf0.01, the suite's local[4]/4-partition config — map-side combine only
+  * gets BETTER with more rows per partition, so the audit-config numbers
+  * are an upper bound), with a 64 KB floor for the effectively-zero
+  * queries: at sf0.01 even the small corpus is ~100s of KB, so any
+  * regression that starts exchanging corpus-sized data blows through the
+  * floor.
+  *
+  * Validated red (round 12): rewriting d01 to group on RAW TEXT instead
+  * of md5 fails its test (105.8 KB lz4-compressed vs the 88 KB ceiling).
+  * Caveat this validation surfaced: simply deleting a `broadcast()` hint
+  * on a genuinely small side (q19's 25-row stats, c03's eval set) does
+  * NOT trip at sf0.01 — Catalyst's auto-broadcast threshold rescues the
+  * plan, locally AND at scale for sides that stay under it. What this
+  * spec guards is the regression class that cannot be rescued: a plan
+  * that starts moving corpus-sized data (text in an exchange, a lost
+  * co-partitioning, an un-combined partial).
+  *
+  * A legitimate change that moves a ceiling (new testdata scale, an
+  * intentionally different plan) should re-run `graft.examples
+  * .ShuffleAudit` under `SPARK_GRAFT_SINK=noop` and update BOTH this table
+  * and SCALE.md — that pairing is the point.
+  */
+class ShuffleCeilingSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** query -> shuffle-write ceiling in KB (measured sf0.01 value ×2,
+    * floored at 64 KB). */
+  private val ceilingsKb: Seq[(String, Long)] = Seq(
+    // dedup: signatures + band keys exchange, never text. The d01 ceiling
+    // is the validated red case: grouping on raw text instead of md5
+    // measured 110 KB even lz4-compressed — over this ceiling.
+    "d01_dedup_exact" -> 88,           // measured 40 KB (16-byte md5 keys)
+    "d03_dedup_minhash_lsh" -> 64,     // ~0: signature index build only
+    "d11_dedup_simhash_blocks" -> 64,  // measured 20 KB (block keys)
+    "d19_minhash_wide" -> 64,          // ~0: 128 perms stay narrow
+    "d18_substring_spans" -> 960,      // measured 470 KB (window hashes)
+    "d20_boilerplate_removal" -> 320,  // measured 150 KB (hash partials)
+    // curation: eval shingles broadcast; gates fuse into the scan
+    "c03_decontaminate" -> 64,         // ~0: broadcast eval side
+    "c16_decontaminate_13g" -> 64,     // ~0: broadcast eval side
+    "c13_shard_materialize" -> 384,    // measured 180 KB (the inherent text move)
+    // text analysis: integer partials only
+    "t09_kmv_distinct" -> 1600,        // measured 790 KB (60-bit key distinct)
+    "t15_lm_bits" -> 96,               // measured 40 KB (bigram partials)
+    "t16_bm25_retrieval" -> 256,       // measured 120 KB (df + score partials)
+    // similarity: codebooks/queries broadcast, corpus never exchanges
+    "s02_ann_buckets" -> 64,           // ~0: bucket equi-join, queries broadcast
+    "s12_kmeans_lloyd3" -> 160,        // measured 70 KB (3 rounds of fixed-point partials)
+    "s13_ivfpq_search" -> 128,         // measured 60 KB (cell partials + ADC tables)
+    // graph: node/edge ids only
+    "g01_pagerank" -> 2900,            // measured 1.40 MB (edge build + 3 rounds)
+    "g03_cooccurrence" -> 416,         // measured 190 KB (one set-building exchange)
+    // relational: dimension broadcasts, two-phase aggs
+    "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
+    "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back
+    "q48_sketch_quantile" -> 2300)     // measured 1.12 MB (cents histogram + sketch)
+
+  private lazy val written = {
+    val w = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) w.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    w
+  }
+
+  private def shuffleWriteKb(name: String): Double = {
+    // isolate the query: cached frames from sibling tests would hide (or
+    // donate) exchanges; the noop sink keeps output-only plan arms alive
+    spark.sharedState.cacheManager.clearCache()
+    GraftShims.drainListeners(spark.sparkContext)
+    written.reset()
+    SparkEntry.queries(name)(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    GraftShims.drainListeners(spark.sparkContext)
+    written.sum / 1024.0
+  }
+
+  for ((name, kb) <- ceilingsKb) test(s"shuffle ceiling: $name <= $kb KB") {
+    val got = shuffleWriteKb(name)
+    assert(got <= kb,
+      f"$name shuffled $got%.1f KB (ceiling $kb KB) — a broadcast was " +
+        "lost or a join/window started exchanging the corpus; run " +
+        "graft.examples.ShuffleAudit (SPARK_GRAFT_SINK=noop) to localize, " +
+        "and update SCALE.md + this table only for an INTENTIONAL plan change")
+  }
+}
