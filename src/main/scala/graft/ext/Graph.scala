@@ -95,9 +95,10 @@ object Graph {
     // join with shared = |intersection| — zero further shuffle
     // (measured 4.4 MB total, 25× less — what remains is the one
     // set-building exchange of (supplier, customer) ids). At a scale where per-
-    // supplier customer sets outgrow arrays, the same plan swaps the
-    // array for a compressed bitmap sketch (the OLAP intersect-count
-    // standard); the pair matrix itself stays |suppliers|²-bounded.
+    // supplier customer sets outgrow arrays, g04 IS the documented swap:
+    // the same projection through 64-customer segment bitmaps (the OLAP
+    // intersect-count standard), row-bounded instead of array-bounded;
+    // the pair matrix itself stays |suppliers|²-bounded either way.
     // Lift = shared·n_cust / (cnt_a·cnt_b): exact integers until one
     // identical double division, rounded to 6 dp.
     "g03_cooccurrence" -> { (s, d) =>
@@ -118,6 +119,76 @@ object Graph {
           size(col("a.cs")).cast("long").as("ca"),
           size(col("b.cs")).cast("long").as("cb"))
         .filter($"shared" > 0)
+        .crossJoin(broadcast(n))
+        .select($"sa", $"sb", $"shared",
+          round(($"shared".cast("double") * $"nc") / ($"ca" * $"cb"), 6)
+            .as("lift"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"shared".desc, $"sa", $"sb")))
+        .filter($"rank" <= 20)
+        .select($"rank", $"sa", $"sb", $"shared", $"lift")
+        .orderBy($"rank")
+    },
+
+    // g03's documented growth path made real: the SAME co-occurrence
+    // projection through SEGMENT BITMAPS — the form that survives
+    // per-supplier customer sets outgrowing a collect_set array.
+    // Customers are bucketed into 1024-wide segments; per
+    // (supplier, segment) a row of 16 longs is built with bit_or
+    // partials (map-side-combinable — the exchange carries 16 words per
+    // supplier per touched segment per input partition, never id lists);
+    // supplier pairs meet per-segment on an EQUI-join and
+    // Σ bit_count(a.wk & b.wk) over the 16 unrolled word pairs (explicit
+    // codegen'd columns, not a HOF — the s12 lesson) is the exact
+    // intersection size. Everything is ROW-bounded: no row holds more
+    // than 16 words, so a supplier with 10^8 customers is ~100k bitmap
+    // rows, not one unbuildable array. Same output, same oracle as g03;
+    // GraphSpec proves the two queries row-identical at both SFs.
+    //
+    // Measured crossover (sf0.1, 1000 suppliers × 15k customers,
+    // uniform): the pair-join output is segments × pairs-present — with
+    // synthetic UNIFORM sets (~500 customers spread over every segment)
+    // every supplier touches every segment, so the join emits
+    // segments × |pairs| rows and the (sa,sb) partial agg barely
+    // combines against the 500k-pair key space (the same lesson g03's
+    // 113 MB naive-explode bake-off recorded). Word width is the lever:
+    // 64-customer single-long segments measured 99.5M join rows / 19.9 s;
+    // these 1024-customer 16-word rows cut that 13×/3.2× (same load).
+    // g03's array form stays the default while sets FIT (one codegen'd
+    // merge per pair, no segment fan-out); g04 is the shape you switch
+    // to when they don't — and on real (non-uniform, locality-clustered)
+    // data, pairs-present-per-segment is sparse and the join output
+    // approaches the information-theoretic floor.
+    // Skew note: the per-segment join hash-partitions on seg, and a
+    // segment caps at 1024 customers by construction — skew-proof.
+    "g04_cooccurrence_bitmap" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val words = 16
+      val cs = custSupp(s, d)
+      val bm = cs
+        .select($"sp", expr("c DIV 1024").as("seg"),
+          expr("CAST((c % 1024) DIV 64 AS INT)").as("sub"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(c % 64 AS INT))").as("m"))
+        .groupBy($"sp", $"seg")
+        .agg(
+          coalesce(expr("bit_or(CASE WHEN sub = 0 THEN m END)"), lit(0L)).as("w0"),
+          (1 until words).map(k =>
+            coalesce(expr(s"bit_or(CASE WHEN sub = $k THEN m END)"), lit(0L))
+              .as(s"w$k")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = cs.groupBy($"sp").agg(count(lit(1)).as("cnt"))
+      val n = cs.agg(countDistinct($"c").as("nc"))
+      val sharedExpr = (0 until words).map(k =>
+        bit_count(col(s"a.w$k").bitwiseAND(col(s"b.w$k"))).cast("long"))
+        .reduce(_ + _)
+      bm.as("a").join(bm.as("b"),
+          col("a.seg") === col("b.seg") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("sa"), col("b.sp").as("sb"))
+        .agg(sum(sharedExpr).as("shared"))
+        .filter($"shared" > 0)
+        .join(broadcast(cnt.select($"sp".as("sa"), $"cnt".as("ca"))), "sa")
+        .join(broadcast(cnt.select($"sp".as("sb"), $"cnt".as("cb"))), "sb")
         .crossJoin(broadcast(n))
         .select($"sa", $"sb", $"shared",
           round(($"shared".cast("double") * $"nc") / ($"ca" * $"cb"), 6)
@@ -212,6 +283,37 @@ object Graph {
              |  FROM p JOIN sc x ON sa = x.sp JOIN sc y ON sb = y.sp CROSS JOIN n)
              |SELECT rank, sa, sb, CAST(shared AS BIGINT) AS shared, lift
              |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      // the 16-word bitmap form replayed bit-for-bit: DuckDB's signed <<
+      // traps on bit 63, so the oracle shifts in UBIGINT — same 64-bit
+      // patterns as Spark's wrapping signed shiftleft, and only
+      // bit_count(a & b) (bit-pattern-invariant) ever reaches the output
+      "g04_cooccurrence_bitmap" -> {
+        val wordCols = (0 until 16).map(k =>
+          s"coalesce(bit_or(CASE WHEN (c % 1024) // 64 = $k THEN CAST(1 AS UBIGINT) << CAST(c % 64 AS INT) END), 0::UBIGINT) AS w$k")
+          .mkString(",\n             |    ")
+        // DuckDB bit_count returns INT8 (TINYINT) — 16 terms overflow at
+        // 127 without widening each to INTEGER first
+        val sharedSum = (0 until 16)
+          .map(k => s"CAST(bit_count(a.w$k & b.w$k) AS INTEGER)")
+          .mkString(" + ")
+        raw"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |bm AS (SELECT sp, c // 1024 AS seg,
+             |    $wordCols
+             |  FROM cs GROUP BY 1, 2),
+             |sc AS (SELECT sp, COUNT(*) AS cnt FROM cs GROUP BY sp),
+             |n AS (SELECT COUNT(DISTINCT c) AS nc FROM cs),
+             |p AS (SELECT a.sp AS sa, b.sp AS sb, SUM($sharedSum) AS shared
+             |  FROM bm a JOIN bm b ON a.seg = b.seg AND a.sp < b.sp GROUP BY 1, 2),
+             |r AS (SELECT sa, sb, shared,
+             |    round(CAST(shared AS DOUBLE) * nc / (x.cnt * y.cnt), 6) AS lift,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY shared DESC, sa, sb) AS INTEGER) AS rank
+             |  FROM p JOIN sc x ON sa = x.sp JOIN sc y ON sb = y.sp CROSS JOIN n
+             |  WHERE shared > 0)
+             |SELECT rank, sa, sb, CAST(shared AS BIGINT) AS shared, lift
+             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
 
       "g02_degree_census" ->
         raw"""WITH $edgeCtes

@@ -71,6 +71,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // graph: node/edge ids only
     "g01_pagerank" -> 2900,            // measured 1.40 MB (edge build + 3 rounds)
     "g03_cooccurrence" -> 416,         // measured 190 KB (one set-building exchange)
+    "g04_cooccurrence_bitmap" -> 1100, // measured 540 KB (segment bitmaps + pair partials)
     // relational: dimension broadcasts, two-phase aggs
     "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
     "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back

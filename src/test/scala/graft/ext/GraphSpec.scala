@@ -63,6 +63,21 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("g04 bitmap-segment intersection is row-identical to g03's sorted-set form") {
+    // the two forms are the SAME projection at different set-representation
+    // scale points: collect_set arrays (g03, faster while sets fit) vs
+    // 64-wide segment bitmaps (g04, row-bounded when sets outgrow arrays).
+    // Equality on real data at both harness SFs proves the bitmap
+    // arithmetic — segment keying, shift placement, bit_or partials,
+    // bit_count(a & b) summation — exactly reproduces set intersection.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = Graph.queries("g03_cooccurrence")(spark, sf).collect().toSeq
+      val b = Graph.queries("g04_cooccurrence_bitmap")(spark, sf).collect().toSeq
+      assert(a.nonEmpty, s"g03 returned no rows at $sf")
+      assert(a == b, s"g03 vs g04 mismatch at $sf")
+    }
+  }
+
   test("g01: score mass stays within the damping fixed-point envelope on real data") {
     val sf = "/root/testdata/sf0.001"
     val rows = Graph.queries("g01_pagerank")(spark, sf).collect()
