@@ -153,6 +153,149 @@ object Similarity {
           .as("adc"))
   }
 
+  // ---- IVF-PQ frozen-index components (s13's build, factored so the
+  // ---- streaming serving twin scores probes against the SAME definitions)
+
+  private def subv8(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
+
+  /** One-row coarse codebook over the 8 seed vectors: (cell, cv, cnrm,
+    * csn[8]) sorted by cell — s13's cb. */
+  private def ivfpqCoarseCb(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("cnrm"),
+        array((0 until 8).map(m =>
+          dot(subv8(col("v"), m), subv8(col("v"), m))): _*).as("csn"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("int").as("cell"), col("v").as("cv"),
+        col("cnrm"), col("csn")))).as("cb"))
+
+  /** Subspace codebook in s15's 8-row long form: (m, ents by cell asc);
+    * csn is the same in-order self-dot the oracle's norm expansion uses. */
+  private def ivfpqSubCb(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), subv8(col("v"), m).as("cv"))): _*)).as("a"))
+      .select(col("cell"), col("a.m").as("m"), col("a.cv").as("cv"))
+      .withColumn("csn", dot(col("cv"), col("cv")))
+      .groupBy(col("m"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv"), col("csn"))))
+        .as("ents"))
+
+  /** Coarse cell assignment: cosines as real columns, then best, then the
+    * argmax chain (s12's staging — multi-referenced non-trivial aliases
+    * live in their own projection so CollapseProject can't copy them). */
+  private def ivfpqAssign(e: DataFrame, cb: DataFrame): DataFrame = {
+    def cbe(i: Int): Column = element_at(col("cb"), i + 1)
+    val pc0 = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), col("cb"), dot(col("v"), col("v")).as("nrm"))
+    val ccCols = (0 until 8).map { i =>
+      cosineWithNorms(col("v"), cbe(i).getField("cv"), col("nrm"),
+        cbe(i).getField("cnrm")).as(s"cc$i")
+    }
+    val pc1 = pc0.select(Seq(col("vec_id"), col("v"), col("cb")) ++ ccCols: _*)
+    val ccs = (0 until 8).map(i => col(s"cc$i"))
+    val pc2 = pc1.select(
+      Seq(col("vec_id"), col("v"), col("cb"), greatest(ccs: _*).as("bc")) ++ ccs: _*)
+    // coalesce keeps the chain non-nullable (element_at is type-nullable
+    // even though i < 8 can never miss an 8-entry list) — same values,
+    // and no inferred isnotnull(chain) can be pushed into a join
+    val cellCol = coalesce((0 until 8).foldRight(lit(-1)) { (i, els) =>
+      when(ccs(i) === col("bc"), cbe(i).getField("cell")).otherwise(els)
+    }, lit(-1))
+    pc2.select(col("vec_id"), col("v"), cellCol.as("cell"))
+  }
+
+  /** PQ codes from the assigned corpus: per-(vec, m) argmin against the
+    * subspace codebook in the long narrow form (stays inside the 64 KB
+    * fused-codegen budget — the round-11 s13 rewrite), collapsed to one
+    * (vec_id, cell, code[8]) row map-side. Ties go to the lowest
+    * position = lowest cell (the sort order), the wide form's (and the
+    * oracle's) rule. */
+  private def ivfpqEncode(assigned: DataFrame, cbSub: DataFrame): DataFrame = {
+    val eSub = assigned.select(col("vec_id"), col("cell"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m).as("m"), subv8(col("v"), m).as("sv"))): _*)).as("a"))
+      .select(col("vec_id"), col("cell"), col("a.m").as("m"), col("a.sv").as("sv"))
+    val p0 = eSub.join(broadcast(cbSub), Seq("m"))
+      .withColumn("xsn", dot(col("sv"), col("sv")))
+    val dCols = (0 until 8).map { k =>
+      val ent = element_at(col("ents"), k + 1)
+      (col("xsn") - lit(2.0) * dot(col("sv"), ent.getField("cv"))
+        + ent.getField("csn")).as(s"d$k")
+    }
+    val p1 = p0.select(
+      Seq(col("vec_id"), col("cell"), col("m"), col("ents")) ++ dCols: _*)
+    val ds = (0 until 8).map(k => col(s"d$k"))
+    val p2 = p1.select(
+      Seq(col("vec_id"), col("cell"), col("m"), col("ents"),
+        least(ds: _*).as("bm")) ++ ds: _*)
+    val codeCol = (0 until 8).foldRight(lit(-1)) { (k, els) =>
+      when(ds(k) === col("bm"), element_at(col("ents"), k + 1).getField("cell"))
+        .otherwise(els)
+    }
+    p2.select(col("vec_id"), col("cell"), col("m"), codeCol.as("mc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).as("cell"),
+        transform(sort_array(collect_list(struct(col("m"), col("mc")))),
+          x => x.getField("mc")).as("code"))
+  }
+
+  /** The frozen IVF-PQ SERVING index: (coarse codebook, PQ-coded corpus)
+    * — the artifact a batch job materializes and a serving layer scores
+    * live probes against. Same definitions s13 executes, so batch and
+    * stream rankings cannot drift. */
+  def ivfpqFrozenIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = vectors(s, d)
+    val cb = ivfpqCoarseCb(e)
+    (cb, ivfpqEncode(ivfpqAssign(e, cb), ivfpqSubCb(e)))
+  }
+
+  /** Score a probe frame — batch OR stream — against the frozen index:
+    * rank the 8 coarse cells per probe, visit the top 4 (s13's
+    * multiprobe width), ADC-score the candidates in those cells, return
+    * each query's top-5 neighbors as an ordered (adc, vec_id) array.
+    *
+    * STREAMING-SAFE by construction, which dictates two shapes: per-query
+    * top-k is a `sort_array`+`slice` over a collected candidate list (a
+    * ranking window is unsupported on streams — and with a handful of
+    * live probes per micro-batch the collected list is the candidate set
+    * of ONE query, not a corpus structure); the cell ranking is an
+    * in-array sort per probe row (8 entries — the serving side is where
+    * s13 already accepts interpreted HOFs, it touches probes, never the
+    * corpus). The corpus-side joins stay stream-static equi-joins against
+    * the frozen `enc`; `cb` rides in as a one-row broadcast. */
+  def ivfpqServeTop5(cb: DataFrame, enc: DataFrame, probes: DataFrame): DataFrame = {
+    val qs = probes.crossJoin(broadcast(cb))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val scored = qs.withColumn("pcells",
+      slice(transform(sort_array(transform(col("cb"), ce =>
+        struct((lit(0.0) - cosineWithNorms(col("v"), ce.getField("cv"),
+          col("nrm"), ce.getField("cnrm"))).as("negc"),
+          ce.getField("cell").as("cell")))),
+        x => x.getField("cell")), 1, 4))
+    val tqf = scored.withColumn("tq",
+      flatten(transform(sequence(lit(0), lit(7)), m =>
+        transform(sequence(lit(0), lit(7)), c => {
+          val xm = slice(col("v"), m * lit(8) + lit(1), lit(8))
+          val ce = element_at(col("cb"), c + 1)
+          val cm = slice(ce.getField("cv"), m * lit(8) + lit(1), lit(8))
+          dot(xm, xm) - lit(2.0) * dot(xm, cm) +
+            element_at(ce.getField("csn"), m + 1)
+        }))))
+      .select(col("query_id"), explode(col("pcells")).as("probe"), col("tq"))
+    enc.join(tqf,
+        col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(7)), lit(0.0),
+          (acc, m) => acc +
+            element_at(col("tq"), m * 8 + element_at(col("code"), m + 1) + 1))
+          .as("adc"))
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(struct(col("adc"), col("vec_id")))),
+        1, 5).as("top5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-10 for queries vec_id < 5. Ranking uses
     // the two-phase salted top-k: with only 5 query keys, a naive window
@@ -1065,78 +1208,16 @@ object Similarity {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d)
-      def subv(v: Column, m: Int): Column = slice(v, m * 8 + 1, 8)
-      // one-row coarse codebook: full vectors + norms (coarse stage and
-      // the query side's probe ranking / ADC tables)
-      val cb = e.filter($"vec_id" < 8)
-        .select($"vec_id", $"v", dot($"v", $"v").as("cnrm"),
-          array((0 until 8).map(m => dot(subv($"v", m), subv($"v", m))): _*).as("csn"))
-        .agg(sort_array(collect_list(struct(
-          $"vec_id".cast("int").as("cell"), $"v".as("cv"), $"cnrm", $"csn")))
-          .as("cb"))
+      // frozen-index build factored into ivfpqCoarseCb / ivfpqSubCb /
+      // ivfpqAssign / ivfpqEncode (round 12) so the STREAMING serving twin
+      // scores live probes against the exact same index definitions —
+      // plan-identical to the inline form (PlanShapeSpec's fused-budget
+      // guard and ShuffleCeilingSpec's byte ceiling both still pin it)
+      val cb = ivfpqCoarseCb(e)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def cbe(i: Int): Column = element_at($"cb", i + 1)
-      // subspace codebook in s15's 8-row long form: (m, ents by cell asc);
-      // csn is the same in-order self-dot the oracle's norm expansion uses
-      val cbSub = e.filter($"vec_id" < 8)
-        .select($"vec_id".cast("int").as("cell"),
-          explode(array((0 until 8).map(m =>
-            struct(lit(m).as("m"), subv($"v", m).as("cv"))): _*)).as("a"))
-        .select($"cell", $"a.m".as("m"), $"a.cv".as("cv"))
-        .withColumn("csn", dot($"cv", $"cv"))
-        .groupBy($"m")
-        .agg(sort_array(collect_list(struct($"cell", $"cv", $"csn"))).as("ents"))
-      // coarse stage: cosines as real columns, then best, then the argmax
-      // chain (s12's staging — multi-referenced non-trivial aliases live
-      // in their own projection so CollapseProject can't copy them)
-      val pc0 = e.crossJoin(broadcast(cb))
-        .select($"vec_id", $"v", $"cb", dot($"v", $"v").as("nrm"))
-      val ccCols = (0 until 8).map { i =>
-        cosineWithNorms($"v", cbe(i).getField("cv"), $"nrm", cbe(i).getField("cnrm"))
-          .as(s"cc$i")
-      }
-      val pc1 = pc0.select(Seq($"vec_id", $"v", $"cb") ++ ccCols: _*)
-      val ccs = (0 until 8).map(i => col(s"cc$i"))
-      val pc2 = pc1.select(Seq($"vec_id", $"v", $"cb", greatest(ccs: _*).as("bc")) ++ ccs: _*)
-      // coalesce keeps the chain non-nullable (element_at is type-nullable
-      // even though i < 8 can never miss an 8-entry list) — same values,
-      // and no inferred isnotnull(chain) can be pushed into a join
-      val cellCol = coalesce((0 until 8).foldRight(lit(-1)) { (i, els) =>
-        when(ccs(i) === $"bc", cbe(i).getField("cell")).otherwise(els)
-      }, lit(-1))
-      val assigned = pc2.select($"vec_id", $"v", cellCol.as("cell"))
-      // long subspace rows: (vec_id, cell, m, 8-dim slice), one generator
-      val eSub = assigned.select($"vec_id", $"cell",
-          explode(array((0 until 8).map(m =>
-            struct(lit(m).as("m"), subv($"v", m).as("sv"))): _*)).as("a"))
-        .select($"vec_id", $"cell", $"a.m".as("m"), $"a.sv".as("sv"))
-      // per-(vec, m) argmin against the row's own subspace entries; no
-      // size guards — the seed codebook is the fixed 8 vectors (vec_id <
-      // 8), it cannot shrink, unlike s15's trained one. Ties go to the
-      // lowest position = lowest cell (the sort order), the wide form's
-      // (and the oracle's) rule.
-      val p0 = eSub.join(broadcast(cbSub), Seq("m"))
-        .withColumn("xsn", dot($"sv", $"sv"))
-      val dCols = (0 until 8).map { k =>
-        val ent = element_at($"ents", k + 1)
-        ($"xsn" - lit(2.0) * dot($"sv", ent.getField("cv")) + ent.getField("csn"))
-          .as(s"d$k")
-      }
-      val p1 = p0.select(Seq($"vec_id", $"cell", $"m", $"ents") ++ dCols: _*)
-      val ds = (0 until 8).map(k => col(s"d$k"))
-      val p2 = p1.select(
-        Seq($"vec_id", $"cell", $"m", $"ents", least(ds: _*).as("bm")) ++ ds: _*)
-      val codeCol = (0 until 8).foldRight(lit(-1)) { (k, els) =>
-        when(ds(k) === $"bm", element_at($"ents", k + 1).getField("cell")).otherwise(els)
-      }
-      // collapse to one row per vector: collect_list partial-aggregates
-      // map-side (the 8 rows of a vector never leave their partition
-      // unaggregated), min(cell) is just the constant cell of the group
-      val enc = p2.select($"vec_id", $"cell", $"m", codeCol.as("mc"))
-        .groupBy($"vec_id")
-        .agg(min($"cell").as("cell"),
-          transform(sort_array(collect_list(struct($"m", $"mc"))),
-            x => x.getField("mc")).as("code"))
+      val cbSub = ivfpqSubCb(e)
+      val assigned = ivfpqAssign(e, cb)
+      val enc = ivfpqEncode(assigned, cbSub)
       // query side: probe ranking + flat ADC tables (5 rows — HOFs fine)
       val qs = e.filter($"vec_id" < 5).crossJoin(broadcast(cb))
         .withColumn("nrm", dot($"v", $"v"))

@@ -631,6 +631,45 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming scored ${streamed.size} (eval, train) pairs vs batch ${batch.size}")
   }
 
+  test("IVF-PQ ANN serving scores a probe stream against the frozen index (s13)") {
+    // the serving shape of vector search: the coarse codebook + PQ-coded
+    // corpus are built in batch (the index a nightly job materializes),
+    // then LIVE probe vectors stream against the frozen structures — the
+    // same ivfpqFrozenIndex/ivfpqServeTop5 definitions in both modes, so
+    // stream top-5 == batch top-5 exactly (identical ADC doubles from
+    // identical expressions). The serve path is streaming-safe by
+    // construction: no ranking windows (per-query top-k is a sorted
+    // collected list), corpus joins are stream-static equi-joins.
+    import graft.ext.Similarity
+    val (cb0, enc0) = Similarity.ivfpqFrozenIndex(spark, sf)
+    val cb = cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enc = enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probesBatch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val batch = Similarity.ivfpqServeTop5(cb, enc, probesBatch)
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 5, s"batch served ${batch.size} probes, expected 5")
+
+    val probeDir = {
+      val dir = Files.createTempDirectory("graft-ann-probes").toString + "/probes"
+      probesBatch.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(probeDir).schema
+    val served = Similarity.ivfpqServeTop5(cb, enc,
+      spark.readStream.schema(schema).parquet(probeDir))
+    val q = served.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_ann")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_ann did not finish within 120 s")
+    val streamed = spark.table("parity_ann").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream top-5 != batch top-5 (stream ${streamed.size}, batch ${batch.size})")
+    cb.unpersist(); enc.unpersist()
+  }
+
   test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
     // the serving shape of the pretraining packer: the global-prefix-sum
     // offset assignment is the frozen "index" (built in batch — it is
