@@ -978,6 +978,41 @@ object RelationalQueries {
           |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Recursive CTE surface (Spark 4's WITH RECURSIVE — the one SQL
+    // family q26/q50 didn't touch): transitive closure with depth
+    // accumulation over the per-region nation successor chains (a LEAD
+    // window builds the edges, so the recursion also composes with
+    // window functions). Spark's recursion accepts UNION ALL only
+    // (UNION dedup raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed
+    // round 12), so the graph must guarantee termination by SHAPE: edges
+    // go strictly upward in nation id, every path is finite and unique,
+    // and the final GROUP BY does the dedup work UNION would have.
+    // Scale note: each iteration materializes as a joined union step —
+    // right for hierarchy/BOM-shaped DIMENSION recursion like this;
+    // corpus-sized closures use d09's multi-level contraction instead
+    // (that is why d09's union-find never went through this surface).
+    // The oracle runs the identical SQL text directly.
+    "q51_recursive_cte" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_q51")
+      s.sql(
+        """WITH RECURSIVE succ AS (
+          |  SELECT n_regionkey AS r, n_nationkey AS a,
+          |    LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS b
+          |  FROM nation_q51
+          |),
+          |edges AS (SELECT r, a, b FROM succ WHERE b IS NOT NULL),
+          |reach(r, src, dst, depth) AS (
+          |  SELECT r, a, b, 1 FROM edges
+          |  UNION ALL
+          |  SELECT e.r, rch.src, e.b, rch.depth + 1
+          |  FROM reach rch JOIN edges e ON e.a = rch.dst AND e.r = rch.r
+          |)
+          |SELECT CAST(src AS INTEGER) AS src, COUNT(*) AS n_reach,
+          |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+          |  CAST(MAX(dst) AS BIGINT) AS far_nation
+          |FROM reach GROUP BY src ORDER BY src""".stripMargin)
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1524,6 +1559,26 @@ object RelationalQueries {
          |FROM customer
          |GROUP BY c_mktsegment, nullif(c_nationkey % 5, 0)
          |ORDER BY c_mktsegment, nv ASC NULLS FIRST""".stripMargin,
+
+    // identical SQL text to the Spark side (run directly by DuckDB —
+    // both engines iterate UNION ALL recursion to a fixpoint)
+    "q51_recursive_cte" ->
+      """WITH RECURSIVE succ AS (
+        |  SELECT n_regionkey AS r, n_nationkey AS a,
+        |    LEAD(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS b
+        |  FROM nation
+        |),
+        |edges AS (SELECT r, a, b FROM succ WHERE b IS NOT NULL),
+        |reach(r, src, dst, depth) AS (
+        |  SELECT r, a, b, 1 FROM edges
+        |  UNION ALL
+        |  SELECT e.r, rch.src, e.b, rch.depth + 1
+        |  FROM reach rch JOIN edges e ON e.a = rch.dst AND e.r = rch.r
+        |)
+        |SELECT CAST(src AS INTEGER) AS src, COUNT(*) AS n_reach,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+        |  CAST(MAX(dst) AS BIGINT) AS far_nation
+        |FROM reach GROUP BY src ORDER BY src""".stripMargin,
 
     // identical SQL text to the Spark side (run directly by DuckDB)
     "q50_correlated_subquery" ->
