@@ -56,6 +56,21 @@ final case class AudioFrameStats(
   */
 object Multimodal {
 
+  /** Little-endian u32 from an int column: big-endian hex, byte pairs
+    * reversed, unhex'd back to binary — pure codegen'd string ops. The
+    * encode half of the real-codec queries (m07 BMP, m08 WAV) builds
+    * binary container headers from these. */
+  private def le32(x: Column): Column = {
+    val hx = lpad(hex(x), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  private def le16(x: Column): Column = {
+    val hx = lpad(hex(x), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
   /** STUB decode + feature-extract: 4 accumulator "features", feature j =
     * sum of bytes at positions ≡ j (mod 4). Deterministic, locale-free. */
   def decodeStub(bytes: Array[Byte]): Array[Long] = {
@@ -151,15 +166,18 @@ object Multimodal {
   }
 
   /** Audio analog of [[extractFeatures]]: decode-once mapPartitions batch,
-    * strict [[parseAu]] then [[audioFrameCensus]] — a blob that fails the
-    * parse contributes a sentinel (-1) row rather than silently framing
-    * raw container bytes. */
+    * strict container parse then [[audioFrameCensus]] — a blob that fails
+    * every parse contributes a sentinel (-1) row rather than silently
+    * framing raw container bytes. Dispatch mirrors the image side's
+    * PGM→BMP chain: the engine-private AU framing demo first, then the
+    * REAL public RIFF/WAVE PCM container ([[Wav]]) — both strict, so
+    * neither misclassifies the other (or raw text). */
   def frameAudio(spark: SparkSession, media: DataFrame,
       frame: Int = 400, hop: Int = 160): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        parseAu(r.content) match {
+        parseAu(r.content).orElse(Wav.parse(r.content).map(_.samples)) match {
           case Some(p) =>
             val (nf, tot, peak) = audioFrameCensus(p, frame, hop)
             AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, nf, tot, peak)
@@ -329,6 +347,37 @@ object Multimodal {
       frameAudio(s, media).orderBy($"media_id")
     },
 
+    // The real PUBLIC audio container (m06's AU framing demo upgraded to
+    // RIFF/WAVE): text bytes packed as mono 8-bit PCM — "RIFF"/"WAVE"
+    // magic, LE size fields, the 16-byte PCM fmt chunk, a data chunk
+    // declared to exactly end-of-file — then strictly parsed back by
+    // [[Wav.parse]] and framed 400/160 in the same decode-once batch.
+    // The redundant size fields (riff size vs actual length, data size vs
+    // EOF, byteRate vs rate×align) are each strict-checked, so any
+    // header-construction or parse regression kills the parse (sentinel
+    // -1 rows) or contaminates the energies — either way the oracle,
+    // which frames the text directly, hash-mismatches loudly.
+    "m08_wav_frames" -> { (s, d) =>
+      import s.implicits._
+      val bin = $"text".cast("binary")
+      val len = length(bin)
+      val header = concat(
+        lit("RIFF").cast("binary"),
+        le32(len + 36),                    // riff size: rest of file
+        lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"),
+        le32(lit(16)),                     // PCM fmt chunk size
+        le16(lit(1)), le16(lit(1)),        // audioFormat PCM, mono
+        le32(lit(16000)), le32(lit(16000)),// sampleRate, byteRate (8-bit mono)
+        le16(lit(1)), le16(lit(8)),        // blockAlign, bitsPerSample
+        lit("data").cast("binary"),
+        le32(len))                         // data size: to end-of-file
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          concat(header, bin).as("content"))
+      frameAudio(s, media).orderBy($"media_id")
+    },
+
     // The SECOND real-codec arm (r11 ask #5): each document's text bytes
     // are packed into a genuine 8-bit paletted uncompressed BMP —
     // little-endian header words built with hex/lpad/unhex byte surgery,
@@ -346,17 +395,6 @@ object Multimodal {
     "m07_bmp_decode" -> { (s, d) =>
       import s.implicits._
       val W = 15
-      // little-endian u32/u16 from an int column: big-endian hex, byte
-      // pairs reversed, unhex'd back to binary — pure codegen'd string ops
-      def le32(x: Column): Column = {
-        val hx = lpad(hex(x), 8, "0")
-        unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
-          substring(hx, 3, 2), substring(hx, 1, 2)))
-      }
-      def le16(x: Column): Column = {
-        val hx = lpad(hex(x), 4, "0")
-        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
-      }
       val bin = $"text".cast("binary")
       val h = least(floor(length(bin) / W), lit(8)).cast("int")
       val palette = lit((0 until 256)
@@ -505,6 +543,26 @@ object Multimodal {
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
            |FROM t ORDER BY media_id""".stripMargin
     },
+
+    // identical framing oracle to m06, different container overhead: the
+    // canonical WAV header is a fixed 44 bytes
+    "m08_wav_frames" ->
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    length(text) AS n,
+           |    CASE WHEN length(text) >= 400
+           |         THEN (length(text) - 400) // 160 + 1 ELSE 0 END AS nf
+           |  FROM documents),
+           |fe AS (SELECT media_id, kind, n, nf,
+           |    list_transform(range(0, nf), k ->
+           |      list_sum(list_transform(range(1, 401),
+           |        j -> ord(substr(text, CAST(k * 160 + j AS BIGINT), 1))))) AS es
+           |  FROM t)
+           |SELECT media_id, kind,
+           |  CAST(44 + n AS BIGINT) AS n_bytes,
+           |  CAST(nf AS BIGINT) AS n_frames,
+           |  CAST(coalesce(list_sum(es), 0) AS BIGINT) AS total_energy,
+           |  CAST(coalesce(list_max(es), 0) AS BIGINT) AS peak_energy
+           |FROM fe ORDER BY media_id""".stripMargin,
 
     // the oracle frames the TEXT directly (payload == text bytes, ASCII):
     // frame k covers chars [k*160+1, k*160+400]; n_bytes adds the
