@@ -51,6 +51,7 @@ object Wav {
       val body = pos + 8
       if (size < 0 || body + size > bytes.length) return None
       if (tag(bytes, pos, "fmt ")) {
+        if (sawFmt) return None // strict: a second fmt chunk is malformed
         if (size != 16) return None // PCM fmt chunk is exactly 16 bytes
         if (u16(bytes, body) != 1) return None // audioFormat: PCM
         val channels = u16(bytes, body + 2)

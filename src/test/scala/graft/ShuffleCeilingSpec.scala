@@ -75,7 +75,16 @@ class ShuffleCeilingSpec extends SparkSuite {
     // relational: dimension broadcasts, two-phase aggs
     "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
     "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back
-    "q48_sketch_quantile" -> 2300)     // measured 1.12 MB (cents histogram + sketch)
+    "q48_sketch_quantile" -> 2300,     // measured 1.12 MB (cents histogram + sketch)
+    // incremental / production-nightly family (round 13): the shapes a
+    // nightly pipeline reruns forever — their asymmetry (increment moves,
+    // base ledger keys only, base text NEVER) is the whole scale story
+    "d17_incremental_dedup" -> 64,     // ~0: increment fp/band keys only
+    "s18_incremental_ingest" -> 64,    // measured 10 KB (increment cell partials)
+    "c11_incremental_build" -> 128,    // measured 60 KB (ledger keys + chunk hashes)
+    "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
+    "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
+    "t14_bpe_encode" -> 88)            // measured 40 KB (per-doc checksum partials)
 
   private lazy val written = {
     val w = new LongAdder
@@ -101,11 +110,19 @@ class ShuffleCeilingSpec extends SparkSuite {
   }
 
   for ((name, kb) <- ceilingsKb) test(s"shuffle ceiling: $name <= $kb KB") {
+    // environmental guard, same contract as SchemaCanarySpec: the ceilings
+    // are meaningless without the driver-generated testdata
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists(),
+      s"$sf testdata absent — ceilings only apply to driver-generated data")
     val got = shuffleWriteKb(name)
     assert(got <= kb,
       f"$name shuffled $got%.1f KB (ceiling $kb KB) — a broadcast was " +
         "lost or a join/window started exchanging the corpus; run " +
         "graft.examples.ShuffleAudit (SPARK_GRAFT_SINK=noop) to localize, " +
-        "and update SCALE.md + this table only for an INTENTIONAL plan change")
+        "and update SCALE.md + this table only for an INTENTIONAL plan " +
+        "change. NOTE: ceilings are absolute bytes tied to this suite's " +
+        "local[4]/4-shuffle-partition config and lz4 block compression — " +
+        "if MANY ceilings trip at once after a Spark/codec/partition-config " +
+        "change, suspect the environment, not 27 simultaneous plan regressions")
   }
 }

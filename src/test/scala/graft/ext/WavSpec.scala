@@ -54,6 +54,21 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.parse(Array.empty[Byte]).isEmpty)
   }
 
+  test("a duplicate fmt chunk rejects (uniform strictness — no silent overwrite)") {
+    val base = pcm(8000)(9, 8, 7)
+    // splice a SECOND byte-identical fmt chunk before data: a lenient
+    // parser would let it overwrite validation state; strict rejects
+    val fmt2 = java.util.Arrays.copyOfRange(base, 12, 36)
+    val out = new Array[Byte](base.length + fmt2.length)
+    System.arraycopy(base, 0, out, 0, 36)
+    System.arraycopy(fmt2, 0, out, 36, fmt2.length)
+    System.arraycopy(base, 36, out, 36 + fmt2.length, base.length - 36)
+    val riff = out.length - 8
+    out(4) = riff.toByte; out(5) = (riff >>> 8).toByte
+    out(6) = (riff >>> 16).toByte; out(7) = (riff >>> 24).toByte
+    assert(Wav.parse(out).isEmpty, "second fmt chunk must reject")
+  }
+
   test("audio dispatch: AU and WAV route to their own parsers, text to neither") {
     val au = ("AU\n3\nabc").getBytes("US-ASCII")
     assert(Multimodal.parseAu(au).isDefined && Wav.parse(au).isEmpty)

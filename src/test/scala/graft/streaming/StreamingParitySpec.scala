@@ -631,17 +631,19 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming scored ${streamed.size} (eval, train) pairs vs batch ${batch.size}")
   }
 
-  test("IVF-PQ ANN serving scores a probe stream against the frozen index (s13)") {
+  test("IVF-PQ ANN serving scores a probe stream against the SAVED index (s13/s22)") {
     // the serving shape of vector search: the coarse codebook + PQ-coded
-    // corpus are built in batch (the index a nightly job materializes),
-    // then LIVE probe vectors stream against the frozen structures — the
-    // same ivfpqFrozenIndex/ivfpqServeTop5 definitions in both modes, so
-    // stream top-5 == batch top-5 exactly (identical ADC doubles from
-    // identical expressions). The serve path is streaming-safe by
-    // construction: no ranking windows (per-query top-k is a sorted
-    // collected list), corpus joins are stream-static equi-joins.
+    // corpus are built in batch, MATERIALIZED to parquet, and re-read
+    // (s22's ivfpqSaveIndex — production serving opens the index files,
+    // never the build plan); LIVE probe vectors then stream against the
+    // file-backed frames — the same ivfpqServeTop5 definition in both
+    // modes, so stream top-5 == batch top-5 exactly (identical ADC
+    // doubles; parquet round-trips them bit-exactly). The serve path is
+    // streaming-safe by construction: no ranking windows (per-query
+    // top-k is a sorted collected list), corpus joins are stream-static
+    // equi-joins.
     import graft.ext.Similarity
-    val (cb0, enc0) = Similarity.ivfpqFrozenIndex(spark, sf)
+    val (cb0, enc0) = Similarity.ivfpqSaveIndex(spark, sf)
     val cb = cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enc = enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probesBatch = Tables.embeddings(spark, sf)
