@@ -31,6 +31,11 @@ final case class AudioFrameStats(
     media_id: Long, kind: String, n_bytes: Long,
     n_frames: Long, total_energy: Long, peak_energy: Long)
 
+final case class ColorFeatures(
+    media_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long, resize_checksum: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -92,7 +97,10 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Array[Long] =
     Pgm.parse(bytes).orElse(Bmp.parse(bytes)) match {
       case Some(img) => decodeStub(img.pixels)
-      case None => decodeStub(bytes)
+      case None => Ppm.parse(bytes) match {
+        case Some(rgb) => decodeStub(rgb.samples) // color arm: interleaved RGB
+        case None => decodeStub(bytes)
+      }
     }
 
   /** STUB resize: keep every byte whose index maps into the target "area"
@@ -110,7 +118,10 @@ object Multimodal {
   def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     Pgm.parse(bytes).orElse(Bmp.parse(bytes)) match {
       case Some(img) => Pgm.resizeNearest(img, w, h).pixels
-      case None => resizeStub(bytes, w, h)
+      case None => Ppm.parse(bytes) match {
+        case Some(rgb) => Ppm.resizeNearest(rgb, w, h).samples // 3-channel arm
+        case None => resizeStub(bytes, w, h)
+      }
     }
 
   /** STUB frame sampling: every `everyN`-th byte is a "frame". */
@@ -183,6 +194,41 @@ object Multimodal {
             AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, nf, tot, peak)
           case None =>
             AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Color analog of [[extractFeatures]] for P6 PPM blobs: decode once
+    * per blob, then PER-CHANNEL byte sums over the interleaved raster
+    * (a channel-smearing bug — wrong stride, wrong start offset — moves
+    * mass between r/g/b and the oracle catches it) plus a 2×2
+    * nearest-neighbor [[Ppm.resizeNearest]] checksum, exercising the
+    * 3-byte-pixel resample path. A blob that fails the strict parse
+    * contributes a sentinel (-1) row rather than silently featuring
+    * container bytes — the m06/m08 convention. */
+  def colorFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        Ppm.parse(r.content) match {
+          case Some(img) =>
+            val s = img.samples
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var i = 0
+            while (i + 2 < s.length) {
+              rs += s(i) & 0xff; gs += s(i + 1) & 0xff; bs += s(i + 2) & 0xff
+              i += 3
+            }
+            val rz = Ppm.resizeNearest(img, 2, 2).samples
+            var ck = 0L
+            var j = 0
+            while (j < rz.length) { ck += rz(j) & 0xff; j += 1 }
+            ColorFeatures(r.media_id, r.kind, r.content.length.toLong,
+              img.width, img.height, rs, gs, bs, ck)
+          case None =>
+            ColorFeatures(r.media_id, r.kind, r.content.length.toLong,
+              -1, -1, -1L, -1L, -1L, -1L)
         }
       }
     }.toDF()
@@ -427,6 +473,31 @@ object Multimodal {
       extractFeatures(s, media).orderBy($"media_id")
     },
 
+    // The COLOR-codec arm (third real image container): each document's
+    // text bytes are packed as a genuine binary P6 PPM — 5 pixels wide,
+    // so every row is 15 payload bytes of INTERLEAVED R,G,B triplets —
+    // then strictly parsed back by [[Ppm.parse]] and featured PER
+    // CHANNEL in the decode-once batch, plus a 2×2 3-channel
+    // nearest-neighbor resize checksum (m02's resize path extended to
+    // color). The oracle computes channel sums and the resample's 12
+    // source bytes straight from the text characters: a stride bug
+    // smears channels into each other, a resample bug picks the wrong
+    // source pixels — either hash-mismatches loudly.
+    "m09_ppm_decode" -> { (s, d) =>
+      import s.implicits._
+      val W = 5 // pixels per row = 15 payload bytes (3-byte channel stride)
+      val bin = $"text".cast("binary")
+      val h = least(floor(length(bin) / (3 * W)), lit(8)).cast("int")
+      val media = Tables.documents(s, d)
+        .filter(length(bin) >= 3 * W)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          concat(
+            concat(lit(s"P6\n$W "), h.cast("string"), lit("\n255\n"))
+              .cast("binary"),
+            bin.substr(lit(1), h * (3 * W))).as("content"))
+      colorFeatures(s, media).orderBy($"media_id")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -541,6 +612,30 @@ object Multimodal {
            |SELECT media_id, kind,
            |  CAST(1078 + 16*h AS BIGINT) AS n_bytes,
            |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // per-channel sums straight from the text (payload = first 15·h
+    // chars; channel c = positions ≡ c mod 3), and the 2×2 resize
+    // checksum from the 12 source bytes nearest-neighbor picks:
+    // dst (x,y) ∈ {0,1}² maps to source pixel (x·2, y·(h DIV 2)) of the
+    // 5×h raster — 11-byte header ("P6\n5 h\n255\n", h one digit for
+    // h ≤ 8) + raster
+    "m09_ppm_decode" -> {
+      def ch(c: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 3 = $c THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      val rz = (for (yp <- 0 to 1; xp <- 0 to 1; c <- 0 to 2) yield {
+        val sy = if (yp == 0) "0" else "(h // 2)"
+        s"ord(substr(text, ($sy*5 + ${xp * 2})*3 + ${c + 1}, 1))"
+      }).mkString(" + ")
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CAST(11 + 15*h AS BIGINT) AS n_bytes,
+           |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")},
+           |  CAST($rz AS BIGINT) AS resize_checksum
            |FROM t ORDER BY media_id""".stripMargin
     },
 
