@@ -1013,6 +1013,46 @@ object RelationalQueries {
           |FROM reach GROUP BY src ORDER BY src""".stripMargin)
     },
 
+    // q51's recursion at CORPUS scale — the probe the q51 COVERAGE note
+    // promises: bounded-depth (4) reachability over successor-chain
+    // edges of the DOCUMENTS table, accumulating character mass along
+    // each path. Per round the recursive arm joins the full frontier
+    // (corpus-sized, one row per live path) against the corpus-sized
+    // edge list — so the per-iteration cost now scales with DATA, not
+    // just scheduling, which is what separates this from q51's 25-row
+    // surface proof. Termination is doubly guaranteed: strictly
+    // ascending chain edges (finite unique paths — the UNION ALL shape
+    // Spark 4 requires) AND the explicit depth < 4 cap, the pattern a
+    // production hierarchy walk uses against cyclic data. At 100 TB
+    // each round is one co-partitionable equi-join on the frontier's
+    // dst — bucket edges by `a` and the walk never re-exchanges them;
+    // depth stays the driver-side lever.
+    "q52_recursive_reachability" -> { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents_q52")
+      s.sql(
+        """WITH RECURSIVE succ AS (
+          |  SELECT source AS grp, doc_id AS a,
+          |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+          |  FROM documents_q52
+          |),
+          |edges AS (SELECT grp, a, b FROM succ WHERE b IS NOT NULL),
+          |chars AS (SELECT doc_id, n_chars FROM documents_q52),
+          |walk(grp, src, dst, depth, chars_acc) AS (
+          |  SELECT e.grp, e.a, e.b, 1, c.n_chars
+          |  FROM edges e JOIN chars c ON c.doc_id = e.b
+          |  UNION ALL
+          |  SELECT e.grp, w.src, e.b, w.depth + 1, w.chars_acc + c.n_chars
+          |  FROM walk w JOIN edges e ON e.a = w.dst AND e.grp = w.grp
+          |  JOIN chars c ON c.doc_id = e.b
+          |  WHERE w.depth < 4
+          |)
+          |SELECT grp AS source, CAST(depth AS INTEGER) AS depth,
+          |  COUNT(*) AS n_paths,
+          |  CAST(SUM(chars_acc) AS BIGINT) AS chars_reached,
+          |  CAST(MAX(chars_acc) AS BIGINT) AS max_path_chars
+          |FROM walk GROUP BY 1, 2 ORDER BY source, depth""".stripMargin)
+    },
+
     // Navigation window functions: first/second/last order price per
     // customer over the full partition frame (deterministic ordering).
     "q39_window_navigation" -> { (s, d) =>
@@ -1562,6 +1602,31 @@ object RelationalQueries {
 
     // identical SQL text to the Spark side (run directly by DuckDB —
     // both engines iterate UNION ALL recursion to a fixpoint)
+    // identical SQL text modulo the temp-view name (the driver's views
+    // are named after the parquet tables)
+    "q52_recursive_reachability" ->
+      """WITH RECURSIVE succ AS (
+        |  SELECT source AS grp, doc_id AS a,
+        |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+        |  FROM documents
+        |),
+        |edges AS (SELECT grp, a, b FROM succ WHERE b IS NOT NULL),
+        |chars AS (SELECT doc_id, n_chars FROM documents),
+        |walk(grp, src, dst, depth, chars_acc) AS (
+        |  SELECT e.grp, e.a, e.b, 1, c.n_chars
+        |  FROM edges e JOIN chars c ON c.doc_id = e.b
+        |  UNION ALL
+        |  SELECT e.grp, w.src, e.b, w.depth + 1, w.chars_acc + c.n_chars
+        |  FROM walk w JOIN edges e ON e.a = w.dst AND e.grp = w.grp
+        |  JOIN chars c ON c.doc_id = e.b
+        |  WHERE w.depth < 4
+        |)
+        |SELECT grp AS source, CAST(depth AS INTEGER) AS depth,
+        |  COUNT(*) AS n_paths,
+        |  CAST(SUM(chars_acc) AS BIGINT) AS chars_reached,
+        |  CAST(MAX(chars_acc) AS BIGINT) AS max_path_chars
+        |FROM walk GROUP BY 1, 2 ORDER BY source, depth""".stripMargin,
+
     "q51_recursive_cte" ->
       """WITH RECURSIVE succ AS (
         |  SELECT n_regionkey AS r, n_nationkey AS a,
