@@ -168,6 +168,33 @@ object Dedup {
           .as("h"))
   }
 
+  /** Materialize the three nightly dedup-ledger SIDECARS (base side,
+    * `doc_id % 10 <> 7`) to parquet and hand back the RE-READ frames —
+    * the lifecycle d17/c11's scaladocs promise ("the base contributes
+    * its fingerprint / band / chunk-hash ledgers — maintained sidecars")
+    * made real, s22/c13's prove-the-files pattern applied to dedup:
+    *  - `fp`:     (doc_id, md5 fingerprint) — the exact-dup ledger
+    *  - `sigs`:   (doc_id, s0..s7)          — the MinHash signature
+    *               ledger (band keys derive from it on read, so one file
+    *               serves both the LSH join and the agreement check)
+    *  - `chunks`: distinct chunk hashes     — c11's span-dedup ledger
+    * Per-sfDir path: a nightly run must never join another scale's
+    * ledger. At 100 TB these are the files an ingest run APPENDS to;
+    * bucket fp/sigs by doc_id and chunks by hash so tonight's increment
+    * joins co-partitioned. */
+  def ledgerSidecars(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_d22_ledgers_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    base.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .write.mode("overwrite").parquet(path + "/fp")
+    sigsOf(base).write.mode("overwrite").parquet(path + "/sigs")
+    chunkHashesOf(base).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(path + "/chunks")
+    (s.read.parquet(path + "/fp"), s.read.parquet(path + "/sigs"),
+      s.read.parquet(path + "/chunks"))
+  }
+
   /** d01's representative convention as a corpus filter: only each
     * md5(text) group's min-doc_id row survives. Map-side-combinable
     * (fp → min id) agg, semi-joined back on doc_id. */
@@ -807,6 +834,67 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // d17 served from the MATERIALIZED ledger files — the nightly run as
+    // it actually deploys: the base side contributes NOTHING but its
+    // three re-read parquet sidecars ([[ledgerSidecars]] — fingerprints,
+    // MinHash signatures, chunk hashes); base text is never re-scanned
+    // by the exact/near stages (only the one-off ledger build touches
+    // it, the job that in production ran on PREVIOUS nights). Verdicts
+    // are d17's exactly; the appended census columns checksum every
+    // re-read ledger row (40-bit md5 prefixes, c13's convention), so the
+    // oracle — which rebuilds fingerprints, signatures, and chunk hashes
+    // from the raw base docs — proves the files carry exactly the
+    // ledgers the definitions produce, byte-for-byte through the parquet
+    // round-trip. Scale shape: tonight's cost follows the increment
+    // (its fp keys and band keys are the only exchange); the ledger
+    // joins are equi-joins a bucketed layout co-partitions.
+    "d22_ledger_dedup" -> { (s, d) =>
+      import s.implicits._
+      val (fpL, sigL, chunkL) = ledgerSidecars(s, d)
+      val inc = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+      val exact = inc.select($"doc_id", md5($"text".cast("binary")).as("fp")).as("n")
+        .join(fpL.as("o"), col("n.fp") === col("o.fp"))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(min(col("o.doc_id")).as("exact_match"))
+      val incSigs = sigsOf(inc)
+      val cand = bandKeys(incSigs).as("a")
+        .join(bandKeys(sigL).as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("nid"), col("b.doc_id").as("oid"))
+        .distinct()
+      val agree: Column = (0 until 8)
+        .map(j => when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val near = cand
+        .join(incSigs.as("x"), $"nid" === col("x.doc_id"))
+        .join(sigL.as("y"), $"oid" === col("y.doc_id"))
+        .filter(agree >= 4)
+        .groupBy($"nid".as("doc_id"))
+        .agg(min($"oid").as("near_match"))
+      val sigCat = concat_ws(",",
+        (col("doc_id") +: (0 until 8).map(j => col(s"s$j"))): _*)
+      val census = fpL.agg(count(lit(1)).as("n_fp_ledger"),
+          sum(conv(substring(md5(concat_ws(",", $"doc_id", $"fp")
+            .cast("binary")), 1, 10), 16, 10).cast("long")).as("fp_checksum"))
+        .crossJoin(sigL.agg(count(lit(1)).as("n_sig_ledger"),
+          sum(conv(substring(md5(sigCat.cast("binary")), 1, 10), 16, 10)
+            .cast("long")).as("sig_checksum")))
+        .crossJoin(chunkL.agg(count(lit(1)).as("n_chunk_ledger"),
+          sum(conv(substring($"h", 1, 10), 16, 10).cast("long"))
+            .as("chunk_checksum")))
+      inc.select($"doc_id", $"source")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id", $"source",
+          when($"exact_match".isNotNull, lit("exact_dup"))
+            .when($"near_match".isNotNull, lit("near_dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          coalesce($"exact_match", $"near_match").as("match_id"))
+        .crossJoin(broadcast(census))
+        .orderBy($"doc_id")
+    },
+
     // Exact-substring maximal-span dedup census — the EVERY-OFFSET form
     // of span dedup (the ExactSubstr shape of Lee et al. 2022,
     // "Deduplicating Training Data Makes Language Models Better"): d13/
@@ -1320,6 +1408,57 @@ object Dedup {
              |FROM documents d
              |LEFT JOIN ex ON d.doc_id = ex.doc_id
              |LEFT JOIN nr ON d.doc_id = nr.doc_id
+             |WHERE d.doc_id % 10 = 7
+             |ORDER BY d.doc_id""".stripMargin
+      },
+
+      // d17's verdict logic plus the ledger-census replay: the oracle
+      // rebuilds fingerprints, signatures, and distinct chunk hashes
+      // from the raw base docs and checksums them exactly as the engine
+      // checksums the RE-READ parquet sidecars — a match proves the
+      // files' round-trip
+      "d22_ledger_dedup" -> {
+        val agree = (0 until 8).map(j =>
+          s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        val sigCat = "doc_id::VARCHAR" +
+          (0 until 8).map(j => s" || ',' || s$j::VARCHAR").mkString
+        raw"""WITH $sqlMinhashCtes,
+             |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |ex AS (SELECT n.doc_id, MIN(o.doc_id) AS exact_match
+             |  FROM fp n JOIN fp o ON n.fp = o.fp
+             |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+             |  GROUP BY n.doc_id),
+             |cio AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+             |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+             |    AND a.band_key = b.band_key
+             |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+             |nr AS (SELECT nid AS doc_id, MIN(oid) AS near_match
+             |  FROM cio JOIN sigs x ON nid = x.doc_id JOIN sigs y ON oid = y.doc_id
+             |  WHERE ($agree) >= 4
+             |  GROUP BY nid),
+             |fpc AS (SELECT COUNT(*) AS n_fp_ledger,
+             |    CAST(SUM(('0x' || substr(md5(doc_id::VARCHAR || ',' || fp), 1, 10))::BIGINT) AS BIGINT) AS fp_checksum
+             |  FROM fp WHERE doc_id % 10 <> 7),
+             |sgc AS (SELECT COUNT(*) AS n_sig_ledger,
+             |    CAST(SUM(('0x' || substr(md5($sigCat), 1, 10))::BIGINT) AS BIGINT) AS sig_checksum
+             |  FROM sigs WHERE doc_id % 10 <> 7),
+             |ckl AS (SELECT DISTINCT md5(array_to_string(list_slice(w, i*20 + 1, i*20 + 20), ' ')) AS h
+             |  FROM (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS i
+             |        FROM words WHERE len(w) > 0 AND doc_id % 10 <> 7)),
+             |ckc AS (SELECT COUNT(*) AS n_chunk_ledger,
+             |    CAST(SUM(('0x' || substr(h, 1, 10))::BIGINT) AS BIGINT) AS chunk_checksum
+             |  FROM ckl)
+             |SELECT d.doc_id, d.source,
+             |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+             |       WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+             |       ELSE 'kept' END AS verdict,
+             |  CAST(coalesce(ex.exact_match, nr.near_match) AS BIGINT) AS match_id,
+             |  n_fp_ledger, fp_checksum, n_sig_ledger, sig_checksum,
+             |  n_chunk_ledger, chunk_checksum
+             |FROM documents d
+             |LEFT JOIN ex ON d.doc_id = ex.doc_id
+             |LEFT JOIN nr ON d.doc_id = nr.doc_id
+             |CROSS JOIN fpc CROSS JOIN sgc CROSS JOIN ckc
              |WHERE d.doc_id % 10 = 7
              |ORDER BY d.doc_id""".stripMargin
       },

@@ -80,6 +80,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // nightly pipeline reruns forever — their asymmetry (increment moves,
     // base ledger keys only, base text NEVER) is the whole scale story
     "d17_incremental_dedup" -> 64,     // ~0: increment fp/band keys only
+    "d22_ledger_dedup" -> 104,         // measured 50 KB (ledger build distincts + census)
     "s18_incremental_ingest" -> 64,    // measured 10 KB (increment cell partials)
     "c11_incremental_build" -> 128,    // measured 60 KB (ledger keys + chunk hashes)
     "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
@@ -123,6 +124,6 @@ class ShuffleCeilingSpec extends SparkSuite {
         "change. NOTE: ceilings are absolute bytes tied to this suite's " +
         "local[4]/4-shuffle-partition config and lz4 block compression — " +
         "if MANY ceilings trip at once after a Spark/codec/partition-config " +
-        "change, suspect the environment, not 27 simultaneous plan regressions")
+        "change, suspect the environment, not 28 simultaneous plan regressions")
   }
 }
