@@ -36,6 +36,11 @@ final case class ColorFeatures(
     width: Int, height: Int,
     r_sum: Long, g_sum: Long, b_sum: Long, resize_checksum: Long)
 
+final case class PngFeatures(
+    media_id: Long, kind: String,
+    width: Int, height: Int, channels: Int, filters_seen: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -43,17 +48,20 @@ final case class ColorFeatures(
   * work inside, declarative plan outside.
   *
   * ==CODECS==
-  * Two REAL pure-JVM image codecs are wired in: binary PGM (P5) via
-  * [[Pgm]] and 8-bit paletted uncompressed BMP via [[Bmp]] — a blob that
-  * strictly parses as either is decoded to its raster and featured/
-  * resized from real pixels (`decode`/`resize` dispatch on the strict
-  * parses, PGM first). The audio arm has the strict AU-style container
-  * ([[parseAu]]). No richer codecs (JPEG/PNG/WAV) exist in this
-  * container, so every other format falls through to **deterministic
-  * fakes** over the raw bytes (clearly marked below). The Spark-side plumbing — schema, typed
-  * Encoders, partitioning, batch shape, feature extraction through
-  * `mapPartitions` — is real and tested; in production the dispatch
-  * grows JPEG/PNG/audio arms in place of the stub fallback.
+  * SIX real pure-JVM codecs are wired in: binary PGM (P5) via [[Pgm]],
+  * 8-bit paletted uncompressed BMP via [[Bmp]], color P6 PPM via
+  * [[Ppm]], and COMPRESSED 8-bit gray/RGB PNG via [[Png]] (zlib DEFLATE
+  * through the JDK's `java.util.zip` — no external deps) on the image
+  * side; the strict AU-style container ([[parseAu]]) and RIFF/WAVE
+  * 8-bit PCM ([[Wav]]) on the audio side. A blob that strictly parses
+  * as one of them is decoded to its raster/payload and featured/resized
+  * from real samples. Formats whose decompressors do NOT ship in the
+  * JDK (JPEG's DCT entropy coding, FLAC) remain behind **deterministic
+  * fakes** over the raw bytes (clearly marked below). The Spark-side
+  * plumbing — schema, typed Encoders, partitioning, batch shape,
+  * feature extraction through `mapPartitions` — is real and tested; in
+  * production the dispatch grows JPEG/FLAC arms in place of the stub
+  * fallback exactly as the six real arms did.
   *
   * There is no media table in the harness, so `documents.text` cast to
   * binary stands in for the blob column (ASCII, so byte == code point —
@@ -229,6 +237,43 @@ object Multimodal {
           case None =>
             ColorFeatures(r.media_id, r.kind, r.content.length.toLong,
               -1, -1, -1L, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** COMPRESSED-codec round-trip batch: per blob, the raw RGB samples in
+    * `content` are PNG-encoded with a per-row filter-type cycle
+    * (row k uses filter k mod 5 — Sub/Up/Average/Paeth all run, not
+    * just None), DEFLATE-compressed, then strictly re-parsed by
+    * [[Png.parse]] (signature, per-chunk CRC32, exact inflated length)
+    * and featured per channel. The encode must live in the JVM batch —
+    * DEFLATE is not expressible as Spark column ops — which is exactly
+    * the real-pipeline shape: codecs run where the blob bytes are.
+    * `filters_seen` reports the OR of encountered filter types so the
+    * oracle can assert every unfilter path executed. Parse failure →
+    * sentinel (-1) row. */
+  def pngFeatures(spark: SparkSession, media: DataFrame, w: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val h = r.content.length / (3 * w)
+        val blob = Png.encode(w, h, 3,
+          java.util.Arrays.copyOfRange(r.content, 0, 3 * w * h), k => k % 5)
+        Png.parse(blob) match {
+          case Some(img)
+              if img.width == w && img.height == h && img.channels == 3 =>
+            val s = img.samples
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var i = 0
+            while (i + 2 < s.length) {
+              rs += s(i) & 0xff; gs += s(i + 1) & 0xff; bs += s(i + 2) & 0xff
+              i += 3
+            }
+            PngFeatures(r.media_id, r.kind, img.width, img.height,
+              img.channels, img.filtersSeen, rs, gs, bs)
+          case _ =>
+            PngFeatures(r.media_id, r.kind, -1, -1, -1, -1, -1L, -1L, -1L)
         }
       }
     }.toDF()
@@ -498,6 +543,29 @@ object Multimodal {
       colorFeatures(s, media).orderBy($"media_id")
     },
 
+    // The COMPRESSED-codec arm: real PNG (zlib DEFLATE via the JDK's
+    // java.util.zip — the one compressed image format implementable with
+    // zero external deps), retiring the "compressed codecs are offline-
+    // unimplementable" caveat for PNG. Each document's text bytes become
+    // a 5-pixel-wide RGB raster, PNG-encoded with row filters cycling
+    // through ALL FIVE types (k mod 5), deflated, then strictly decoded
+    // back (signature, per-chunk CRC32, exact inflated length, full
+    // unfilter). The oracle predicts per-channel sums from the text AND
+    // the filter bitmask from the row count — a wrong Paeth predictor,
+    // a mis-unfiltered Average row, or an inflate slicing bug shifts the
+    // channel sums and hash-mismatches loudly.
+    "m10_png_decode" -> { (s, d) =>
+      import s.implicits._
+      val W = 5
+      val bin = $"text".cast("binary")
+      val h = least(floor(length(bin) / (3 * W)), lit(8)).cast("int")
+      val media = Tables.documents(s, d)
+        .filter(length(bin) >= 3 * W)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          bin.substr(lit(1), h * (3 * W)).as("content"))
+      pngFeatures(s, media, W).orderBy($"media_id")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -636,6 +704,24 @@ object Multimodal {
            |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")},
            |  CAST($rz AS BIGINT) AS resize_checksum
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // per-channel sums as m09 (raster = first 15·h chars, channel c =
+    // positions ≡ c mod 3); filters_seen from the row count alone: rows
+    // 0..h−1 cycle filter types k mod 5, so the decoder must have seen
+    // exactly types 0..min(h,5)−1 → mask (1 << least(h,5)) − 1
+    "m10_png_decode" -> {
+      def ch(c: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 3 = $c THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(3 AS INTEGER) AS channels,
+           |  CAST((1 << least(h, 5)) - 1 AS INTEGER) AS filters_seen,
+           |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
            |FROM t ORDER BY media_id""".stripMargin
     },
 
