@@ -253,6 +253,20 @@ object Multimodal {
     * `filters_seen` reports the OR of encountered filter types so the
     * oracle can assert every unfilter path executed. Parse failure →
     * sentinel (-1) row. */
+  /** m10's raster width and media construction, factored so the
+    * streaming twin ([[graft.streaming]]'s StreamingParitySpec) features
+    * the SAME planted blobs from a document STREAM — all ops here are
+    * narrow (filter + substr over the binary cast), so the frame builds
+    * unchanged on a streaming scan. */
+  private[graft] val PngW = 5
+  private[graft] def pngMedia(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val h = least(floor(length(bin) / (3 * PngW)), lit(8)).cast("int")
+    docs.filter(length(bin) >= 3 * PngW)
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        bin.substr(lit(1), h * (3 * PngW)).as("content"))
+  }
+
   def pngFeatures(spark: SparkSession, media: DataFrame, w: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -555,15 +569,8 @@ object Multimodal {
     // a mis-unfiltered Average row, or an inflate slicing bug shifts the
     // channel sums and hash-mismatches loudly.
     "m10_png_decode" -> { (s, d) =>
-      import s.implicits._
-      val W = 5
-      val bin = $"text".cast("binary")
-      val h = least(floor(length(bin) / (3 * W)), lit(8)).cast("int")
-      val media = Tables.documents(s, d)
-        .filter(length(bin) >= 3 * W)
-        .select($"doc_id".as("media_id"), $"source".as("kind"),
-          bin.substr(lit(1), h * (3 * W)).as("content"))
-      pngFeatures(s, media, W).orderBy($"media_id")
+      pngFeatures(s, pngMedia(Tables.documents(s, d)), PngW)
+        .orderBy(col("media_id"))
     },
 
     "m03_media_phash_dedup" -> { (s, d) =>

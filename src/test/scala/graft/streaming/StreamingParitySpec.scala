@@ -672,6 +672,39 @@ class StreamingParitySpec extends SparkSuite {
     cb.unpersist(); enc.unpersist()
   }
 
+  test("PNG encode/decode features a media stream (m10)") {
+    // the multimodal family's twin: codec batches are PER-ROW work
+    // (mapPartitions over a typed Dataset — no state, no aggregation),
+    // so the SAME pngMedia/pngFeatures definitions run on a document
+    // STREAM unchanged, append-mode, and must feature each arriving blob
+    // exactly as the batch query does. This is how media actually lands
+    // in a pipeline: blobs arrive on a stream and are decoded in the
+    // micro-batch that receives them — the blob never outlives its batch.
+    import graft.ext.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val batch = Multimodal.pngFeatures(spark, Multimodal.pngMedia(docs),
+        Multimodal.PngW)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch side featured no media")
+
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-png").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val served = Multimodal.pngFeatures(spark,
+      Multimodal.pngMedia(spark.readStream.schema(schema).parquet(docsDir)),
+      Multimodal.PngW)
+    val q = served.writeStream.outputMode("append")
+      .format("memory").queryName("parity_png")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_png did not finish within 120 s")
+    val streamed = spark.table("parity_png").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream featured ${streamed.size} media vs batch ${batch.size}")
+  }
+
   test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
     // the serving shape of the pretraining packer: the global-prefix-sum
     // offset assignment is the frozen "index" (built in batch — it is
