@@ -572,6 +572,45 @@ object Curation {
         .orderBy($"shard")
     },
 
+    // Lake-format interop round-trip — the storage capability c13 proves
+    // for parquet, extended to the OTHER two formats a lakehouse corpus
+    // actually arrives in: columnar ORC (splittable, predicate-pushdown —
+    // Spark's reader/writer ship in-box) and gzip-compressed JSON lines
+    // (the interchange format crawl dumps and API exports use). The
+    // corpus is WRITTEN as both, re-read — the JSON arm through an
+    // explicit schema, never inference, and through gzip decompression —
+    // and censused per (format, source) with a doc_id+text checksum. The
+    // oracle computes the census once from raw `documents` and expects it
+    // IDENTICALLY under both format labels, so any row lost, text byte
+    // mangled (JSON escaping!), or id re-typed by either round-trip
+    // hash-mismatches. Scale shape: both writes are one narrow pass
+    // (file I/O, no exchange beyond the tiny census partials); gzip JSON
+    // is NOT splittable — the documented tradeoff: each .json.gz file is
+    // one read task, so shard your dumps; ORC splits like parquet.
+    "c20_format_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_c20_formats_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      docs.write.mode("overwrite").orc(path + "/orc")
+      docs.write.mode("overwrite").option("compression", "gzip")
+        .json(path + "/json_gz")
+      def census(df: DataFrame, fmt: String): DataFrame = df
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("id_sum"),
+          sum(conv(substring(md5(concat_ws(",", $"doc_id", $"text")
+            .cast("binary")), 1, 10), 16, 10).cast("long")).as("doc_checksum"))
+        .select(lit(fmt).as("format"), $"source", $"n_docs", $"id_sum",
+          $"doc_checksum")
+      val jsonSchema = "doc_id LONG, source STRING, text STRING"
+      census(s.read.orc(path + "/orc"), "orc")
+        .unionAll(census(
+          s.read.schema(jsonSchema).json(path + "/json_gz")
+            .select($"doc_id", $"source", $"text"), "json_gz"))
+        .orderBy($"format", $"source")
+    },
+
     // Per-DOCUMENT importance-weighted sampling — the gate c01/c04 can't
     // express: each doc's keep probability is its own quality weight
     // (here min(1, tokens/100) — favor longer docs), not a per-stratum
@@ -988,6 +1027,17 @@ object Curation {
            |SELECT rank, doc_id, source, lang, n_bigrams, nll_target, nll_raw, score_bits,
            |  round(CAST(score_bits AS DOUBLE) / n_bigrams, 6) AS bits_gap
            |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // one census from raw documents, expected identically under both
+    // format labels — a match proves both round-trips byte-intact
+    "c20_format_roundtrip" ->
+      raw"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           |    CAST(SUM(('0x' || substr(md5(doc_id::VARCHAR || ',' || text), 1, 10))::BIGINT) AS BIGINT) AS doc_checksum
+           |  FROM documents GROUP BY source)
+           |SELECT f.format, c.source, c.n_docs, c.id_sum, c.doc_checksum
+           |FROM c CROSS JOIN (VALUES ('orc'), ('json_gz')) f(format)
+           |ORDER BY format, source""".stripMargin,
 
     // same census as c05's oracle, computed directly from `documents` —
     // matching the Spark side's re-read census proves the files round-trip
