@@ -314,7 +314,70 @@ object Similarity {
     (s.read.parquet(path + "/cb"), s.read.parquet(path + "/enc"))
   }
 
+  /** The subspace codebook DERIVED from a saved coarse-codebook file:
+    * per (cell, m), the 8-dim slice of the saved centroid and its saved
+    * per-subspace self-dot — value-identical to [[ivfpqSubCb]] (same
+    * slices, same in-order dots, parquet round-trips doubles exactly),
+    * so an increment encoded against the FILES gets byte-identical
+    * codes. This is what makes s23's maintenance honest: nothing about
+    * the codebook is recomputed from vectors at maintenance time. */
+  private def subCbFromSaved(cbR: DataFrame): DataFrame =
+    cbR.select(explode(col("cb")).as("e"))
+      .select(explode(array((0 until 8).map(m => struct(
+        lit(m).as("m"),
+        struct(col("e.cell").as("cell"),
+          slice(col("e.cv"), m * 8 + 1, 8).as("cv"),
+          element_at(col("e.csn"), m + 1).as("csn")).as("ent"))): _*)).as("x"))
+      .select(col("x.m").as("m"), col("x.ent").as("ent"))
+      .groupBy(col("m"))
+      .agg(sort_array(collect_list(col("ent"))).as("ents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Nightly INDEX MAINTENANCE — the operation between s22's one-off
+    // build and its serving: the saved index holds the BASE corpus's
+    // codes (vec_id % 10 <> 7, the harness increment convention); the
+    // arriving increment is PQ-encoded against the RE-READ codebook file
+    // (frozen — the FAISS add() path: no retraining, the sub-codebook is
+    // derived from the saved coarse file's slices) and APPENDED to the
+    // coded-corpus files; probes then serve from the merged files.
+    // Because encoding is deterministic given the codebook, the merged
+    // code set equals a from-scratch full-corpus encode — which is
+    // exactly what the oracle replays, plus base/increment counts
+    // proving the merge really was incremental (not a rebuild). Scale
+    // shape: maintenance cost follows the INCREMENT (one narrow encode
+    // pass + a file append — base codes are never read, never moved);
+    // serving is s22's stream-safe path.
+    "s23_ivfpq_index_maintenance" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      val isNew = col("vec_id") % 10 === 7
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s23_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      // the saved base index (in production: last night's artifact)
+      val cb = ivfpqCoarseCb(e)
+      cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
+      val cbR = s.read.parquet(path + "/cb")
+      ivfpqEncode(ivfpqAssign(e.filter(!isNew), cbR), subCbFromSaved(cbR))
+        .write.mode("overwrite").parquet(path + "/enc")
+      // tonight: encode the increment against the FILES, append
+      ivfpqEncode(ivfpqAssign(e.filter(isNew), cbR), subCbFromSaved(cbR))
+        .write.mode("append").parquet(path + "/enc")
+      val merged = s.read.parquet(path + "/enc")
+      val probes = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"v")
+      val census = merged.agg(
+        count(when(col("vec_id") % 10 =!= 7, 1)).as("n_base"),
+        count(when(col("vec_id") % 10 === 7, 1)).as("n_increment"),
+        sum(conv(substring(md5(concat_ws(",", $"vec_id", $"cell",
+            concat_ws(",", $"code".cast("array<string>"))).cast("binary")),
+          1, 10), 16, 10).cast("long")).as("code_checksum"))
+      ivfpqServeTop5(cbR, merged, probes)
+        .select($"query_id", posexplode($"top5"))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+          $"col.vec_id".as("neighbor_id"), round($"col.adc", 6).as("adc"))
+        .crossJoin(broadcast(census))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Materialized-index serving — the s-family analog of c13's "prove
     // the FILES, not the plan": the frozen IVF-PQ index is written to
     // parquet, re-read, and the probes are served strictly from the
@@ -1666,6 +1729,57 @@ object Similarity {
            |FROM exact x LEFT JOIN approx a
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+    },
+
+    // s22's replay with the maintenance census: merged codes equal the
+    // from-scratch full-corpus encode (deterministic per codebook), and
+    // the base/increment split proves the merge was incremental
+    "s23_ivfpq_index_maintenance" -> {
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      val adcSum = (0 until 8)
+        .map(m => s"tq[($m*8 + code[${m + 1}] + 1)::INT]").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS (SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND $SqlQueryPred),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE $SqlQueryPred GROUP BY vec_id),
+           |sc AS (SELECT query_id, vec_id, $adcSum AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id)),
+           |ar AS (SELECT query_id, vec_id, adc,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |census AS (SELECT
+           |    CAST(COUNT(CASE WHEN a.vec_id % 10 <> 7 THEN 1 END) AS BIGINT) AS n_base,
+           |    CAST(COUNT(CASE WHEN a.vec_id % 10 = 7 THEN 1 END) AS BIGINT) AS n_increment,
+           |    CAST(SUM(('0x' || substr(md5(a.vec_id::VARCHAR || ',' ||
+           |      a.cell::VARCHAR || ',' || array_to_string(c.code, ',')),
+           |      1, 10))::BIGINT) AS BIGINT) AS code_checksum
+           |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id,
+           |  round(adc, 6) AS adc, n_base, n_increment, code_checksum
+           |FROM ar CROSS JOIN census
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     // replay of the SAVED index: assignment + codes + multiprobe ADC are
