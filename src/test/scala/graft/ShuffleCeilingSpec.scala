@@ -68,6 +68,9 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s02_ann_buckets" -> 64,           // ~0: bucket equi-join, queries broadcast
     "s12_kmeans_lloyd3" -> 160,        // measured 70 KB (3 rounds of fixed-point partials)
     "s13_ivfpq_search" -> 128,         // measured 60 KB (cell partials + ADC tables)
+    "s22_ivfpq_saved_index" -> 144,    // measured 70 KB (build partials; serve ~0, write is file I/O)
+    "s23_ivfpq_index_maintenance" -> 144, // measured 70 KB (same — append is file I/O)
+    "c20_format_roundtrip" -> 64,      // ~0: format writes are I/O, census partials only
     // graph: node/edge ids only
     "g01_pagerank" -> 2900,            // measured 1.40 MB (edge build + 3 rounds)
     "g03_cooccurrence" -> 416,         // measured 190 KB (one set-building exchange)
@@ -124,6 +127,6 @@ class ShuffleCeilingSpec extends SparkSuite {
         "change. NOTE: ceilings are absolute bytes tied to this suite's " +
         "local[4]/4-shuffle-partition config and lz4 block compression — " +
         "if MANY ceilings trip at once after a Spark/codec/partition-config " +
-        "change, suspect the environment, not 28 simultaneous plan regressions")
+        "change, suspect the environment, not 31 simultaneous plan regressions")
   }
 }
