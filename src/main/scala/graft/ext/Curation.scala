@@ -603,11 +603,22 @@ object Curation {
             .cast("binary")), 1, 10), 16, 10).cast("long")).as("doc_checksum"))
         .select(lit(fmt).as("format"), $"source", $"n_docs", $"id_sum",
           $"doc_checksum")
-      val jsonSchema = "doc_id LONG, source STRING, text STRING"
+      // third arm: XML (the datasource Spark 4 ships in-box) — element
+      // content escapes &<> and round-trips exactly for a corpus free of
+      // control chars / CR (XML 1.0 forbids the former and parsers
+      // normalize the latter; SchemaCanarySpec's ASCII canary corpus has
+      // neither — a regeneration that introduces them fails THIS hash)
+      docs.write.mode("overwrite").option("rowTag", "doc")
+        .format("xml").save(path + "/xml")
+      val rtSchema = "doc_id LONG, source STRING, text STRING"
       census(s.read.orc(path + "/orc"), "orc")
         .unionAll(census(
-          s.read.schema(jsonSchema).json(path + "/json_gz")
+          s.read.schema(rtSchema).json(path + "/json_gz")
             .select($"doc_id", $"source", $"text"), "json_gz"))
+        .unionAll(census(
+          s.read.schema(rtSchema).option("rowTag", "doc")
+            .format("xml").load(path + "/xml")
+            .select($"doc_id", $"source", $"text"), "xml"))
         .orderBy($"format", $"source")
     },
 
@@ -1036,7 +1047,7 @@ object Curation {
            |    CAST(SUM(('0x' || substr(md5(doc_id::VARCHAR || ',' || text), 1, 10))::BIGINT) AS BIGINT) AS doc_checksum
            |  FROM documents GROUP BY source)
            |SELECT f.format, c.source, c.n_docs, c.id_sum, c.doc_checksum
-           |FROM c CROSS JOIN (VALUES ('orc'), ('json_gz')) f(format)
+           |FROM c CROSS JOIN (VALUES ('orc'), ('json_gz'), ('xml')) f(format)
            |ORDER BY format, source""".stripMargin,
 
     // same census as c05's oracle, computed directly from `documents` —

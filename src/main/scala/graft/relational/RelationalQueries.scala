@@ -1013,6 +1013,30 @@ object RelationalQueries {
           |FROM reach GROUP BY src ORDER BY src""".stripMargin)
     },
 
+    // LATERAL correlated subquery — the remaining modern-SQL join
+    // surface after q50's scalar/EXISTS decorrelation: per outer row, a
+    // dependent subquery with its own ORDER BY + LIMIT (per-nation top-2
+    // customers by balance — the "top-N per group" idiom ANSI SQL
+    // writes as LATERAL). Identical SQL text both engines. Catalyst
+    // DECORRELATES the lateral into a ranking join rather than
+    // re-executing the inner query per outer row — which is the scale
+    // story: per-key top-N over a correlated LATERAL plans exactly like
+    // the window form (one exchange on the correlation key), so the
+    // friendly SQL surface costs what the hand-written window costs.
+    // Balances are raw column values (no float aggregation) — exact
+    // cross-engine.
+    "q53_lateral_topn" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_q53")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q53")
+      s.sql(
+        """SELECT n.n_name AS nation, t.c_custkey, t.bal
+          |FROM nation_q53 n, LATERAL (
+          |  SELECT c_custkey, c_acctbal AS bal FROM customer_q53
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY nation, bal DESC, c_custkey""".stripMargin)
+    },
+
     // q51's recursion at CORPUS scale — the probe the q51 COVERAGE note
     // promises: bounded-depth (4) reachability over successor-chain
     // edges of the DOCUMENTS table, accumulating character mass along
@@ -1602,6 +1626,14 @@ object RelationalQueries {
 
     // identical SQL text to the Spark side (run directly by DuckDB —
     // both engines iterate UNION ALL recursion to a fixpoint)
+    "q53_lateral_topn" ->
+      """SELECT n.n_name AS nation, t.c_custkey, t.bal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal AS bal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY nation, bal DESC, c_custkey""".stripMargin,
+
     // identical SQL text modulo the temp-view name (the driver's views
     // are named after the parquet tables)
     "q52_recursive_reachability" ->
