@@ -496,6 +496,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), "the correlated EXISTS must become a semi join")
   }
 
+  test("q53: LATERAL top-N decorrelates to a ranking join, not per-row re-execution") {
+    val p = plan("q53_lateral_topn")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the correlated LATERAL must rewrite to a join, not a nested loop")
+    // the LIMIT-per-group becomes a ranking (window/rank or per-key
+    // limit) over the correlation key — i.e. the same plan family the
+    // hand-written window form produces
+    assert(p.contains("Window") || p.contains("rank") || p.contains("row_number"),
+      "per-group LIMIT must plan as a ranking, proving decorrelation")
+  }
+
   test("q47: derived-interval range join is an equi-join on the bin, never a nested loop") {
     val p = plan("q47_spike_census")
     assert(!p.contains("CartesianProduct"))
