@@ -196,7 +196,8 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        parseAu(r.content).orElse(Wav.parse(r.content).map(_.samples)) match {
+        parseAu(r.content).orElse(Wav.parse(r.content).map(_.samples))
+            .orElse(Flac.parse(r.content).map(_.samples)) match {
           case Some(p) =>
             val (nf, tot, peak) = audioFrameCensus(p, frame, hop)
             AudioFrameStats(r.media_id, r.kind, r.content.length.toLong, nf, tot, peak)
@@ -573,6 +574,31 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // The compressed-AUDIO arm — FLAC through [[Flac]]'s pure-JVM
+    // Rice/fixed-predictor codec, m10's PNG story for sound: text bytes
+    // become 8-bit mono PCM, FLAC-encoded in the batch (bit-packing is
+    // not a column op) with the fixed-predictor order CYCLING 0→1→2
+    // across frames, then strictly decoded back (CRC-8 + CRC-16 per
+    // frame, exact sample-count and EOF) and framed 400/160 exactly like
+    // m06/m08. The oracle frames the text directly — a Rice slicing
+    // bug, wrong predictor reconstruction, or a frame boundary error
+    // shifts the energies and hash-mismatches. n_bytes is deliberately
+    // absent from the output: DEFLATE-class sizes aren't
+    // SQL-predictable (same reason m10 omits it).
+    "m11_flac_frames" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id".as("media_id"), $"source".as("kind"),
+          $"text".cast("binary").as("content"))
+      val enc = media.as[MediaRecord].mapPartitions { it =>
+        it.map(r => MediaRecord(r.media_id, r.kind, Flac.encode(16000, r.content)))
+      }.toDF()
+      frameAudio(s, enc)
+        .select($"media_id", $"kind", $"n_frames", $"total_energy",
+          $"peak_energy")
+        .orderBy($"media_id")
+    },
+
     "m03_media_phash_dedup" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -747,6 +773,25 @@ object Multimodal {
            |  FROM t)
            |SELECT media_id, kind,
            |  CAST(44 + n AS BIGINT) AS n_bytes,
+           |  CAST(nf AS BIGINT) AS n_frames,
+           |  CAST(coalesce(list_sum(es), 0) AS BIGINT) AS total_energy,
+           |  CAST(coalesce(list_max(es), 0) AS BIGINT) AS peak_energy
+           |FROM fe ORDER BY media_id""".stripMargin,
+
+    // m06's framing census without the container-size column (compressed
+    // sizes aren't SQL-predictable): decoded FLAC samples == text bytes
+    "m11_flac_frames" ->
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    length(text) AS n,
+           |    CASE WHEN length(text) >= 400
+           |         THEN (length(text) - 400) // 160 + 1 ELSE 0 END AS nf
+           |  FROM documents),
+           |fe AS (SELECT media_id, kind, n, nf,
+           |    list_transform(range(0, nf), k ->
+           |      list_sum(list_transform(range(1, 401),
+           |        j -> ord(substr(text, CAST(k * 160 + j AS BIGINT), 1))))) AS es
+           |  FROM t)
+           |SELECT media_id, kind,
            |  CAST(nf AS BIGINT) AS n_frames,
            |  CAST(coalesce(list_sum(es), 0) AS BIGINT) AS total_energy,
            |  CAST(coalesce(list_max(es), 0) AS BIGINT) AS peak_energy
