@@ -48,20 +48,23 @@ final case class PngFeatures(
   * work inside, declarative plan outside.
   *
   * ==CODECS==
-  * SIX real pure-JVM codecs are wired in: binary PGM (P5) via [[Pgm]],
-  * 8-bit paletted uncompressed BMP via [[Bmp]], color P6 PPM via
-  * [[Ppm]], and COMPRESSED 8-bit gray/RGB PNG via [[Png]] (zlib DEFLATE
-  * through the JDK's `java.util.zip` — no external deps) on the image
-  * side; the strict AU-style container ([[parseAu]]) and RIFF/WAVE
-  * 8-bit PCM ([[Wav]]) on the audio side. A blob that strictly parses
-  * as one of them is decoded to its raster/payload and featured/resized
-  * from real samples. Formats whose decompressors do NOT ship in the
-  * JDK (JPEG's DCT entropy coding, FLAC) remain behind **deterministic
-  * fakes** over the raw bytes (clearly marked below). The Spark-side
-  * plumbing — schema, typed Encoders, partitioning, batch shape,
-  * feature extraction through `mapPartitions` — is real and tested; in
-  * production the dispatch grows JPEG/FLAC arms in place of the stub
-  * fallback exactly as the six real arms did.
+  * SEVEN real pure-JVM codecs are wired in: binary PGM (P5) via
+  * [[Pgm]], 8-bit paletted uncompressed BMP via [[Bmp]], color P6 PPM
+  * via [[Ppm]], and COMPRESSED 8-bit gray/RGB PNG via [[Png]] (zlib
+  * DEFLATE through the JDK's `java.util.zip` — no external deps) on the
+  * image side; the strict AU-style container ([[parseAu]]), RIFF/WAVE
+  * 8-bit PCM ([[Wav]]), and COMPRESSED FLAC via [[Flac]]'s
+  * Rice/fixed-predictor codec on the audio side. A blob that strictly
+  * parses as one of them is decoded to its raster/payload and
+  * featured/resized from real samples. JPEG alone remains behind the
+  * **deterministic fake** (clearly marked below) — not because a
+  * decoder is unimplementable, but because JPEG is LOSSY: a
+  * planted-text oracle cannot predict decoded pixels, so a from-scratch
+  * decoder here would be unverifiable against the hash gate. The
+  * Spark-side plumbing — schema, typed Encoders, partitioning, batch
+  * shape, feature extraction through `mapPartitions` — is real and
+  * tested; a production JPEG arm drops into the dispatch exactly as the
+  * seven real arms did.
   *
   * There is no media table in the harness, so `documents.text` cast to
   * binary stands in for the blob column (ASCII, so byte == code point —
