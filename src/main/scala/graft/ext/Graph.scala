@@ -203,6 +203,69 @@ object Graph {
         .orderBy($"rank")
     },
 
+    // The ITERATE-TO-CONVERGENCE loop g01's cache-policy scaladoc
+    // defers to, made real: min-label propagation over the bipartite
+    // graph, looping until NO label changes. Min-label is MONOTONE
+    // (labels only decrease, to a unique fixpoint), so the convergence
+    // round count and every per-round changed-count are deterministic —
+    // which is what lets a hash oracle check a dynamic loop: the oracle
+    // unrolls the recurrence and emits rows up to the first zero-change
+    // round. Here the per-round EAGER count() is architecturally
+    // CORRECT (it IS the convergence check — the loop cannot be
+    // expressed lazily), and superseded round frames are released the
+    // moment the check completes — the exact pattern whose misuse on
+    // fixed-horizon g01 cost 6× (round 12). Output: the per-round
+    // convergence trace + the fixpoint census (component count, label
+    // checksum).
+    //
+    // Scale shape: per round, one equi-join of labels against the
+    // persisted hash-partitioned edge frame (co-partitioned at scale —
+    // bucket both on u) + a map-side-combinable min agg; driver state
+    // is one Long per round. For pure CC at scale prefer d09's
+    // multi-level contraction (O(log n) rounds inside ONE job); this is
+    // the round-per-job Pregel form every iterate-until-stable
+    // algorithm (LPA, SSSP, diffusion) actually uses.
+    "g05_labelprop_converged" -> { (s, d) =>
+      import s.implicits._
+      val ed = ed2(s, d)
+      var lbl = ed.select($"u").distinct().select($"u", $"u".as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var round = 1
+      var changed = -1L
+      var prev: DataFrame = null
+      while (changed != 0L && round <= 50) {
+        // g01's per-round plan shape: each node SENDS its label along
+        // its out-edges (the join is co-partitioned with the persisted
+        // u-partitioned edge frame — the big side never re-exchanges),
+        // min partials combine map-side, and the node-sized update join
+        // carries (old, new) so the convergence count needs no extra
+        // join. The first-draft lbl⋈ed⋈lbl form re-exchanged the edge
+        // frame by v every round — measured 35 s vs ~3 s at sf0.1.
+        val contrib = ed.join(lbl, "u")
+          .groupBy($"v").agg(min($"lbl").as("ml"))
+        val stage = lbl.join(contrib, lbl("u") === contrib("v"))
+          .select(lbl("u").as("u"), $"lbl".as("olbl"),
+            least($"lbl", $"ml").as("nl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the convergence check IS the materializing action
+        changed = stage.filter($"nl" =!= $"olbl").count()
+        hist += ((round, changed))
+        // rounds n-1 and n-2 are now superseded; release them
+        if (prev != null) prev.unpersist(false)
+        prev = lbl
+        lbl = stage.select($"u", $"nl".as("lbl"))
+        round += 1
+      }
+      val census = lbl.agg(
+        countDistinct($"lbl").as("n_components"),
+        sum(conv(substring(md5(concat_ws(",", $"u", $"lbl").cast("binary")),
+          1, 10), 16, 10).cast("long")).as("label_checksum"))
+      s.createDataFrame(hist.toSeq).toDF("round", "n_changed")
+        .crossJoin(broadcast(census))
+        .orderBy($"round")
+    },
+
     // Fixed-point integer PageRank, 3 rounds, over the undirected
     // bipartite graph; output = top-20 suppliers by final score. Every
     // node appears as a destination (undirected edges), so no
@@ -318,6 +381,39 @@ object Graph {
              |  WHERE shared > 0)
              |SELECT rank, sa, sb, CAST(shared AS BIGINT) AS shared, lift
              |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
+
+      // the dynamic loop replayed by unrolling: min-label propagation is
+      // monotone with a unique fixpoint, so per-round changed-counts are
+      // deterministic; 6 unrolled rounds cover sf0.01's convergence at
+      // round 4 (measured 1594/1554/56/0 — the oracle gate only ever
+      // runs at sf0.01), and rows are emitted up to the first zero round
+      // so the hash also PINS the convergence round count
+      "g05_labelprop_converged" -> {
+        val rounds = 6
+        val roundCtes = (1 to rounds).map { k =>
+          raw"""l$k AS (SELECT n.u, LEAST(n.lbl, MIN(p.lbl)) AS lbl
+               |  FROM l${k - 1} n JOIN ed e ON e.u = n.u JOIN l${k - 1} p ON p.u = e.v
+               |  GROUP BY n.u, n.lbl),
+               |d$k AS (SELECT $k AS r, COUNT(*) AS ch
+               |  FROM l$k a JOIN l${k - 1} b USING (u) WHERE a.lbl <> b.lbl)""".stripMargin
+        }.mkString(",\n")
+        val unionD = (1 to rounds).map(k => s"SELECT r, ch FROM d$k")
+          .mkString(" UNION ALL ")
+        raw"""WITH $edgeCtes,
+             |nodes AS (SELECT DISTINCT u FROM ed),
+             |l0 AS (SELECT u, u AS lbl FROM nodes),
+             |$roundCtes,
+             |rr AS ($unionD),
+             |cr AS (SELECT MIN(r) AS cr FROM rr WHERE ch = 0),
+             |census AS (SELECT COUNT(DISTINCT lbl) AS n_components,
+             |    CAST(SUM(('0x' || substr(md5(u::VARCHAR || ',' || lbl::VARCHAR), 1, 10))::BIGINT) AS BIGINT) AS label_checksum
+             |  FROM l$rounds)
+             |SELECT CAST(r AS INTEGER) AS round, CAST(ch AS BIGINT) AS n_changed,
+             |  n_components, label_checksum
+             |FROM rr CROSS JOIN census
+             |WHERE r <= (SELECT cr FROM cr)
+             |ORDER BY round""".stripMargin
       },
 
       "g02_degree_census" ->
