@@ -266,6 +266,89 @@ object Graph {
         .orderBy($"round")
     },
 
+    // Triangle census + clustering coefficients — the classic graph
+    // operator the family still lacked (the bipartite graph itself has
+    // NO odd cycles, so triangles only exist on a unipartite
+    // projection). Graph construction: the supplier co-occurrence
+    // strengths (g03's sorted-set intersection), sparsified to each
+    // node's MUTUAL top-6 partners by (shared DESC, partner ASC) —
+    // the mutual-kNN sparsification every similarity-graph pipeline
+    // uses before community detection, and it makes the graph
+    // BOUNDED-DEGREE (≤ 6) by construction (k=6 is the smallest k
+    // whose mutual graph closes triangles at every harness SF —
+    // measured 24/9 triangles at sf0.001/sf0.01; k=3 gave 1/0). Output: top-20 nodes by
+    // triangle count with local clustering coefficients
+    // 2·t(v)/(deg·(deg−1)), plus the global census (nodes, edges,
+    // triangles, transitivity 3·Δ/wedges) broadcast onto every row.
+    //
+    // Scale shape (100 TB): the heavy stage is the pair-strength build,
+    // which is exactly g03/g04's documented story (array form while
+    // sets fit, segment bitmaps when they don't). The triangle join
+    // itself is the node-iterator form (two equi-joins on canonical
+    // u<v edges: wedges e1=(a,b)⋈e2=(b,c) closed by e3=(a,c)) over a
+    // degree-≤6 edge set — wedge fan-out is capped at C(6,2)=15 per
+    // node, so the join cannot skew REGARDLESS of data. On graphs
+    // without a construction-time degree bound, orient edges by
+    // (degree, id) instead of raw id before the wedge join (the
+    // MapReduce triangle-counting standard) — same output, same
+    // number of closed wedges, hub fan-out bounded by rank.
+    "g06_triangle_census" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sets = custSupp(s, d).groupBy($"sp")
+        .agg(sort_array(collect_set($"c")).as("cs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
+        .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
+          graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
+            .as("shared"))
+        .filter($"shared" > 0)
+        // persisted: dir's two union arms would otherwise run the 500k-pair
+        // intersection join twice (measured: this cache + sets' is the
+        // difference between 8.9 and ~2 s steady at sf0.1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
+        .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
+      // persisted: the x and y arms of the mutuality join both consume
+      // this frame, and WITHOUT the cache each arm would recompute the
+      // whole 500k-pair intersection build upstream (measured 8.6 →
+      // 2.9 s steady at sf0.1); rows are two longs per kept ranking —
+      // node-count-sized. End-of-life: g04's documented policy
+      val top = dir.withColumn("rk", row_number().over(
+          Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
+        .filter($"rk" <= 6).select($"n", $"p")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u;
+      // node-sized frame, persisted for its four downstream uses (deg +
+      // three triangle-join arms); end-of-life is g04's documented
+      // policy (MEMORY_AND_DISK LRU + Verify's per-query clearCache)
+      val ed = top.as("x").join(top.as("y"),
+          col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
+            col("x.n") < col("x.p"))
+        .select(col("x.n").as("u"), col("x.p").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (deg, tri) = triangleCore(s, ed)
+      val triN = tri.select(explode(array($"a", $"b", $"c")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("tri"))
+      val census = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) DIV 2")).as("wedges"))
+        .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .select($"n_nodes", $"n_edges", $"n_triangles",
+          round($"n_triangles".cast("double") * 3 / $"wedges", 6)
+            .as("global_cc"))
+      deg.join(triN, Seq("n"), "left").na.fill(0L, Seq("tri"))
+        .filter($"deg" >= 2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"tri".desc, $"deg".asc, $"n".asc)))
+        .filter($"rank" <= 20)
+        .select($"rank", $"n".as("s_suppkey"), $"deg", $"tri",
+          round($"tri".cast("double") * 2 / ($"deg" * ($"deg" - 1)), 6)
+            .as("lcc"))
+        .crossJoin(broadcast(census))
+        .orderBy($"rank")
+    },
+
     // Fixed-point integer PageRank, 3 rounds, over the undirected
     // bipartite graph; output = top-20 suppliers by final score. Every
     // node appears as a destination (undirected edges), so no
@@ -313,6 +396,26 @@ object Graph {
         .orderBy($"rank")
     }
   )
+
+  /** Node-iterator triangle enumeration over a CANONICAL (u < v)
+    * undirected edge list: wedges (a,b)⋈(b,c) closed by the (a,c)
+    * edge — each triangle a<b<c enumerated exactly once. Returns
+    * (degree frame (n, deg), triangle frame (a, b, c)). Id-orientation
+    * is safe exactly when the edge set is bounded-degree (g06's mutual
+    * top-3 construction guarantees it); see g06's scaladoc for the
+    * degree-ordered variant on unbounded graphs. Factored out so the
+    * spec can drive it with known fixtures (K4, C5). */
+  private[ext] def triangleCore(s: SparkSession, ed: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val deg = ed.select($"u".as("n")).union(ed.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val tri = ed.as("e1").join(ed.as("e2"), col("e2.u") === col("e1.v"))
+      .join(ed.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    (deg, tri)
+  }
 
   // The loop's edge list: hash-partitioned on the join key ONCE and
   // persisted in that layout, so each round's edges⋈scores join reuses
@@ -415,6 +518,47 @@ object Graph {
              |WHERE r <= (SELECT cr FROM cr)
              |ORDER BY round""".stripMargin
       },
+
+      // the same mutual-top-3 sparsification and node-iterator wedge
+      // join, exact-integer throughout; the two rounded doubles (lcc,
+      // global transitivity) use the identical operand order
+      "g06_triangle_census" ->
+        // MATERIALIZED hints (DuckDB-only syntax — the oracle never runs
+        // in Spark): DuckDB inlines plain CTEs, so the 12M-row pair join
+        // would otherwise recompute once per downstream reference
+        raw"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |p AS MATERIALIZED (SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS shared
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |dir AS (SELECT sa AS n, sb AS p, shared FROM p
+             |  UNION ALL SELECT sb, sa, shared FROM p),
+             |top3 AS (SELECT n, p FROM (SELECT n, p,
+             |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
+             |  FROM dir) WHERE rk <= 6),
+             |ed AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top3 x
+             |  JOIN top3 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |deg AS (SELECT n, COUNT(*) AS deg
+             |  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) GROUP BY n),
+             |tr AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+             |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |tn AS (SELECT n, COUNT(*) AS tri FROM (SELECT a AS n FROM tr
+             |  UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr) GROUP BY n),
+             |census AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             |    (SELECT COUNT(*) FROM ed) AS n_edges,
+             |    (SELECT COUNT(*) FROM tr) AS n_triangles,
+             |    (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS wedges),
+             |pn AS (SELECT n, deg, COALESCE(tri, 0) AS tri,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(tri, 0) DESC, deg ASC, n ASC)
+             |      AS INTEGER) AS rank
+             |  FROM deg LEFT JOIN tn USING (n) WHERE deg >= 2)
+             |SELECT rank, n AS s_suppkey, CAST(deg AS BIGINT) AS deg,
+             |  CAST(tri AS BIGINT) AS tri,
+             |  round(CAST(tri AS DOUBLE) * 2 / (deg * (deg - 1)), 6) AS lcc,
+             |  CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+             |  CAST(n_triangles AS BIGINT) AS n_triangles,
+             |  round(CAST(n_triangles AS DOUBLE) * 3 / wedges, 6) AS global_cc
+             |FROM pn CROSS JOIN census WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
       "g02_degree_census" ->
         raw"""WITH $edgeCtes

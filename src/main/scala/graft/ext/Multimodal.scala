@@ -41,6 +41,11 @@ final case class PngFeatures(
     width: Int, height: Int, channels: Int, filters_seen: Int,
     r_sum: Long, g_sum: Long, b_sum: Long)
 
+final case class GifFeatures(
+    media_id: Long, kind: String,
+    width: Int, height: Int,
+    idx_sum: Long, gray_sum: Long, first_gray: Int, last_gray: Int)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -48,11 +53,12 @@ final case class PngFeatures(
   * work inside, declarative plan outside.
   *
   * ==CODECS==
-  * SEVEN real pure-JVM codecs are wired in: binary PGM (P5) via
+  * EIGHT real pure-JVM codecs are wired in: binary PGM (P5) via
   * [[Pgm]], 8-bit paletted uncompressed BMP via [[Bmp]], color P6 PPM
-  * via [[Ppm]], and COMPRESSED 8-bit gray/RGB PNG via [[Png]] (zlib
-  * DEFLATE through the JDK's `java.util.zip` — no external deps) on the
-  * image side; the strict AU-style container ([[parseAu]]), RIFF/WAVE
+  * via [[Ppm]], COMPRESSED 8-bit gray/RGB PNG via [[Png]] (zlib
+  * DEFLATE through the JDK's `java.util.zip` — no external deps), and
+  * LZW-compressed GIF87a via [[Gif]] (from-scratch variable-width LZW)
+  * on the image side; the strict AU-style container ([[parseAu]]), RIFF/WAVE
   * 8-bit PCM ([[Wav]]), and COMPRESSED FLAC via [[Flac]]'s
   * Rice/fixed-predictor codec on the audio side. A blob that strictly
   * parses as one of them is decoded to its raster/payload and
@@ -64,7 +70,7 @@ final case class PngFeatures(
   * Spark-side plumbing — schema, typed Encoders, partitioning, batch
   * shape, feature extraction through `mapPartitions` — is real and
   * tested; a production JPEG arm drops into the dispatch exactly as the
-  * seven real arms did.
+  * eight real arms did.
   *
   * There is no media table in the harness, so `documents.text` cast to
   * binary stands in for the blob column (ASCII, so byte == code point —
@@ -292,6 +298,53 @@ object Multimodal {
               img.channels, img.filtersSeen, rs, gs, bs)
           case _ =>
             PngFeatures(r.media_id, r.kind, -1, -1, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** m12's raster width and media construction (m10's factoring): text
+    * bytes become an 8-wide, ≤8-tall PALETTE-INDEX raster; all ops are
+    * narrow so the frame builds unchanged on a streaming scan. */
+  private[graft] val GifW = 8
+  private[graft] def gifMedia(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val h = least(floor(length(bin) / GifW), lit(8)).cast("int")
+    docs.filter(length(bin) >= GifW)
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        bin.substr(lit(1), h * GifW).as("content"))
+  }
+
+  /** LZW round-trip batch: per blob, the raw palette indices in
+    * `content` are GIF87a-encoded (variable-width LZW — not expressible
+    * as column ops, so it lives in the JVM batch like m10's DEFLATE and
+    * m11's Rice), strictly re-parsed by [[Gif.parse]], and featured
+    * from BOTH the decoded indices and the palette-RESOLVED gray
+    * values. The planted palette is the non-identity permutation
+    * `(7i+13) mod 256`, so `gray_sum`/`first_gray`/`last_gray` only
+    * match the oracle if the parser really read the color table and
+    * resolved every index through it. Parse failure → sentinel (-1)
+    * row, the m06/m08 convention. */
+  def gifFeatures(spark: SparkSession, media: DataFrame, w: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val h = r.content.length / w
+        val blob = Gif.encode(w, h,
+          java.util.Arrays.copyOfRange(r.content, 0, w * h))
+        Gif.parse(blob) match {
+          case Some(img) if img.width == w && img.height == h =>
+            var is = 0L; var gs = 0L
+            var i = 0
+            while (i < img.indices.length) {
+              is += img.indices(i) & 0xff
+              gs += img.gray(i) & 0xff
+              i += 1
+            }
+            GifFeatures(r.media_id, r.kind, img.width, img.height, is, gs,
+              img.gray(0) & 0xff, img.gray(img.gray.length - 1) & 0xff)
+          case _ =>
+            GifFeatures(r.media_id, r.kind, -1, -1, -1L, -1L, -1, -1)
         }
       }
     }.toDF()
@@ -577,6 +630,21 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // The LZW arm — the third compressed codec and the third distinct
+    // compression FAMILY (variable-width LZW next to m10's DEFLATE and
+    // m11's Rice): text bytes become palette indices, GIF87a-encoded
+    // and strictly decoded back through [[Gif]]'s full code dance
+    // (9→12-bit widths with the decoder's early bump, clear/EOI,
+    // KwKwK, sub-block framing). Features come from the decoded
+    // indices AND the palette-resolved grays under the planted
+    // non-identity palette — a parser that skips the color table, or
+    // an LZW desync anywhere, hash-mismatches loudly. n_bytes is
+    // absent: LZW sizes aren't SQL-predictable (the m10/m11 rule).
+    "m12_gif_decode" -> { (s, d) =>
+      gifFeatures(s, gifMedia(Tables.documents(s, d)), GifW)
+        .orderBy(col("media_id"))
+    },
+
     // The compressed-AUDIO arm — FLAC through [[Flac]]'s pure-JVM
     // Rice/fixed-predictor codec, m10's PNG story for sound: text bytes
     // become 8-bit mono PCM, FLAC-encoded in the batch (bit-packing is
@@ -760,6 +828,24 @@ object Multimodal {
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
            |FROM t ORDER BY media_id""".stripMargin
     },
+
+    // indices are the text bytes; grays resolve through the planted
+    // affine palette (7i+13) mod 256 — computable straight from the
+    // characters, so the oracle checks the palette indirection without
+    // ever seeing the LZW stream
+    "m12_gif_decode" ->
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 8, 8) AS h
+           |  FROM documents WHERE length(text) >= 8)
+           |SELECT media_id, kind,
+           |  CAST(8 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(list_sum(list_transform(range(1, 8*h + 1),
+           |    i -> ord(substr(text, i, 1)))) AS BIGINT) AS idx_sum,
+           |  CAST(list_sum(list_transform(range(1, 8*h + 1),
+           |    i -> (ord(substr(text, i, 1)) * 7 + 13) % 256)) AS BIGINT) AS gray_sum,
+           |  CAST((ord(substr(text, 1, 1)) * 7 + 13) % 256 AS INTEGER) AS first_gray,
+           |  CAST((ord(substr(text, 8*h, 1)) * 7 + 13) % 256 AS INTEGER) AS last_gray
+           |FROM t ORDER BY media_id""".stripMargin,
 
     // identical framing oracle to m06, different container overhead: the
     // canonical WAV header is a fixed 44 bytes

@@ -378,6 +378,74 @@ object Similarity {
         .orderBy($"query_id", $"rank")
     },
 
+    // The lifecycle's third act — DELETES + COMPACTION (s22 built the
+    // index, s23 appended to it): the saved coded corpus is laid out
+    // PARTITIONED BY CELL (the layout that makes serving open only
+    // probed cells and maintenance touch only affected ones); a
+    // tombstone set arrives (vec_id % 10 == 3, the harness delete
+    // convention); compaction writes the surviving rows of the TOUCHED
+    // cells to a staging path and swaps them in with DYNAMIC partition
+    // overwrite — untouched cell partitions are never rewritten (their
+    // survival is oracle-proven: the full-coverage checksum over the
+    // re-read files spans every live row, so a wiped or stale
+    // partition hash-mismatches). Output: probes served from the
+    // compacted files (neighbors can no longer include deleted ids) +
+    // the compaction census (n_live, n_ghosts — oracle pins it to 0,
+    // n_cells_compacted, checksum). Scale shape: maintenance cost
+    // follows the TOMBSTONED CELLS (read + rewrite only those
+    // partitions; here uniform deletes touch all 8 local cells, but
+    // production deletes cluster by recency/tenant so most partitions
+    // sleep); the staging-then-swap is exactly how production
+    // compactors avoid read-overwrite races.
+    "s24_ivfpq_delete_compact" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      val isDel = col("vec_id") % 10 === 3
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s24_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val cb = ivfpqCoarseCb(e)
+      cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
+      val cbR = s.read.parquet(path + "/cb")
+      // last night's artifact: the FULL corpus coded, laid out by cell
+      ivfpqEncode(ivfpqAssign(e, cbR), subCbFromSaved(cbR))
+        .write.mode("overwrite").partitionBy("cell").parquet(path + "/enc")
+      val encR0 = s.read.parquet(path + "/enc")
+      // the touched-partition list is a DRIVER-side compaction decision
+      // (≤ cell-count values — exactly what a production compactor
+      // lists before planning its rewrite), and it must materialize
+      // BEFORE the swap: any plan still reading the pre-swap files
+      // would evaluate after they are gone
+      val touchedCells = encR0.filter(isDel)
+        .select($"cell".cast("long")).distinct().as[Long].collect().sorted
+      // stage the touched cells' survivors (a separate path — Spark
+      // rightly refuses to overwrite a path it is reading), then swap
+      // them in; only the staged partitions are replaced
+      encR0.filter($"cell".isin(touchedCells: _*) && !isDel)
+        .write.mode("overwrite").parquet(path + "/compact_stage")
+      s.read.parquet(path + "/compact_stage")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path + "/enc")
+      // the swap replaced files under a path this session already
+      // listed — drop the cached file index before re-reading
+      s.catalog.refreshByPath(path + "/enc")
+      val live = s.read.parquet(path + "/enc")
+      val census = live.agg(
+          count(lit(1)).as("n_live"),
+          count(when(isDel, 1)).as("n_ghosts"),
+          sum(conv(substring(md5(concat_ws(",", $"vec_id", $"cell",
+              concat_ws(",", $"code".cast("array<string>"))).cast("binary")),
+            1, 10), 16, 10).cast("long")).as("code_checksum"))
+        .withColumn("n_cells_compacted", lit(touchedCells.length.toLong))
+      val probes = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"v")
+      ivfpqServeTop5(cbR, live, probes)
+        .select($"query_id", posexplode($"top5"))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+          $"col.vec_id".as("neighbor_id"), round($"col.adc", 6).as("adc"))
+        .crossJoin(broadcast(census))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Materialized-index serving — the s-family analog of c13's "prove
     // the FILES, not the plan": the frozen IVF-PQ index is written to
     // parquet, re-read, and the probes are served strictly from the
@@ -1778,6 +1846,64 @@ object Similarity {
            |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id)
            |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id,
            |  round(adc, 6) AS adc, n_base, n_increment, code_checksum
+           |FROM ar CROSS JOIN census
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // s22's replay over the LIVE set only: candidates and the
+    // full-coverage checksum exclude vec_id % 10 = 3 (the tombstones);
+    // n_ghosts is the literal 0 — if compaction left any tombstoned row
+    // in the files, or dynamic overwrite wiped an untouched partition,
+    // the engine's census diverges and the hash mismatches
+    "s24_ivfpq_delete_compact" -> {
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      val adcSum = (0 until 8)
+        .map(m => s"tq[($m*8 + code[${m + 1}] + 1)::INT]").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS (SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND $SqlQueryPred),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE $SqlQueryPred GROUP BY vec_id),
+           |sc AS (SELECT query_id, vec_id, $adcSum AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id
+           |        WHERE a.vec_id % 10 <> 3)),
+           |ar AS (SELECT query_id, vec_id, adc,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+           |  FROM sc),
+           |census AS (SELECT
+           |    CAST(COUNT(CASE WHEN a.vec_id % 10 <> 3 THEN 1 END) AS BIGINT) AS n_live,
+           |    CAST(0 AS BIGINT) AS n_ghosts,
+           |    CAST(SUM(CASE WHEN a.vec_id % 10 <> 3 THEN
+           |      ('0x' || substr(md5(a.vec_id::VARCHAR || ',' ||
+           |        a.cell::VARCHAR || ',' || array_to_string(c.code, ',')),
+           |        1, 10))::BIGINT END) AS BIGINT) AS code_checksum,
+           |    CAST(COUNT(DISTINCT CASE WHEN a.vec_id % 10 = 3 THEN a.cell END)
+           |      AS BIGINT) AS n_cells_compacted
+           |  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id,
+           |  round(adc, 6) AS adc, n_live, n_ghosts, code_checksum,
+           |  n_cells_compacted
            |FROM ar CROSS JOIN census
            |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },

@@ -70,12 +70,14 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s13_ivfpq_search" -> 128,         // measured 60 KB (cell partials + ADC tables)
     "s22_ivfpq_saved_index" -> 144,    // measured 70 KB (build partials; serve ~0, write is file I/O)
     "s23_ivfpq_index_maintenance" -> 144, // measured 70 KB (same — append is file I/O)
+    "s24_ivfpq_delete_compact" -> 128, // measured 60 KB (build partials; compaction swap is file I/O)
     "c20_format_roundtrip" -> 64,      // ~0: format writes are I/O, census partials only
     // graph: node/edge ids only
     "g01_pagerank" -> 2900,            // measured 1.40 MB (edge build + 3 rounds)
     "g05_labelprop_converged" -> 2800, // measured 1.38 MB (edge build + 4 convergence rounds)
     "g03_cooccurrence" -> 416,         // measured 190 KB (one set-building exchange)
     "g04_cooccurrence_bitmap" -> 1100, // measured 540 KB (segment bitmaps + pair partials)
+    "g06_triangle_census" -> 416,      // measured 190 KB (the g03 set-building exchange; triangle join adds ~0)
     // relational: dimension broadcasts, two-phase aggs
     "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
     "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back
@@ -89,7 +91,9 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c11_incremental_build" -> 128,    // measured 60 KB (ledger keys + chunk hashes)
     "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
     "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
-    "t14_bpe_encode" -> 88)            // measured 40 KB (per-doc checksum partials)
+    "t14_bpe_encode" -> 88,            // measured 40 KB (per-doc checksum partials)
+    // codecs: encode/decode live scan-side; only the output sort exchanges
+    "m12_gif_decode" -> 64)            // ~0: LZW round-trip never shuffles
 
   private lazy val written = {
     val w = new LongAdder
@@ -128,6 +132,6 @@ class ShuffleCeilingSpec extends SparkSuite {
         "change. NOTE: ceilings are absolute bytes tied to this suite's " +
         "local[4]/4-shuffle-partition config and lz4 block compression — " +
         "if MANY ceilings trip at once after a Spark/codec/partition-config " +
-        "change, suspect the environment, not 32 simultaneous plan regressions")
+        "change, suspect the environment, not 35 simultaneous plan regressions")
   }
 }

@@ -78,6 +78,50 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("g06 triangle core: K4 has 4 triangles, C5 has none, K4+pendant keeps 4") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): (Map[Long, Long], Seq[(Long, Long, Long)]) = {
+      val (deg, tr) = Graph.triangleCore(spark, edges.toDF("u", "v"))
+      (deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        tr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    }
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each enumerated once as a<b<c
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val (dK4, tK4) = tri(k4)
+    assert(dK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(tK4.sorted == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // C5 (5-cycle): triangle-free
+    val (_, tC5) = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)))
+    assert(tC5.isEmpty)
+    // a pendant edge joins the count of its component, adds no triangle
+    val (dP, tP) = tri(k4 :+ (4L, 9L))
+    assert(tP.sorted == tK4.sorted && dP(9L) == 1L && dP(4L) == 4L)
+  }
+
+  test("g06: census identities hold on real data (3·Δ node-sum, cc bounds)") {
+    val rows = Graph.queries("g06_triangle_census")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "empty triangle census at sf0.001")
+    val nTri = rows.head.getLong(7)
+    // census columns are constant across rows
+    assert(rows.forall(r => r.getLong(7) == nTri))
+    // each listed node's triangle count is at most C(deg,2) wedges
+    rows.foreach { r =>
+      val (deg, tri, lcc) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(tri <= deg * (deg - 1) / 2, s"tri $tri exceeds wedges at deg $deg")
+      assert(lcc >= 0.0 && lcc <= 1.0, s"lcc out of range: $lcc")
+    }
+    // mutual top-6 construction bounds every degree by 6
+    assert(rows.forall(_.getLong(2) <= 6))
+    val ranks = rows.map(_.getInt(0)).toSeq
+    assert(ranks == (1 to rows.length), s"rank gap: $ranks")
+    // when the top-20 cut is not binding the listing covers every node
+    // that CAN close a triangle (deg<2 ⇒ no wedge), so per-node counts
+    // must sum to 3·Δ — each triangle counted once at each corner
+    if (rows.length < 20)
+      assert(rows.map(_.getLong(3)).sum == 3 * nTri)
+  }
+
   test("g01: score mass stays within the damping fixed-point envelope on real data") {
     val sf = "/root/testdata/sf0.001"
     val rows = Graph.queries("g01_pagerank")(spark, sf).collect()

@@ -161,4 +161,26 @@ class SimilaritySpec extends SparkSuite {
     val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
     assert(totVec == corpus, s"$totVec != $corpus")
   }
+
+  test("s24: compaction leaves no ghost — tombstoned ids vanish from files and neighbors") {
+    import spark.implicits._
+    val rows = Similarity.queries("s24_ivfpq_delete_compact")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // served neighbors can never be tombstoned ids (they are gone from
+    // the compacted files, not merely filtered at query time)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") % 10 != 3))
+    // the census agrees: zero ghosts, live count excludes every deleted id
+    assert(rows.forall(_.getAs[Long]("n_ghosts") == 0L))
+    val nLive = rows.head.getAs[Long]("n_live")
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val expected = e.filter($"vec_id" % 10 =!= 3).count()
+    assert(nLive == expected, s"n_live $nLive != surviving corpus $expected")
+    // and the files themselves are clean: re-read the compacted index
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_s24_index__root_testdata_sf0_001").getAbsolutePath
+    val ghosts = spark.read.parquet(path + "/enc")
+      .filter(col("vec_id") % 10 === 3).count()
+    assert(ghosts == 0L, s"$ghosts tombstoned rows survive in the files")
+  }
 }
