@@ -572,6 +572,80 @@ object Curation {
         .orderBy($"shard")
     },
 
+    // Incremental MATERIALIZED-VIEW maintenance — the aggregate analog
+    // of the nightly family (s23 appends codes, d22 serves ledgers, s24
+    // compacts deletes): a daily (day, event_type) rollup ledger holds
+    // MERGEABLE partial states (counts, EXACT decimal sums, min/max,
+    // an id-multiset checksum — every one combinable by sum/min/max, so
+    // re-merging partials is exact by associativity); tonight's
+    // increment is the newest day PLUS a late-arriving slice of the
+    // prior day (event_id % 7 == 3 — the deterministic stand-in for
+    // late data), so maintenance must both APPEND a new day partition
+    // and RE-MERGE an existing one: the touched days' old states union
+    // the increment's partials, merge by sum/min/max, stage, and swap
+    // in via dynamic partition overwrite (s24's staging pattern —
+    // untouched day partitions never rewritten). The oracle recomputes
+    // the rollup from ALL events from scratch: a hash match IS the
+    // defining MV-maintenance invariant (incremental == full
+    // recompute), and any ghost, double-merge, or wiped untouched
+    // partition breaks it. Scale shape: maintenance cost follows the
+    // increment + touched partitions (base event rows are never
+    // re-scanned); distinct-user states would ride along as mergeable
+    // HLL sketches (q20's verdict pattern) — counts here stay exact.
+    "c21_rollup_maintenance" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"event_type", $"event_id", $"value")
+      def state(df: DataFrame): DataFrame = df
+        .groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(14,2)")).as("value_sum"),
+          min($"value").as("vmin"), max($"value").as("vmax"),
+          sum(conv(substring(md5($"event_id".cast("string").cast("binary")),
+            1, 10), 16, 10).cast("long")).as("id_checksum"))
+      // the nightly cut — one driver-side value, like s24's partition list
+      val maxDay = ev.agg(max($"day")).head().getDate(0)
+      val lateDay = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(1))
+      val isInc = $"day" === lit(maxDay) ||
+        ($"day" === lit(lateDay) && $"event_id" % 7 === 3)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_c21_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      // last night's ledger: all non-increment events, partitioned by day
+      state(ev.filter(!isInc))
+        .write.mode("overwrite").partitionBy("day").parquet(path + "/roll")
+      // tonight: merge old partials of the touched days with the
+      // increment's partials (stage, then swap — s24's race-free pattern)
+      val inc = state(ev.filter(isInc))
+      s.read.parquet(path + "/roll")
+        .filter($"day".isin(maxDay, lateDay))
+        .unionByName(inc)
+        .groupBy($"day", $"event_type")
+        .agg(sum($"n_events").cast("long").as("n_events"),
+          sum($"value_sum").cast("decimal(24,2)").as("value_sum"),
+          min($"vmin").as("vmin"), max($"vmax").as("vmax"),
+          sum($"id_checksum").cast("long").as("id_checksum"))
+        .write.mode("overwrite").parquet(path + "/merge_stage")
+      s.read.parquet(path + "/merge_stage")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path + "/roll")
+      s.catalog.refreshByPath(path + "/roll")
+      val ledger = s.read.parquet(path + "/roll")
+      val census = ledger.agg(
+          countDistinct($"day").as("n_days"),
+          count(lit(1)).as("n_rollup_rows"))
+        .withColumn("n_days_touched", lit(2L))
+        .crossJoin(broadcast(
+          ev.filter(isInc).agg(count(lit(1)).as("n_increment_events"))))
+      ledger
+        .select($"day".cast("timestamp_ntz").as("day"), $"event_type", $"n_events",
+          round($"value_sum", 2).cast("double").as("value_sum"),
+          round($"vmin", 6).as("vmin"), round($"vmax", 6).as("vmax"),
+          $"id_checksum")
+        .crossJoin(broadcast(census))
+        .orderBy($"day", $"event_type")
+    },
+
     // Lake-format interop round-trip — the storage capability c13 proves
     // for parquet, extended to the OTHER two formats a lakehouse corpus
     // actually arrives in: columnar ORC (splittable, predicate-pushdown —
@@ -1052,6 +1126,34 @@ object Curation {
 
     // same census as c05's oracle, computed directly from `documents` —
     // matching the Spark side's re-read census proves the files round-trip
+    // full recompute from scratch — equality with the incrementally
+    // maintained ledger IS the MV-maintenance invariant; the increment
+    // definition (newest day + the prior day's event_id % 7 = 3 slice)
+    // only shapes the census, never the rollup values
+    "c21_rollup_maintenance" ->
+      raw"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type, event_id, value
+           |  FROM events),
+           |mx AS (SELECT MAX(day) AS maxd FROM ev),
+           |roll AS (SELECT day, event_type,
+           |    COUNT(*) AS n_events,
+           |    CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS value_sum,
+           |    round(MIN(value), 6) AS vmin, round(MAX(value), 6) AS vmax,
+           |    CAST(SUM(('0x' || substr(md5(event_id::VARCHAR), 1, 10))::BIGINT)
+           |      AS BIGINT) AS id_checksum
+           |  FROM ev GROUP BY 1, 2),
+           |census AS (SELECT
+           |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rollup_rows,
+           |    CAST(2 AS BIGINT) AS n_days_touched,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev CROSS JOIN mx
+           |      WHERE day = maxd OR (day = maxd - 1 AND event_id % 7 = 3))
+           |      AS n_increment_events
+           |  FROM roll)
+           |SELECT CAST(day AS TIMESTAMP) AS day, event_type, n_events, value_sum,
+           |  vmin, vmax, id_checksum,
+           |  n_days, n_rollup_rows, n_days_touched, n_increment_events
+           |FROM roll CROSS JOIN census ORDER BY day, event_type""".stripMargin,
+
     "c13_shard_materialize" ->
       raw"""WITH t AS (SELECT doc_id, text,
            |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tk

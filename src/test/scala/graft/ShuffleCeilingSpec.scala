@@ -89,6 +89,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "d22_ledger_dedup" -> 104,         // measured 50 KB (ledger build distincts + census)
     "s18_incremental_ingest" -> 64,    // measured 10 KB (increment cell partials)
     "c11_incremental_build" -> 128,    // measured 60 KB (ledger keys + chunk hashes)
+    "c21_rollup_maintenance" -> 64,    // measured 20 KB (day-type state partials; swap is file I/O)
     "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
     "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
     "t14_bpe_encode" -> 88,            // measured 40 KB (per-doc checksum partials)
@@ -132,6 +133,6 @@ class ShuffleCeilingSpec extends SparkSuite {
         "change. NOTE: ceilings are absolute bytes tied to this suite's " +
         "local[4]/4-shuffle-partition config and lz4 block compression — " +
         "if MANY ceilings trip at once after a Spark/codec/partition-config " +
-        "change, suspect the environment, not 35 simultaneous plan regressions")
+        "change, suspect the environment, not 36 simultaneous plan regressions")
   }
 }

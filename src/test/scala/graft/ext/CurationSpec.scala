@@ -296,4 +296,35 @@ class CurationSpec extends SparkSuite {
     val lead1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._5).toSeq
     assert(lead0 != lead1, "epoch leads identical — salt not applied")
   }
+
+  test("c21: maintenance rewrites ONLY the touched day partitions") {
+    import spark.implicits._
+    val rows = Curation.queries("c21_rollup_maintenance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // the parquet part-file names carry the WRITE JOB's UUID, so the base
+    // build and the maintenance swap are distinguishable on disk: exactly
+    // two jobs must have written the ledger, and the second one must have
+    // touched exactly the two maintained day partitions — a full rewrite
+    // (one uuid everywhere) or an over-eager swap both fail here
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_c21_rollup__root_testdata_sf0_001/roll")
+    val dayDirs = root.listFiles().filter(_.getName.startsWith("day="))
+    assert(dayDirs.length >= 3, s"need >2 day partitions, got ${dayDirs.length}")
+    val uuidByDay = dayDirs.map { dir =>
+      val uuids = dir.listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getName.replaceAll("^part-\\d+-", "").take(36)).toSet
+      assert(uuids.size == 1, s"${dir.getName}: mixed write jobs $uuids")
+      dir.getName.stripPrefix("day=") -> uuids.head
+    }.toMap
+    val byUuid = uuidByDay.groupBy(_._2).map { case (u, m) => u -> m.keys.toSet }
+    assert(byUuid.size == 2, s"expected base+merge write jobs, got $byUuid")
+    val touched = byUuid.values.minBy(_.size)
+    val days = uuidByDay.keys.toSeq.sorted
+    assert(touched == Set(days.last, days(days.length - 2)),
+      s"maintenance touched $touched, expected the last two days of $days")
+    // census columns agree with the layout
+    assert(rows.head.getAs[Long]("n_days") == dayDirs.length.toLong)
+    assert(rows.head.getAs[Long]("n_days_touched") == 2L)
+  }
 }
