@@ -438,6 +438,40 @@ object RelationalQueries {
           |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
     },
 
+    // SQL aggregate-surface breadth, pure SQL text (q26's family):
+    // FILTER (WHERE ...) on COUNT and on a decimal-exact SUM,
+    // BOOL_AND/BOOL_OR, and ANSI LISTAGG ... WITHIN GROUP (new SQL
+    // surface in Spark 4) — bounded to each segment's top-3 names by a
+    // ranking CTE so the string stays fixed-size at any corpus scale
+    // and the WITHIN GROUP order (rn) is a total order. The oracle
+    // differs only where dialects must: DuckDB spells the ordered
+    // string aggregate string_agg(expr, sep ORDER BY rn). All-integer
+    // + one decimal-pattern sum; booleans are engine-identical.
+    "q54_filtered_aggregates" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH top3 AS (SELECT c_mktsegment, c_name,
+          |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+          |      ORDER BY c_acctbal DESC, c_name) AS rn
+          |  FROM customer_v),
+          |lg AS (SELECT c_mktsegment,
+          |    listagg(c_name, '|') WITHIN GROUP (ORDER BY rn) AS top_names
+          |  FROM top3 WHERE rn <= 3 GROUP BY c_mktsegment),
+          |agg AS (SELECT c_mktsegment,
+          |    COUNT(*) AS n_cust,
+          |    COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debtors,
+          |    CAST(ROUND(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
+          |      FILTER (WHERE c_nationkey < 10), 0.00), 2) AS DOUBLE)
+          |      AS bal_low_nations,
+          |    BOOL_AND(c_acctbal >= -1000) AS all_above_floor,
+          |    BOOL_OR(c_acctbal > 9000) AS any_rich
+          |  FROM customer_v GROUP BY c_mktsegment)
+          |SELECT a.c_mktsegment, n_cust, n_debtors, bal_low_nations,
+          |  all_above_floor, any_rich, top_names
+          |FROM agg a JOIN lg ON a.c_mktsegment = lg.c_mktsegment
+          |ORDER BY a.c_mktsegment""".stripMargin)
+    },
+
     // Post-aggregation filter (HAVING): suppliers by shipped revenue.
     "q27_top_suppliers_having" -> { (s, d) =>
       import s.implicits._
@@ -1293,6 +1327,32 @@ object RelationalQueries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          | COUNT(*) AS n, ${sDSum(sDec2("value"))} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // dialect delta: DuckDB's ordered string aggregate is
+    // string_agg(expr, sep ORDER BY ...) — same result as LISTAGG
+    // WITHIN GROUP under the same total order
+    "q54_filtered_aggregates" ->
+      """WITH top3 AS (SELECT c_mktsegment, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_name) AS rn
+        |  FROM customer),
+        |lg AS (SELECT c_mktsegment,
+        |    string_agg(c_name, '|' ORDER BY rn) AS top_names
+        |  FROM top3 WHERE rn <= 3 GROUP BY c_mktsegment),
+        |agg AS (SELECT c_mktsegment,
+        |    COUNT(*) AS n_cust,
+        |    COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debtors,
+        |    CAST(ROUND(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
+        |      FILTER (WHERE c_nationkey < 10), 0.00), 2) AS DOUBLE)
+        |      AS bal_low_nations,
+        |    BOOL_AND(c_acctbal >= -1000) AS all_above_floor,
+        |    BOOL_OR(c_acctbal > 9000) AS any_rich
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT a.c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(n_debtors AS BIGINT) AS n_debtors, bal_low_nations,
+        |  all_above_floor, any_rich, top_names
+        |FROM agg a JOIN lg ON a.c_mktsegment = lg.c_mktsegment
+        |ORDER BY a.c_mktsegment""".stripMargin,
 
     "q18_sessionize" ->
       """WITH t AS (

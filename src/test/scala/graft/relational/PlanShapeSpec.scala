@@ -50,6 +50,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("approx_percentile"), "the GK sketch arm must remain")
   }
 
+  test("g06: pair build, mutuality, wedge and closing joins all plan as equi-joins") {
+    val p = plan("g06_triangle_census")
+    // sanctioned non-equi plans: exactly ONE CartesianProduct — the
+    // dimension-sized pair quadratic (sp < sp over per-supplier sets,
+    // g03's documented baseline; |suppliers|², never corpus-sided) —
+    // plus the one-row census assembly's nested-loop broadcasts. The
+    // mutuality join and both triangle joins must keep real equi keys:
+    // a second cartesian or a fifth BNLJ means one of them degraded
+    val cartNodes = raw"\((\d+)\) CartesianProduct".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(cartNodes.size <= 1, s"extra cartesian joins ($cartNodes):\n$p")
+    val bnljNodes = raw"\((\d+)\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bnljNodes.size <= 4, s"unexpected nested-loop joins ($bnljNodes):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "triangle joins must plan as hash/merge equi-joins")
+  }
+
   test("d03: LSH candidate generation is an equi-join (no cartesian/BNLJ)") {
     val p = plan("d03_dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
