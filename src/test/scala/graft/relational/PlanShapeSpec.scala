@@ -51,6 +51,10 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("g06: pair build, mutuality, wedge and closing joins all plan as equi-joins") {
+    // the canonical cold plan: cached frames left by sibling suites
+    // (g03/g04 share the sets build) splice InMemoryRelations whose
+    // stored subtrees carry their own join nodes and skew the counts
+    spark.sharedState.cacheManager.clearCache()
     val p = plan("g06_triangle_census")
     // sanctioned non-equi plans: exactly ONE CartesianProduct — the
     // dimension-sized pair quadratic (sp < sp over per-supplier sets,
