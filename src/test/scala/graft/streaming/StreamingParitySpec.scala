@@ -740,4 +740,80 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming censused ${streamed.size} sequences vs batch ${batch.size}")
     frozen.unpersist()
   }
+
+  test("rollup ledger maintained per micro-batch by foreachBatch equals a full recompute (c21)") {
+    // the STREAMING form of c21's materialized-view maintenance: the
+    // increment arrives as a stream, and EVERY micro-batch runs the
+    // same merge c21 runs nightly — partial states of the batch's rows,
+    // union with the touched days' ledger rows, sum/min/max re-merge,
+    // stage, dynamic-partition-overwrite swap. Forced through multiple
+    // micro-batches (maxFilesPerTrigger=1 over 4 staged files) so the
+    // merge is proven REPEATABLE: additivity of the mergeable states
+    // means the final ledger equals the from-scratch rollup no matter
+    // how the increment was sliced — the foreachBatch upsert pattern
+    // every production streaming-ingest MV uses.
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), col("value"))
+    def state(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(14, 2))).as("value_sum"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        sum(conv(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 10), 16, 10).cast("long")).as("id_checksum"))
+    val maxDay = ev.agg(max(col("day"))).head().getDate(0)
+    val lateDay = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(1))
+    val isInc = col("day") === lit(maxDay) ||
+      (col("day") === lit(lateDay) && col("event_id") % 7 === 3)
+    val root = Files.createTempDirectory("graft-c21-stream").toString
+    state(ev.filter(!isInc))
+      .write.mode("overwrite").partitionBy("day").parquet(root + "/roll")
+    ev.filter(isInc).repartition(4).write.mode("overwrite")
+      .parquet(root + "/inc")
+    val schema = spark.read.parquet(root + "/inc").schema
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/inc")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s: SparkSession = b.sparkSession
+        if (!b.isEmpty) {
+          batches += 1
+          val partials = state(b)
+          val touched = partials.select(col("day").cast("string"))
+            .distinct().collect().map(_.getString(0))
+          s.read.parquet(root + "/roll")
+            .filter(col("day").cast("string").isin(touched.toSeq: _*))
+            .unionByName(partials)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("n_events")).cast("long").as("n_events"),
+              sum(col("value_sum")).cast(DecimalType(24, 2)).as("value_sum"),
+              min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+              sum(col("id_checksum")).cast("long").as("id_checksum"))
+            .write.mode("overwrite").parquet(root + s"/stage_$id")
+          s.read.parquet(root + s"/stage_$id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(root + "/roll")
+          s.catalog.refreshByPath(root + "/roll")
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "c21 stream did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches to prove repeated merge, got $batches")
+    def norm(df: DataFrame): Set[Seq[Any]] = df
+      .select(col("day").cast("string"), col("event_type"),
+        col("n_events").cast("long"),
+        round(col("value_sum"), 2).cast("double").as("value_sum"),
+        col("vmin"), col("vmax"), col("id_checksum"))
+      .collect().map(_.toSeq).toSet
+    val ledger = norm(spark.read.parquet(root + "/roll"))
+    val full = norm(state(ev))
+    assert(ledger == full,
+      s"streamed ledger ${ledger.size} rows != full recompute ${full.size}")
+  }
 }
