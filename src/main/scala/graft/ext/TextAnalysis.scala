@@ -833,6 +833,51 @@ object TextAnalysis {
                 .cast("double"), 6))
             .as("r2"))
         .orderBy($"source")
+    },
+
+    // Count-min sketch heavy-hitter census — the FREQUENCY member of the
+    // mergeable-sketch trio (q20 = HLL distinct, q48 = GK quantile, t20 =
+    // CMS frequency): a depth-4 × width-16 counter grid built from
+    // md5-slice hashes, probed for the exact top-10 words; estimate =
+    // min over the 4 rows, overcount = estimate − exact (CMS never
+    // undercounts — the one-sided error is part of the hashed output, so
+    // a broken min or a row/col mixup hash-mismatches). Width 16 is the
+    // DEMO width chosen so the harness vocab actually collides and the
+    // min-over-depth logic is exercised (at 31 vocab words, W=256 is
+    // collision-free and the estimate column would prove nothing);
+    // production width is 2^14+ — same plan, still 4 bounded rows.
+    // Determinism: every counter is an exact integer sum; hashes are
+    // 28-bit md5 hex slices (non-overlapping 7-char windows per row), so
+    // both engines compute identical grids.
+    // Scale shape: tokens fold to vocab-bounded (word, cnt) partials
+    // FIRST (t10's exchange), then 4 sketch rows per word — the (r, c)
+    // exchange has ≤ 64 groups and combines almost entirely map-side;
+    // sketch + probes are O(1)-sized and broadcast. This is exactly why
+    // CMS is the production heavy-hitter operator: per-executor state is
+    // a 4×W grid regardless of corpus size, and grids MERGE by addition.
+    "t20_countmin_heavyhitters" -> { (s, d) =>
+      import s.implicits._
+      val cmsW = 16
+      val wc = Tables.documents(s, d)
+        .select(explode(split(trim($"text"), Tok.Ws)).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // row-r column index: 28-bit slice of md5(word), rows use disjoint
+      // hex windows → 4 independent-enough hash functions, engine-exact
+      def colR(r: Int): Column =
+        conv(substring(md5($"word".cast("binary")), 1 + 7 * r, 7), 16, 10)
+          .cast("long") % cmsW
+      val hashed = wc.select($"word", $"cnt",
+        posexplode(array((0 until 4).map(colR): _*)).as(Seq("r", "c")))
+      val sketch = hashed.groupBy($"r", $"c").agg(sum($"cnt").as("v"))
+      val probes = wc.orderBy($"cnt".desc, $"word").limit(10)
+      probes.select($"word", $"cnt",
+          posexplode(array((0 until 4).map(colR): _*)).as(Seq("r", "c")))
+        .join(broadcast(sketch), Seq("r", "c"))
+        .groupBy($"word", $"cnt").agg(min($"v").as("cms_estimate"))
+        .select($"word", $"cnt".as("n_exact"), $"cms_estimate",
+          ($"cms_estimate" - $"cnt").as("overcount"))
+        .orderBy($"n_exact".desc, $"word")
     }
   )
 
@@ -1192,6 +1237,20 @@ object TextAnalysis {
            |  CASE WHEN len(t.t) = 0 THEN NULL
            |       ELSE round(1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t), 6) END AS dup_trigram_frac
            |FROM ustat u JOIN tri t ON u.doc_id = t.doc_id
-           |ORDER BY u.doc_id""".stripMargin
+           |ORDER BY u.doc_id""".stripMargin,
+
+    // exact integer grid both engines; '0x'-cast md5 slices per CLAUDE.md
+    "t20_countmin_heavyhitters" ->
+      raw"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word FROM documents),
+           |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+           |h AS (SELECT word, cnt, r, (('0x' || substr(md5(word), 1 + 7*r, 7))::BIGINT) % 16 AS c
+           |      FROM wc, range(4) t(r)),
+           |sk AS (SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS v FROM h GROUP BY r, c),
+           |probes AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 10),
+           |pe AS (SELECT p.word, p.cnt, MIN(v) AS cms_estimate
+           |       FROM probes p JOIN h ON h.word = p.word JOIN sk ON sk.r = h.r AND sk.c = h.c
+           |       GROUP BY p.word, p.cnt)
+           |SELECT word, cnt AS n_exact, cms_estimate, cms_estimate - cnt AS overcount
+           |FROM pe ORDER BY n_exact DESC, word""".stripMargin
   )
 }
