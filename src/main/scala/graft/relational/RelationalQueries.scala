@@ -1169,6 +1169,51 @@ object RelationalQueries {
           coalesce($"o_orderpriority", lit("ALL")).as("priority"),
           $"n_orders", $"total_price")
         .orderBy($"status", $"priority")
+    },
+
+    // Time-series SPINE + forward fill — the gap-filling op every
+    // warehouse time-series report needs (missing periods materialized,
+    // last observation carried forward), absent from the catalog until
+    // now. Per customer: monthly spend, then every month from first to
+    // last order is materialized; months with no orders carry the last
+    // real month's spend. Census per calendar month: active vs filled
+    // customers, real vs carried spend.
+    //
+    // Plan shape: NOT the textbook spine-left-join-then-
+    // last_value(IGNORE NULLS) form (which costs a per-(ck,midx) join
+    // plus a second ck-partitioned window pass over the exploded spine).
+    // Instead each REAL month looks ahead with lead(midx) and explodes
+    // sequence(midx, nxt-1) — the row that opens a gap emits the filled
+    // rows itself, carrying its spend. One (ck,midx) partial agg, ONE
+    // ck window exchange, no join, no null chasing; the explode happens
+    // AFTER aggregation so fan-out is bounded by the customer's month
+    // span, never by order count. The oracle deliberately keeps the
+    // textbook join+IGNORE NULLS form — two independent formulations
+    // agreeing row-for-row is a stronger check than a shared one.
+    // Decimal discipline: spend stays an exact DECIMAL(14,2) sum until
+    // the final round-then-cast (CLAUDE.md parity rule).
+    "q55_gapfill_spine" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val mo = Tables.orders(s, d)
+        .groupBy($"o_custkey".as("ck"),
+          (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+            .cast("long").as("midx"))
+        .agg(sum(dec2($"o_totalprice")).as("spend"))
+      val w = Window.partitionBy($"ck").orderBy($"midx")
+      mo.withColumn("nxt", lead($"midx", 1).over(w))
+        .select($"ck", $"spend", $"midx",
+          explode(sequence($"midx", coalesce($"nxt" - 1, $"midx"))).as("m"))
+        .groupBy(expr("CAST(m DIV 12 AS INT)").as("o_year"),
+          expr("CAST(m % 12 + 1 AS INT)").as("o_month"))
+        .agg(count(lit(1)).as("n_customers"),
+          count(when($"m" === $"midx", 1)).as("n_active"),
+          count(when($"m" =!= $"midx", 1)).as("n_filled"),
+          round(sum(when($"m" === $"midx", $"spend")), 2).cast("double")
+            .as("real_spend"),
+          round(sum(when($"m" =!= $"midx", $"spend")), 2).cast("double")
+            .as("carried_spend"))
+        .orderBy($"o_year", $"o_month")
     }
   )
 
@@ -1788,6 +1833,30 @@ object RelationalQueries {
          |  ${sDSum(sDec2("o_totalprice"))} AS total_price
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         |ORDER BY status, priority""".stripMargin
+         |ORDER BY status, priority""".stripMargin,
+
+    // deliberately the TEXTBOOK spine formulation (generate_series +
+    // left join + last_value IGNORE NULLS) — an independent derivation
+    // of the Spark side's lead+sequence fill, see the query scaladoc
+    "q55_gapfill_spine" ->
+      s"""WITH mo AS (SELECT o_custkey AS ck,
+         |      CAST(EXTRACT(year FROM o_orderdate)*12 + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS midx,
+         |      SUM(${sDec2("o_totalprice")}) AS spend
+         |    FROM orders GROUP BY 1, 2),
+         |sp AS (SELECT ck, MIN(midx) AS lo, MAX(midx) AS hi FROM mo GROUP BY ck),
+         |spine AS (SELECT ck, unnest(generate_series(lo, hi)) AS midx FROM sp),
+         |j AS (SELECT s.ck, s.midx, m.spend
+         |      FROM spine s LEFT JOIN mo m ON s.ck = m.ck AND s.midx = m.midx),
+         |f AS (SELECT ck, midx, spend,
+         |        last_value(spend IGNORE NULLS) OVER (PARTITION BY ck
+         |          ORDER BY midx ROWS UNBOUNDED PRECEDING) AS filled
+         |      FROM j)
+         |SELECT CAST(midx // 12 AS INTEGER) AS o_year,
+         |  CAST(midx % 12 + 1 AS INTEGER) AS o_month,
+         |  COUNT(*) AS n_customers, COUNT(spend) AS n_active,
+         |  COUNT(*) - COUNT(spend) AS n_filled,
+         |  CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS real_spend,
+         |  CAST(ROUND(SUM(CASE WHEN spend IS NULL THEN filled END), 2) AS DOUBLE) AS carried_spend
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

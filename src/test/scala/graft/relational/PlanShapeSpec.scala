@@ -545,4 +545,16 @@ class PlanShapeSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       "unexpected extra nested-loop join")
   }
+
+  test("q55: gap fill is window+explode — no spine join ever reaches the plan") {
+    val p = plan("q55_gapfill_spine")
+    // the lead+sequence form emits filled months from the gap-opening row
+    // itself; a regression back to the textbook spine-left-join form (or
+    // any join at all) is a plan change, not just a perf change
+    assert(!p.contains("Join"), "gap fill must not join a spine")
+    assert(p.contains("Window") && p.contains("Generate"),
+      "expected the lead() window and the sequence() explode")
+    // monthly spend partials combine map-side before the (ck,midx) shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
