@@ -485,6 +485,54 @@ object Similarity {
         .orderBy($"query_id", $"rank")
     },
 
+    // LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
+    // Khattab & Zaharia 2020): each document is a BAG of token vectors,
+    // each query likewise; score(q, doc) = Σ_i max_j <q_i, doc_j> — per
+    // query token, the best-matching document token. The harness
+    // embeddings are single 64-dim vectors, so the 8 non-overlapping
+    // 8-dim slices stand in for 8 token vectors (deterministic, oracle-
+    // replayable) — the Spark-side plumbing (multi-vector layout, the
+    // max-reduce over doc tokens, fixed-order sum over query tokens) is
+    // the real operator; swap the slicer for a real token-embedding
+    // column and nothing else changes.
+    // Determinism: every dot is the in-order DotProduct fold (bitwise ==
+    // list_dot_product); max over identical double sets is exact; the
+    // final 8-term sum is written in ONE fixed left-assoc order in both
+    // engines. Exposed score rounded to 6 dp.
+    // Scale shape: the s13 long-narrow codegen lesson applied — docs
+    // explode to 8 token rows with 8 query dots per row (the flat form
+    // would put 64 dots + 8 greatest-chains in one stage and flirt with
+    // the 64 KB method budget); the max-reduce is a map-side-combinable
+    // (query, vec) aggregate (doc-token rows are scan-local, so partials
+    // fully collapse before the exchange — one narrow row per pair
+    // moves); queries broadcast; ranking is the two-phase salted top-k.
+    // At production scale the explode rides the existing token dimension
+    // and the same plan serves from an s22-style saved multi-vector
+    // index.
+    "s25_maxsim_late_interaction" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      def tok(v: Column, j: Int): Column = slice(v, 8 * j + 1, 8)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id") +:
+          (0 until 8).map(i => tok($"v", i).as(s"q$i")): _*)
+      val dtok = e.select($"vec_id",
+        posexplode(array((0 until 8).map(j => tok($"v", j)): _*)).as(Seq("j", "dv")))
+      val dots = dtok.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id" +: $"vec_id" +:
+          (0 until 8).map(i => dot(col(s"q$i"), $"dv").as(s"d$i")): _*)
+      val m = dots.groupBy($"query_id", $"vec_id")
+        .agg(max($"d0").as("m0"), (1 until 8).map(i =>
+          max(col(s"d$i")).as(s"m$i")): _*)
+      val sc = m.select($"query_id", $"vec_id",
+        (0 until 8).map(i => col(s"m$i")).reduceLeft(_ + _).as("score"))
+      graft.operators.TopK.perKey(
+          sc, $"query_id", Seq($"score".desc, $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id", $"rn".as("rank"), $"vec_id".as("neighbor_id"),
+          round($"score", 6).as("maxsim"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Brute-force exact cosine top-10 for queries vec_id < 5. Ranking uses
     // the two-phase salted top-k: with only 5 query keys, a naive window
     // would shuffle every candidate to 5 reducers — the two-phase variant
@@ -1530,6 +1578,26 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // same slices, same in-order dots, same fixed-order 8-term sum
+    "s25_maxsim_late_interaction" -> {
+      val qcols = (0 until 8)
+        .map(i => s"MAX(CASE WHEN j = $i THEN dv END) AS q$i").mkString(", ")
+      val mcols = (0 until 8)
+        .map(i => s"MAX(list_dot_product(q$i, dv)) AS m$i").mkString(", ")
+      val ssum = (0 until 8).map(i => s"m$i").mkString(" + ")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |dt AS (SELECT vec_id, j, v[8*j+1:8*j+8] AS dv FROM e, range(8) t(j)),
+           |qs AS (SELECT vec_id AS query_id, $qcols FROM dt WHERE vec_id < 5 GROUP BY 1),
+           |m AS (SELECT query_id, d.vec_id, $mcols
+           |  FROM dt d JOIN qs q ON d.vec_id <> q.query_id GROUP BY 1, 2),
+           |sc AS (SELECT query_id, vec_id, $ssum AS score FROM m),
+           |r AS (SELECT query_id, vec_id, score,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rn
+           |  FROM sc)
+           |SELECT query_id, rn AS rank, vec_id AS neighbor_id, round(score, 6) AS maxsim
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+    },
+
     "s01_cosine_topk" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),

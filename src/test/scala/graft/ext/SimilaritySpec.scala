@@ -183,4 +183,32 @@ class SimilaritySpec extends SparkSuite {
       .filter(col("vec_id") % 10 === 3).count()
     assert(ghosts == 0L, s"$ghosts tombstoned rows survive in the files")
   }
+
+  test("s25: MaxSim dominates the full-vector dot (per-token max ≥ diagonal term)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // Σ_i max_j <q_i, d_j> ≥ Σ_i <q_i, d_i> = <q, d>: late interaction can
+    // only beat the aligned-slice sum, for EVERY (query, doc) pair — so
+    // every returned top-5 row must dominate that pair's full 64-dim dot
+    val rows = Similarity.queries("s25_maxsim_late_interaction")(spark, sf)
+      .select($"query_id", $"neighbor_id", $"maxsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 25, s"expected 5 queries x top-5, got ${rows.length}")
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val full = e.join(q, $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        graft.ext.Similarity.dot($"qv", $"v").as("fd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (qid, nid, ms) =>
+      val fd = full((qid, nid))
+      assert(ms >= fd - 1e-9, s"($qid,$nid): maxsim $ms < full dot $fd")
+    }
+    // ranks are 1..5 per query
+    val byQ = Similarity.queries("s25_maxsim_late_interaction")(spark, sf)
+      .select($"query_id", $"rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    assert(byQ.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
 }

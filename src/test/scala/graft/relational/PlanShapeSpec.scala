@@ -546,6 +546,18 @@ class PlanShapeSpec extends SparkSuite {
       "unexpected extra nested-loop join")
   }
 
+  test("s25: MaxSim broadcasts queries; max-reduce partial-aggregates before the exchange") {
+    val p = plan("s25_maxsim_late_interaction")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 5-query side must broadcast to the token scan")
+    assert(!p.contains("CartesianProduct"), "never a shuffled cartesian")
+    // long-narrow form: Generate (the 8-token posexplode) feeds dots; the
+    // per-(query,vec) max-reduce is two-phase so token rows collapse
+    // map-side before the exchange
+    assert(p.contains("Generate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("q55: gap fill is window+explode — no spine join ever reaches the plan") {
     val p = plan("q55_gapfill_spine")
     // the lead+sequence form emits filled months from the gap-opening row
