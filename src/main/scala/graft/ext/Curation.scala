@@ -823,6 +823,57 @@ object Curation {
             |  3, '+dup2<=0.02', c3, t3,
             |  4, '+hash<0.75',  c4, t4) AS (stage, gate, docs_kept, toks_kept)""".stripMargin)
         .orderBy(col("stage"))
+    },
+
+    // Z-ORDER data layout (Delta/Iceberg `OPTIMIZE ZORDER BY` shape) —
+    // the multi-column data-skipping layout a 100 TB lake lives on:
+    // lineitem keys range-bucketed to 8 bits each, bit-interleaved into
+    // a Morton code (`operators.ZOrder`, pure codegen'd shifts), files
+    // clustered by the code's top nibble (16 cells = a 4×4 grid of
+    // 64×64 (x, y) boxes). Census per cell FROM THE RE-READ FILES
+    // (c13's prove-the-files pattern: a 40-bit row checksum the oracle
+    // recomputes from the raw table — a lost/dup row hash-mismatches),
+    // side by side with the same census under the single-column
+    // `linear` layout (x DIV 16 stripes). The output states the layout
+    // tradeoff as data: zorder cells bound BOTH dims (box_area 4096);
+    // linear stripes bound x tightly (16) but leave y unbounded (box
+    // area 16·256) — which is exactly why a y-filtered scan prunes
+    // nothing on the linear layout. ZOrderSpec turns that claim into a
+    // measured row-group-skipping assertion on the written files.
+    // Scale shape: one narrow pass computes the code (integer shifts
+    // fused into the scan); the one exchange is the repartition that
+    // co-locates a cell into one writer — c13's inherent move; at
+    // 100 TB swap the DIV for a range partitioner over z and the same
+    // plan lays out any table.
+    "c22_zorder_layout" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber",
+        ($"l_partkey" % 256).cast("int").as("x"),
+        ($"l_suppkey" % 256).cast("int").as("y"))
+      val z = li
+        .withColumn("z", graft.operators.ZOrder.interleave($"x", $"y"))
+        .withColumn("zcell", expr("CAST(z div 4096 AS INT)"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_c22_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      z.repartition($"zcell").sortWithinPartitions($"z")
+        .write.mode("overwrite").partitionBy("zcell").parquet(path)
+      def census(rows: DataFrame, cell: Column, layout: String): DataFrame =
+        rows.groupBy(cell.as("cell"))
+          .agg(count(lit(1)).as("n_rows"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"),
+            sum(conv(substring(md5(concat_ws(",",
+                $"l_orderkey", $"l_linenumber", $"x", $"y").cast("binary")),
+              1, 10), 16, 10).cast("long")).as("row_checksum"))
+          .select(lit(layout).as("layout"), $"cell", $"n_rows",
+            $"min_x", $"max_x", $"min_y", $"max_y",
+            (($"max_x" - $"min_x" + 1).cast("long")
+              * ($"max_y" - $"min_y" + 1).cast("long")).as("box_area"),
+            $"row_checksum")
+      val zorder = census(
+        s.read.parquet(path), col("zcell").cast("int"), "zorder")
+      val linear = census(li, expr("CAST(x div 16 AS INT)"), "linear")
+      zorder.unionByName(linear).orderBy($"layout", $"cell")
     }
   )
 
@@ -1198,6 +1249,28 @@ object Curation {
            |UNION ALL SELECT 2, '+tok>=40', COUNT(*) FILTER (g2), CAST(SUM(tk) FILTER (g2) AS BIGINT) FROM f
            |UNION ALL SELECT 3, '+dup2<=0.02', COUNT(*) FILTER (g3), CAST(SUM(tk) FILTER (g3) AS BIGINT) FROM f
            |UNION ALL SELECT 4, '+hash<0.75', COUNT(*) FILTER (g4), CAST(SUM(tk) FILTER (g4) AS BIGINT) FROM f
-           |ORDER BY stage""".stripMargin
+           |ORDER BY stage""".stripMargin,
+
+    // replays BOTH layouts' censuses from the raw table with the same
+    // shift arithmetic — equality proves the written z-files carry
+    // exactly the right rows (the checksum is the file-roundtrip gate)
+    "c22_zorder_layout" -> {
+      val zed = graft.operators.ZOrder.sqlInterleave("x", "y")
+      raw"""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    CAST(l_partkey % 256 AS INTEGER) AS x,
+           |    CAST(l_suppkey % 256 AS INTEGER) AS y
+           |  FROM lineitem),
+           |z AS (SELECT *, $zed AS z FROM li),
+           |u AS (SELECT 'zorder' AS layout, CAST(z // 4096 AS INTEGER) AS cell,
+           |        l_orderkey, l_linenumber, x, y FROM z
+           |      UNION ALL
+           |      SELECT 'linear', CAST(x // 16 AS INTEGER),
+           |        l_orderkey, l_linenumber, x, y FROM li)
+           |SELECT layout, cell, COUNT(*) AS n_rows,
+           |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+           |  CAST((MAX(x) - MIN(x) + 1) AS BIGINT) * (MAX(y) - MIN(y) + 1) AS box_area,
+           |  CAST(SUM(('0x' || substr(md5(concat_ws(',', l_orderkey, l_linenumber, x, y)), 1, 10))::BIGINT) AS BIGINT) AS row_checksum
+           |FROM u GROUP BY layout, cell ORDER BY layout, cell""".stripMargin
+    }
   )
 }
