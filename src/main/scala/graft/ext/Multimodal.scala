@@ -46,6 +46,11 @@ final case class GifFeatures(
     width: Int, height: Int,
     idx_sum: Long, gray_sum: Long, first_gray: Int, last_gray: Int)
 
+final case class QoiFeatures(
+    media_id: Long, kind: String,
+    width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -306,6 +311,46 @@ object Multimodal {
   /** m12's raster width and media construction (m10's factoring): text
     * bytes become an 8-wide, ≤8-tall PALETTE-INDEX raster; all ops are
     * narrow so the frame builds unchanged on a streaming scan. */
+  private[graft] val QoiW = 5
+  private[graft] def qoiMedia(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val h = least(floor(length(bin) / (3 * QoiW)), lit(8)).cast("int")
+    docs.filter(length(bin) >= 3 * QoiW)
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        bin.substr(lit(1), h * (3 * QoiW)).as("content"))
+  }
+
+  /** QOI round-trip batch: per blob, the raw RGB samples in `content`
+    * are QOI-encoded ([[Qoi.encode]] — the op-stream walk is stateful
+    * per pixel, not a column op) and strictly re-parsed by
+    * [[Qoi.parse]], then featured per channel. Parse failure → sentinel
+    * (-1) row, the m06/m08 convention. The ops-seen mask stays a
+    * spec-side assertion (op usage is data-dependent, so it is not
+    * SQL-predictable the way m10's planted filter cycle is). */
+  def qoiFeatures(spark: SparkSession, media: DataFrame, w: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val h = r.content.length / (3 * w)
+        val blob = Qoi.encode(Qoi.Rgb(w, h,
+          java.util.Arrays.copyOfRange(r.content, 0, 3 * w * h)))
+        Qoi.parse(blob) match {
+          case Some((img, _)) if img.width == w && img.height == h =>
+            val s = img.samples
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var i = 0
+            while (i + 2 < s.length) {
+              rs += s(i) & 0xff; gs += s(i + 1) & 0xff; bs += s(i + 2) & 0xff
+              i += 3
+            }
+            QoiFeatures(r.media_id, r.kind, img.width, img.height, rs, gs, bs)
+          case _ =>
+            QoiFeatures(r.media_id, r.kind, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
   private[graft] val GifW = 8
   private[graft] def gifMedia(docs: DataFrame): DataFrame = {
     val bin = col("text").cast("binary")
@@ -645,6 +690,21 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // The FOURTH compressed codec / fourth compression family: QOI's
+    // pixel-predictive op stream (run + recent-color index + wrapped
+    // small deltas — qoiformat.org's public one-page spec) next to
+    // m10's DEFLATE, m11's Rice and m12's LZW. Text bytes become the
+    // same 5-wide RGB raster as m09/m10, QOI-encoded and strictly
+    // re-parsed in the decode-once batch; per-channel sums only match
+    // the oracle's direct text computation if every op family decodes
+    // exactly (a wrong LUMA green bias or an index-table hash slip
+    // shifts the sums). QoiSpec asserts all five op families actually
+    // execute; CodecFuzzSpec drives adversarial bytes.
+    "m13_qoi_decode" -> { (s, d) =>
+      qoiFeatures(s, qoiMedia(Tables.documents(s, d)), QoiW)
+        .orderBy(col("media_id"))
+    },
+
     // The compressed-AUDIO arm — FLAC through [[Flac]]'s pure-JVM
     // Rice/fixed-predictor codec, m10's PNG story for sound: text bytes
     // become 8-bit mono PCM, FLAC-encoded in the batch (bit-packing is
@@ -825,6 +885,21 @@ object Multimodal {
            |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  CAST(3 AS INTEGER) AS channels,
            |  CAST((1 << least(h, 5)) - 1 AS INTEGER) AS filters_seen,
+           |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // per-channel sums straight from the text (byte i == ord(char i),
+    // channel = position mod 3) — the oracle never sees the op stream;
+    // the encode→parse round trip is what must preserve the sums
+    "m13_qoi_decode" -> {
+      def ch(c: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 3 = $c THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
            |FROM t ORDER BY media_id""".stripMargin
     },

@@ -16,10 +16,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     "Pgm" -> (Pgm.parse(_)), "Ppm" -> (Ppm.parse(_)), "Bmp" -> (Bmp.parse(_)),
     "Png" -> (Png.parse(_)), "Wav" -> (Wav.parse(_)),
     "Flac" -> (Flac.parse(_)), "Au" -> (Multimodal.parseAu(_)),
-    "Gif" -> (Gif.parse(_)))
+    "Gif" -> (Gif.parse(_)), "Qoi" -> (Qoi.parse(_)))
 
   private val magics = Seq("P5\n", "P6\n", "BM", "\u0089PNG\r\n\u001a\n",
-    "RIFF", "AU\n", "GIF87a")
+    "RIFF", "AU\n", "GIF87a", "qoif")
 
   private val rawBytes: Gen[Array[Byte]] =
     Gen.chooseNum(0, 200).flatMap(n =>
@@ -39,7 +39,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       Png.encode(5, n / 15, 3, java.util.Arrays.copyOf(payload, 15 * (n / 15)), _ % 5),
       Wav.encode(8000, payload),
       Flac.encode(8000, payload),
-      Gif.encode(n, 1, payload))
+      Gif.encode(n, 1, payload),
+      Qoi.encode(Qoi.Rgb(5, n / 15, java.util.Arrays.copyOf(payload, 15 * (n / 15)))))
     mode <- Gen.chooseNum(0, 2)
     idx <- Gen.chooseNum(0, blob.length - 1)
     bit <- Gen.chooseNum(0, 7)
