@@ -94,7 +94,13 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
     "t14_bpe_encode" -> 88,            // measured 40 KB (per-doc checksum partials)
     // codecs: encode/decode live scan-side; only the output sort exchanges
-    "m12_gif_decode" -> 64)            // ~0: LZW round-trip never shuffles
+    "m12_gif_decode" -> 64,            // ~0: LZW round-trip never shuffles
+    "m13_qoi_decode" -> 64,            // ~0: QOI round-trip never shuffles
+    // round-13 additions
+    "t20_countmin_heavyhitters" -> 64, // ~0: vocab partials then a ≤64-group grid
+    "q55_gapfill_spine" -> 1100,       // measured 532 KB ((ck,midx) partials + ck window)
+    "s25_maxsim_late_interaction" -> 416, // measured 195 KB (one (query,vec) max-reduce row per pair)
+    "c22_zorder_layout" -> 2600)       // measured 1.25 MB (the inherent layout co-location move)
 
   private lazy val written = {
     val w = new LongAdder
