@@ -816,4 +816,75 @@ class StreamingParitySpec extends SparkSuite {
     assert(ledger == full,
       s"streamed ledger ${ledger.size} rows != full recompute ${full.size}")
   }
+
+  test("count-min sketch maintained per micro-batch merges to the batch grid (t20)") {
+    // the STREAMING form of t20: CMS grids merge by ADDITION, so a
+    // sketch maintained incrementally — each micro-batch's partial grid
+    // summed into the running grid — must equal the from-scratch batch
+    // grid no matter how the corpus was sliced into batches. That
+    // additivity is exactly why CMS is the production streaming
+    // frequency sketch (fixed 4×W state, no replay). Final check: the
+    // streamed grid answers t20's heavy-hitter probes with the very
+    // estimates the oracle-checked batch query reports.
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val cmsW = 16
+    def colR(r: Int) =
+      conv(substring(md5(col("word").cast("binary")), 1 + 7 * r, 7), 16, 10)
+        .cast("long") % cmsW
+    def grid(docs: DataFrame): DataFrame = docs
+      .select(explode(split(trim(col("text")), graft.core.Tok.Ws)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        posexplode(array((0 until 4).map(colR): _*)).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("v"))
+    val root = Files.createTempDirectory("graft-t20-stream").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(4).write.mode("overwrite").parquet(root + "/docs")
+    // running grid starts empty (zero rows == all-zero counters)
+    grid(docs.limit(0)).write.mode("overwrite").parquet(root + "/grid")
+    val schema = spark.read.parquet(root + "/docs").schema
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/docs")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s: SparkSession = b.sparkSession
+        if (!b.isEmpty) {
+          batches += 1
+          s.read.parquet(root + "/grid").unionByName(grid(b))
+            .groupBy(col("r"), col("c"))
+            .agg(sum(col("v")).cast("long").as("v"))
+            .write.mode("overwrite").parquet(root + s"/stage_$id")
+          s.read.parquet(root + s"/stage_$id")
+            .write.mode("overwrite").parquet(root + "/grid")
+          s.catalog.refreshByPath(root + "/grid")
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "t20 stream did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches to prove repeated merge, got $batches")
+    def gridSet(df: DataFrame): Set[(Int, Int, Long)] = df
+      .select(col("r").cast("int"), col("c").cast("int"), col("v").cast("long"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    val streamed = gridSet(spark.read.parquet(root + "/grid"))
+    assert(streamed == gridSet(grid(docs)),
+      "incrementally merged grid != from-scratch batch grid")
+    // serve the batch query's probes from the STREAMED grid
+    val t20 = SparkEntry.queries("t20_countmin_heavyhitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val served = spark.read.parquet(root + "/grid")
+      .join(Tables.documents(spark, sf)
+          .select(explode(split(trim(col("text")), graft.core.Tok.Ws)).as("word"))
+          .distinct()
+          .filter(col("word").isin(t20.keys.toSeq: _*))
+          .select(col("word"),
+            posexplode(array((0 until 4).map(colR): _*)).as(Seq("r", "c"))),
+        Seq("r", "c"))
+      .groupBy(col("word")).agg(min(col("v")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == t20,
+      s"streamed-grid estimates diverge from the batch query: $served vs $t20")
+  }
 }
