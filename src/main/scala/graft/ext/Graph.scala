@@ -57,6 +57,76 @@ object Graph {
       .union(ed0.select($"s".as("u"), $"c".as("v")))
   }
 
+  /** g06/g07's shared unipartite graph: the supplier co-occurrence
+    * projection sparsified to each node's MUTUAL top-6 partners —
+    * bounded-degree (≤ 6) by construction, which is what makes the
+    * wedge join skew-proof and the peel loop's per-round state
+    * node-sized. Every intermediate is persisted because multiple arms
+    * consume it (measured on g06: these caches are the difference
+    * between 8.9 and ~2 s steady at sf0.1 — dir's two union arms and
+    * the mutuality join's x/y arms would each recompute the 500k-pair
+    * intersection build). End-of-life: g04's documented policy
+    * (MEMORY_AND_DISK LRU + Verify's per-query clearCache). */
+  private def mutualTopEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sets = custSupp(s, d).groupBy($"sp")
+      .agg(sort_array(collect_set($"c")).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
+      .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
+        graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
+          .as("shared"))
+      .filter($"shared" > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
+      .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
+    val top = dir.withColumn("rk", row_number().over(
+        Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
+      .filter($"rk" <= 6).select($"n", $"p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u
+    top.as("x").join(top.as("y"),
+        col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
+          col("x.n") < col("x.p"))
+      .select(col("x.n").as("u"), col("x.p").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** g07's peel loop over any undirected `(u, v)` edge frame (u < v
+    * canonical): `rounds` bounded peels of nodes with degree < `k`,
+    * returning the per-round census. Factored so `GraphSpec` can drive
+    * it on hand-computed fixtures. Each round: one degree aggregation
+    * (map-side partials over a shrinking edge frame) + two semi-joins
+    * against the node-sized survivor set; round frames persist without
+    * eager counts (fixed horizon — the g01 round-12 lesson), released
+    * by the caller's cache hygiene. */
+  private[ext] def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    var ed = edges0
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 0 to rounds) {
+      val deg = ed.select(explode(array($"u", $"v")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("CAST(coalesce(sum(dg), 0) DIV 2 AS BIGINT)").as("n_edges"),
+        count(when($"dg" < k, 1)).as("n_peeled"))
+        .select(lit(r).as("round"), $"n_nodes", $"n_edges", $"n_peeled")
+      if (r < rounds) {
+        val keep = deg.filter($"dg" >= k).select($"n")
+        ed = ed
+          .join(keep.select($"n".as("u")), Seq("u"), "leftsemi")
+          .join(keep.select($"n".as("v")), Seq("v"), "leftsemi")
+          .select($"u", $"v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+    out.result().reduceLeft(_.unionByName(_)).orderBy($"round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Degree census per graph side — the first question asked of any
@@ -295,38 +365,7 @@ object Graph {
     "g06_triangle_census" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val sets = custSupp(s, d).groupBy($"sp")
-        .agg(sort_array(collect_set($"c")).as("cs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
-        .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
-          graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
-            .as("shared"))
-        .filter($"shared" > 0)
-        // persisted: dir's two union arms would otherwise run the 500k-pair
-        // intersection join twice (measured: this cache + sets' is the
-        // difference between 8.9 and ~2 s steady at sf0.1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
-        .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
-      // persisted: the x and y arms of the mutuality join both consume
-      // this frame, and WITHOUT the cache each arm would recompute the
-      // whole 500k-pair intersection build upstream (measured 8.6 →
-      // 2.9 s steady at sf0.1); rows are two longs per kept ranking —
-      // node-count-sized. End-of-life: g04's documented policy
-      val top = dir.withColumn("rk", row_number().over(
-          Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
-        .filter($"rk" <= 6).select($"n", $"p")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u;
-      // node-sized frame, persisted for its four downstream uses (deg +
-      // three triangle-join arms); end-of-life is g04's documented
-      // policy (MEMORY_AND_DISK LRU + Verify's per-query clearCache)
-      val ed = top.as("x").join(top.as("y"),
-          col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
-            col("x.n") < col("x.p"))
-        .select(col("x.n").as("u"), col("x.p").as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ed = mutualTopEdges(s, d)
       val (deg, tri) = triangleCore(s, ed)
       val triN = tri.select(explode(array($"a", $"b", $"c")).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("tri"))
@@ -347,6 +386,26 @@ object Graph {
             .as("lcc"))
         .crossJoin(broadcast(census))
         .orderBy($"rank")
+    },
+
+    // K-CORE PEELING (k=3, three bounded rounds) over g06's mutual
+    // top-6 graph — the density-pruning operator between one-shot
+    // degree filters (g02) and full iterate-to-convergence loops (g05):
+    // repeatedly drop nodes of degree < 3 and the edges they anchor.
+    // The output is the per-round census (nodes, edges, peel count) —
+    // the curve itself is the diagnostic (how fast a graph sheds its
+    // tendrils says how core-heavy it is), and the hash pins every
+    // intermediate graph, not just the final core. Three rounds is the
+    // bounded, oracle-unrollable horizon (the full fixpoint belongs to
+    // g05's dynamic-loop pattern; the scaladoc'd production form peels
+    // until no change with the round count as the convergence check).
+    // Scale shape: each round is one degree aggregation (map-side
+    // partials over an edge frame that only SHRINKS) + two semi-joins
+    // against the node-sized survivor set; every round frame persists
+    // (fixed horizon — the g01 round-12 lesson: no eager per-round
+    // counts), superseded frames released by Verify's clearCache.
+    "g07_kcore_peel" -> { (s, d) =>
+      kcorePeel(mutualTopEdges(s, d), k = 3, rounds = 3)
     },
 
     // Fixed-point integer PageRank, 3 rounds, over the undirected
@@ -559,6 +618,39 @@ object Graph {
              |  CAST(n_triangles AS BIGINT) AS n_triangles,
              |  round(CAST(n_triangles AS DOUBLE) * 3 / wedges, 6) AS global_cc
              |FROM pn CROSS JOIN census WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      // g06's edge CTEs + 3 unrolled peels; each round's census row pins
+      // the intermediate graph, not just the final core
+      "g07_kcore_peel" -> {
+        def peel(r: Int): String =
+          s"""k$r AS (SELECT n FROM d$r WHERE dg >= 3),
+             |e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+             |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r)),
+             |d${r + 1} AS (SELECT n, COUNT(*) AS dg
+             |  FROM (SELECT u AS n FROM e${r + 1} UNION ALL SELECT v FROM e${r + 1}) GROUP BY n)""".stripMargin
+        def row(r: Int): String =
+          s"""SELECT $r AS round, COUNT(*) AS n_nodes,
+             |  CAST(COALESCE(SUM(dg), 0) // 2 AS BIGINT) AS n_edges,
+             |  COUNT(*) FILTER (dg < 3) AS n_peeled FROM d$r""".stripMargin
+        raw"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |p AS MATERIALIZED (SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS shared
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |dir AS (SELECT sa AS n, sb AS p, shared FROM p
+             |  UNION ALL SELECT sb, sa, shared FROM p),
+             |top3 AS (SELECT n, p FROM (SELECT n, p,
+             |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
+             |  FROM dir) WHERE rk <= 6),
+             |e0 AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top3 x
+             |  JOIN top3 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |d0 AS (SELECT n, COUNT(*) AS dg
+             |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+             |${peel(0)},
+             |${peel(1)},
+             |${peel(2)}
+             |${row(0)} UNION ALL ${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
+             |ORDER BY round""".stripMargin
+      },
 
       "g02_degree_census" ->
         raw"""WITH $edgeCtes

@@ -100,7 +100,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t20_countmin_heavyhitters" -> 64, // ~0: vocab partials then a ≤64-group grid
     "q55_gapfill_spine" -> 1100,       // measured 532 KB ((ck,midx) partials + ck window)
     "s25_maxsim_late_interaction" -> 416, // measured 195 KB (one (query,vec) max-reduce row per pair)
-    "c22_zorder_layout" -> 2600)       // measured 1.25 MB (the inherent layout co-location move)
+    "c22_zorder_layout" -> 2600,       // measured 1.25 MB (the inherent layout co-location move)
+    "g07_kcore_peel" -> 416)           // measured 195 KB (the g03/g06 set-building exchange; peels add node-sized semi-joins)
 
   private lazy val written = {
     val w = new LongAdder

@@ -133,4 +133,22 @@ class GraphSpec extends SparkSuite {
     // every score at least the damping floor and below the total mass
     assert(scores.forall(s => s >= 150000L))
   }
+
+  test("g07 peel core: K4+pendant path sheds the tail and keeps the 3-core; a path peels to nothing") {
+    import spark.implicits._
+    def peel(edges: Seq[(Long, Long)], k: Int): Seq[(Int, Long, Long, Long)] =
+      Graph.kcorePeel(edges.toDF("u", "v"), k, 3).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // K4 on {1,2,3,4} + pendant path 4-5-6, k=3: round 0 drops {5,6}
+    // (degrees 2 and 1), then the K4 — a true 3-core — is stable forever
+    val k4p = peel(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)), k = 3)
+    assert(k4p == Seq((0, 6L, 8L, 2L), (1, 4L, 6L, 0L),
+      (2, 4L, 6L, 0L), (3, 4L, 6L, 0L)), s"got $k4p")
+    // path 1-2-3-4-5, k=2: endpoints peel inward until nothing is left —
+    // exercises the empty-graph census branch (coalesced zero edges)
+    val path = peel(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), k = 2)
+    assert(path == Seq((0, 5L, 4L, 2L), (1, 3L, 2L, 2L),
+      (2, 0L, 0L, 0L), (3, 0L, 0L, 0L)), s"got $path")
+  }
 }
