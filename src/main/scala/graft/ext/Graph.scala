@@ -105,6 +105,15 @@ object Graph {
     val s = edges0.sparkSession
     import s.implicits._
     var ed = edges0
+    // Eager materialization ONCE per round frame, persists retained to
+    // the end (NOT the g01 round-12 anti-pattern, which paired eager
+    // counts with early unpersists): the final census union references
+    // every round, and its semi-join BROADCAST sides execute as
+    // concurrent futures — without a materialized base they race past
+    // the unpopulated cache and each recomputes the expensive upstream
+    // edge build in parallel (measured: 83–106 s at sf0.1; with the
+    // eager counts the build runs once and the loop is seconds).
+    ed.count()
     val out = Seq.newBuilder[DataFrame]
     for (r <- 0 to rounds) {
       val deg = ed.select(explode(array($"u", $"v")).as("n"))
@@ -122,6 +131,7 @@ object Graph {
           .join(keep.select($"n".as("v")), Seq("v"), "leftsemi")
           .select($"u", $"v")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ed.count()
       }
     }
     out.result().reduceLeft(_.unionByName(_)).orderBy($"round")
