@@ -72,6 +72,12 @@ object Similarity {
   private def sqlBucketSum: String = (0 until 8)
     .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** s27's 32-bit sign-pack half (same `> 0.0` sign convention as the s02
+    * bucket) — DuckDB twin of the Spark `half(off)` fold. */
+  private def sqlSignHalf(off: Int): String = (0 until 32)
+    .map(i => s"(CASE WHEN v[${off + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
   private def vectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
@@ -1368,6 +1374,54 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // Binary (1-bit) quantization + Hamming search — the quantization
+    // ladder's floor (raw 512 B → SQ8 64 B → PQ 8 B → binary 8 B per
+    // vector), and the form modern vector stores ship as the cheap
+    // first pass because scoring is pure XOR + popcount (two codegen'd
+    // `bit_count` calls — no table lookups, no float math, ~50×
+    // cheaper per candidate than even ADC). The 64 sign bits pack as
+    // TWO 32-bit halves held in BIGINTs: every value stays positive
+    // and < 2^32, so the codes are exact integers on both engines with
+    // no 1<<63 sign-wrap dialect hazard. Corpus pass reads 16-byte
+    // codes (the 32× scan shrink vs raw), queries broadcast, top-5 by
+    // (hamming asc, vec_id) via the salted two-phase rank; recall@5 vs
+    // s01's exact top-5 and the exact integer sum of the winning
+    // hamming distances ride along — the oracle pins the selected IDS
+    // and their DISTANCES, not just membership. At 100 TB this is the
+    // pre-filter stage: binary top-200 → SQ8/exact rerank (s14's
+    // two-stage pattern composes directly).
+    "s27_binary_hamming" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d)
+      def half(off: Int): Column = (0 until 32)
+        .map(i => when(element_at($"v", off + i + 1) > 0.0, lit(1L << i))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val codes = e.select($"vec_id", half(0).as("lo"), half(32).as("hi"))
+      val qs = codes.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"lo".as("qlo"), $"hi".as("qhi"))
+      val cand = codes.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          (bit_count($"lo".bitwiseXOR($"qlo"))
+            + bit_count($"hi".bitwiseXOR($"qhi"))).cast("int").as("ham"))
+      val approx = graft.operators.TopK.perKey(
+          cand, $"query_id", Seq($"ham", $"vec_id"), 5, saltFrom = $"vec_id")
+        .select($"query_id".as("aq"), $"vec_id".as("an"), $"ham")
+      val hsum = approx.groupBy($"aq".as("hq"))
+        .agg(sum($"ham").cast("bigint").as("sum_ham"))
+      val exact = queries("s01_cosine_topk")(s, d)
+        .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      exact.join(broadcast(approx),
+          $"query_id" === $"aq" && $"neighbor_id" === $"an", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("k"), count($"an").as("n_hits"))
+        .join(broadcast(hsum), $"query_id" === $"hq")
+        .select($"query_id", $"n_hits",
+          round($"n_hits".cast("double") / $"k".cast("double"), 6).as("recall_at_5"),
+          $"sum_ham")
+        .orderBy($"query_id")
+    },
+
     // Two-stage retrieval (candidate generation → exact rerank) — the
     // production serving pattern that closes the recall gap quantization
     // opens: stage 1 scans only the 8-byte PQ codes (s11's ADC, shared
@@ -2347,6 +2401,39 @@ object Similarity {
            |FROM exact x LEFT JOIN approx a
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    // integer codes and integer hamming — exact on both engines with no
+    // fold-order discipline; sum_ham pins the winners' DISTANCES, so a
+    // sign-pack or popcount slip cannot hide behind a recall tie
+    "s27_binary_hamming" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |codes AS (SELECT vec_id, ${sqlSignHalf(0)} AS lo, ${sqlSignHalf(32)} AS hi
+           |  FROM e),
+           |qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+           |  FROM codes WHERE $SqlQueryPred),
+           |c AS (SELECT query_id, vec_id,
+           |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INTEGER) AS ham
+           |  FROM codes JOIN qs ON vec_id <> query_id),
+           |ar AS (SELECT query_id, vec_id, ham,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS rn
+           |  FROM c),
+           |approx AS (SELECT query_id, vec_id, ham FROM ar WHERE rn <= 5),
+           |hs AS (SELECT query_id, CAST(SUM(ham) AS BIGINT) AS sum_ham
+           |  FROM approx GROUP BY query_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |xc AS (SELECT query_id, vec_id, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xr AS (SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id $SqlRankOrder) AS rn
+           |  FROM xc),
+           |exact AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5)
+           |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+           |  round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5,
+           |  hs.sum_ham
+           |FROM exact x LEFT JOIN approx a
+           |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+           |JOIN hs ON x.query_id = hs.query_id
+           |GROUP BY x.query_id, hs.sum_ham ORDER BY x.query_id""".stripMargin,
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -211,4 +211,31 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
     assert(byQ.values.forall(_ == Seq(1, 2, 3, 4, 5)))
   }
+
+  test("s27: binary hamming report is well-formed; sum_ham matches a Scala replay") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("s27_binary_hamming")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toList == List(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { case (_, nh, rc, sh) =>
+      assert(nh >= 0 && nh <= 5); assert(rc == nh / 5.0)
+      assert(sh >= 0 && sh <= 5 * 64, s"sum_ham $sh outside [0, 320]")
+    }
+    // independent Scala replay of the sign-pack + hamming top-5
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def code(v: Array[Double]): Long =
+      v.zipWithIndex.map { case (x, i) => if (x > 0.0) 1L << i else 0L }.reduce(_ | _)
+    val codes = vecs.view.mapValues(code).toMap
+    val expected = (0L until 5L).map { q =>
+      q -> codes.toSeq.filter(_._1 != q)
+        .map { case (id, c) => (java.lang.Long.bitCount(c ^ codes(q)), id) }
+        .sorted.take(5).map(_._1.toLong).sum
+    }.toMap
+    rows.foreach { case (q, _, _, sh) =>
+      assert(sh == expected(q), s"query $q: sum_ham $sh != replay ${expected(q)}")
+    }
+  }
 }
