@@ -1146,6 +1146,51 @@ object Dedup {
           sum(conv(substring(md5($"cleaned".cast("binary")), 1, 10), 16, 10)
             .cast("long")).as("cleaned_check"))
         .orderBy($"source")
+    },
+
+    // Bloom-gated incremental exact dedup — d17's exact stage re-shaped
+    // around the runtime-filter primitive Spark itself injects for
+    // shuffle pruning (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    // the codegen'd blocked-bloom pair behind
+    // spark.sql.optimizer.runtime.bloomFilter): the base corpus folds
+    // ONCE into a fixed-size mergeable bloom blob (numBits-sized partials,
+    // text never moves), delivered to the increment scan as a SCALAR
+    // SUBQUERY — the exact mechanism InjectRuntimeFilter uses, so the
+    // blob rides the plan without any driver collect. Only bloom-POSITIVE
+    // increment rows (true dups + the ~3% FP tail) reach the verify join,
+    // and that join BROADCASTS the surviving handful against one base
+    // scan — at 100 TB the nightly cost is one base pass + a
+    // bloom-filter-sized exchange, with NO base-fingerprint shuffle (the
+    // d17 exact stage's asymptotic cost). Bloom has no false negatives,
+    // so the output is bit-identical to the ungated exact join — the
+    // oracle replays exactly that, and `DedupSpec` asserts both the
+    // invariant (gated == ungated) and the measured pruning.
+    "d23_bloom_dedup_gate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 7
+      val fps = docs.select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+      val base = fps.filter(!isNew).select($"doc_id".as("base_id"), $"fp")
+      val bloomDf = base.select(GraftShims.column(
+        new BloomFilterAggregate(GraftShims.expression(xxhash64($"fp")), 65536L)
+          .toAggregateExpression()).as("bloom"))
+      val gate = GraftShims.column(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.analyzed),
+        GraftShims.expression(xxhash64(col("fp")))))
+      val candidates = fps.filter(isNew).filter(gate)
+      val verified = broadcast(candidates.select($"doc_id", $"fp"))
+        .join(base, Seq("fp"))
+        .groupBy($"doc_id").agg(min($"base_id").as("match_id"))
+      fps.filter(isNew).select($"doc_id", $"source")
+        .join(broadcast(verified), Seq("doc_id"), "left")
+        .select($"doc_id", $"source",
+          when($"match_id".isNotNull, lit("exact_dup")).otherwise(lit("new"))
+            .as("verdict"),
+          $"match_id")
+        .orderBy($"doc_id")
     }
   )
 
@@ -1610,7 +1655,24 @@ object Dedup {
              |  CAST(SUM(nrem) AS BIGINT) AS words_removed,
              |  CAST(SUM(('0x' || substr(md5(cleaned), 1, 10))::BIGINT) AS BIGINT)
              |    AS cleaned_check
-             |FROM rb GROUP BY source ORDER BY source""".stripMargin
+             |FROM rb GROUP BY source ORDER BY source""".stripMargin,
+
+      // bloom-invariant: the gate has no false negatives, so the oracle
+      // is the UNGATED exact join — any bloom slip that drops a true
+      // dup (or a verify join that admits an FP without verification)
+      // hash-mismatches here
+      "d23_bloom_dedup_gate" ->
+        raw"""WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+             |m AS (SELECT n.doc_id, MIN(o.doc_id) AS match_id
+             |  FROM fp n JOIN fp o ON n.fp = o.fp
+             |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+             |  GROUP BY n.doc_id)
+             |SELECT d.doc_id, d.source,
+             |  CASE WHEN m.match_id IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS verdict,
+             |  m.match_id
+             |FROM fp d LEFT JOIN m ON d.doc_id = m.doc_id
+             |WHERE d.doc_id % 10 = 7
+             |ORDER BY d.doc_id""".stripMargin
     )
   }
 }

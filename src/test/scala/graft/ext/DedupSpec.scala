@@ -306,4 +306,62 @@ class DedupSpec extends SparkSuite {
       ("sd", 1L, 1L, 30L, 20L)), // loses exactly the shared 20-word run
       s"got $rows")
   }
+
+  test("d23: bloom gate has no false negatives — gated output == ungated exact join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val gated = Dedup.queries("d23_bloom_dedup_gate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toList
+    // ungated replay: the plain exact join, no bloom anywhere
+    val docs = graft.core.Tables.documents(spark, sf)
+    val fps = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+    val isNew = col("doc_id") % 10 === 7
+    val exact = fps.filter(isNew).as("n")
+      .join(fps.filter(!isNew).as("o"), col("n.fp") === col("o.fp"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("match_id"))
+    val ungated = fps.filter(isNew).select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"match_id".isNotNull, lit("exact_dup")).otherwise(lit("new")).as("v"),
+        coalesce($"match_id", lit(-1L)).as("m"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(gated == ungated, "bloom-gated verdicts diverge from the exact join")
+  }
+
+  test("d23: the plan carries the bloom gate and a broadcast verify join; the gate prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val df = Dedup.queries("d23_bloom_dedup_gate")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"bloom gate missing from the physical plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "verify join must broadcast the gated side")
+    assert(!plan.contains("SortMergeJoin"), "no base-fingerprint shuffle join allowed")
+    // measured pruning: bloom-positive candidates are a strict subset of
+    // the increment, and a superset of the true dups
+    val docs = graft.core.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val nInc = docs.filter(isNew).count()
+    val nDup = df.filter($"verdict" === "exact_dup").count()
+    val fps = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+    val bloomDf = fps.filter(!isNew)
+      .select(org.apache.spark.sql.GraftShims.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.GraftShims.expression(xxhash64($"fp")), 65536L)
+          .toAggregateExpression()).as("bloom"))
+    val gate = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloomDf.queryExecution.analyzed),
+        org.apache.spark.sql.GraftShims.expression(xxhash64(col("fp")))))
+    val nGatePass = fps.filter(isNew).filter(gate).count()
+    assert(nGatePass >= nDup, s"gate dropped true dups: $nGatePass < $nDup")
+    assert(nGatePass < nInc,
+      s"gate prunes nothing at sf0.001 ($nGatePass of $nInc) — FP rate broken")
+  }
 }
