@@ -51,6 +51,12 @@ final case class QoiFeatures(
     width: Int, height: Int,
     r_sum: Long, g_sum: Long, b_sum: Long)
 
+final case class TgaFeatures(
+    media_id: Long, kind: String,
+    width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long,
+    first_px: Int, last_px: Int)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -346,6 +352,52 @@ object Multimodal {
             QoiFeatures(r.media_id, r.kind, img.width, img.height, rs, gs, bs)
           case _ =>
             QoiFeatures(r.media_id, r.kind, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
+  /** m14 uses m13's raster convention exactly (5-pixel-wide RGB, ≤8
+    * rows) so the two compression families are measured on identical
+    * inputs. */
+  private[graft] val TgaW = 5
+  private[graft] def tgaMedia(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val h = least(floor(length(bin) / (3 * TgaW)), lit(8)).cast("int")
+    docs.filter(length(bin) >= 3 * TgaW)
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        bin.substr(lit(1), h * (3 * TgaW)).as("content"))
+  }
+
+  /** TGA round-trip batch: per blob, the raw RGB samples are RLE-packed
+    * into a type-10 TGA ([[Tga.encode]] — run detection is stateful per
+    * scanline, not a column op) and strictly re-parsed by [[Tga.parse]],
+    * then featured per channel PLUS the top-left/bottom-right pixels:
+    * the channel sums catch a BGR-order slip, the corner pixels catch a
+    * bottom-up row-flip slip (sums alone are flip-invariant). Parse
+    * failure → sentinel (-1) row, the m06/m08 convention. */
+  def tgaFeatures(spark: SparkSession, media: DataFrame, w: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val h = r.content.length / (3 * w)
+        val blob = Tga.encode(Tga.Rgb(w, h,
+          java.util.Arrays.copyOfRange(r.content, 0, 3 * w * h)))
+        Tga.parse(blob) match {
+          case Some(img) if img.width == w && img.height == h =>
+            val s = img.samples
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var i = 0
+            while (i + 2 < s.length) {
+              rs += s(i) & 0xff; gs += s(i + 1) & 0xff; bs += s(i + 2) & 0xff
+              i += 3
+            }
+            def px(o: Int): Int =
+              ((s(o) & 0xff) << 16) | ((s(o + 1) & 0xff) << 8) | (s(o + 2) & 0xff)
+            TgaFeatures(r.media_id, r.kind, img.width, img.height,
+              rs, gs, bs, px(0), px(s.length - 3))
+          case _ =>
+            TgaFeatures(r.media_id, r.kind, -1, -1, -1L, -1L, -1L, -1, -1)
         }
       }
     }.toDF()
@@ -705,6 +757,23 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // The FIFTH compressed codec / fifth compression family: TGA
+    // type-10's plain run-length packets (Truevision TGA 2.0 spec) next
+    // to m10's DEFLATE, m11's Rice, m12's LZW and m13's predictive op
+    // stream — the family's simplest entropy scheme, where every decode
+    // hazard is LAYOUT: BGR byte order (channel sums catch a swap),
+    // bottom-up row storage (the corner-pixel features catch an unflipped
+    // read — sums alone are flip-invariant), and the packets-never-cross-
+    // scanlines rule the strict parser enforces. Same 5-wide RGB raster
+    // as m09/m10/m13, so compression families compare on identical
+    // inputs. TgaSpec plants fixtures driving both packet types, the
+    // 128-run clamp and the scanline cut; CodecFuzzSpec drives
+    // adversarial bytes. n_bytes is absent by the m10/m11 rule.
+    "m14_tga_decode" -> { (s, d) =>
+      tgaFeatures(s, tgaMedia(Tables.documents(s, d)), TgaW)
+        .orderBy(col("media_id"))
+    },
+
     // The compressed-AUDIO arm — FLAC through [[Flac]]'s pure-JVM
     // Rice/fixed-predictor codec, m10's PNG story for sound: text bytes
     // become 8-bit mono PCM, FLAC-encoded in the batch (bit-packing is
@@ -901,6 +970,27 @@ object Multimodal {
            |SELECT media_id, kind,
            |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // m13's channel-sum oracle plus the two corner pixels straight from
+    // the text layout: top-left = bytes 1..3, bottom-right = the last
+    // triplet — only a parser that both un-flips the bottom-up rows AND
+    // un-swaps BGR reproduces all five values
+    "m14_tga_decode" -> {
+      def ch(c: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 3 = $c THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")},
+           |  CAST(ord(substr(text, 1, 1)) * 65536 + ord(substr(text, 2, 1)) * 256
+           |    + ord(substr(text, 3, 1)) AS INTEGER) AS first_px,
+           |  CAST(ord(substr(text, 15*h - 2, 1)) * 65536
+           |    + ord(substr(text, 15*h - 1, 1)) * 256
+           |    + ord(substr(text, 15*h, 1)) AS INTEGER) AS last_px
            |FROM t ORDER BY media_id""".stripMargin
     },
 

@@ -16,7 +16,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "Pgm" -> (Pgm.parse(_)), "Ppm" -> (Ppm.parse(_)), "Bmp" -> (Bmp.parse(_)),
     "Png" -> (Png.parse(_)), "Wav" -> (Wav.parse(_)),
     "Flac" -> (Flac.parse(_)), "Au" -> (Multimodal.parseAu(_)),
-    "Gif" -> (Gif.parse(_)), "Qoi" -> (Qoi.parse(_)))
+    "Gif" -> (Gif.parse(_)), "Qoi" -> (Qoi.parse(_)), "Tga" -> (Tga.parse(_)))
 
   private val magics = Seq("P5\n", "P6\n", "BM", "\u0089PNG\r\n\u001a\n",
     "RIFF", "AU\n", "GIF87a", "qoif")
