@@ -1422,6 +1422,67 @@ object Similarity {
         .orderBy($"query_id")
     },
 
+    // MMR (maximal marginal relevance) diversity rerank — the serving
+    // stage after s14's exact rerank that RAG stacks actually ship:
+    // from each query's exact top-20, greedily select 5 maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-selected (λ=0.7,
+    // Carbonell & Goldstein 1998), so near-duplicate hits can't crowd
+    // the context window. The greedy loop is inherently sequential in
+    // k but each round is a TINY broadcast join: candidate sets are
+    // ≤ 20 rows/query at ANY corpus size (the top-k bound is the scale
+    // contract — 100 TB changes the candidate-generation stage, never
+    // this one), so all 4 rounds compose into one lazy plan over
+    // broadcast frames with zero shuffles after candidate generation.
+    // Scores are in-order DotProduct folds (bitwise cross-engine);
+    // ranks tie-break on vec_id; the oracle unrolls the same 5 rounds
+    // as CTEs and must reproduce ids AND rounded scores.
+    "s26_mmr_rerank" -> { (s, d) =>
+      import s.implicits._
+      val lam = lit(0.7); val oneMinusLam = lit(0.3)
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val scored = e.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("rel"), $"v", $"nrm")
+      val cand = graft.operators.TopK.perKey(
+          scored, $"query_id", Seq($"rel".desc, $"vec_id"), 20, saltFrom = $"vec_id")
+        .select($"query_id", $"vec_id", $"rel", $"v", $"nrm")
+      val sims = cand.as("a").join(broadcast(cand.as("b")),
+          col("a.query_id") === col("b.query_id")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.vec_id").as("ci"), col("b.vec_id").as("cj"),
+          cosineWithNorms(col("a.v"), col("b.v"),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+      var selected = cand
+        .select($"query_id", $"vec_id", (lam * $"rel").as("score"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"vec_id", lit(1).as("rank"), $"score")
+      for (k <- 2 to 5) {
+        val selIds = selected.select($"query_id".as("sq"), $"vec_id".as("sv"))
+        val pen = sims.join(broadcast(selIds),
+            $"query_id" === $"sq" && $"cj" === $"sv")
+          .groupBy($"query_id".as("pq"), $"ci".as("pv"))
+          .agg(max($"sim").as("pen"))
+        val next = cand
+          .join(broadcast(selIds), $"query_id" === $"sq" && $"vec_id" === $"sv",
+            "left_anti")
+          .join(broadcast(pen), $"query_id" === $"pq" && $"vec_id" === $"pv")
+          .select($"query_id", $"vec_id",
+            (lam * $"rel" - oneMinusLam * $"pen").as("score"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"query_id", $"vec_id", lit(k).as("rank"), $"score")
+        selected = selected.unionByName(next)
+      }
+      selected
+        .select($"query_id", $"rank", $"vec_id",
+          round($"score", 6).as("mmr_score"))
+        .orderBy($"query_id", $"rank")
+    },
+
     // Two-stage retrieval (candidate generation → exact rerank) — the
     // production serving pattern that closes the recall gap quantization
     // opens: stage 1 scans only the 8-byte PQ codes (s11's ADC, shared
@@ -2434,6 +2495,55 @@ object Similarity {
            |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id
            |JOIN hs ON x.query_id = hs.query_id
            |GROUP BY x.query_id, hs.sum_ham ORDER BY x.query_id""".stripMargin,
+
+    // the greedy loop unrolled to five CTE rounds — every score is the
+    // same in-order dot-product arithmetic as the Spark side, ordering
+    // is on the SAME score expression with a vec_id tie-break, so ids
+    // and rounded scores must both reproduce
+    "s26_mmr_rerank" -> {
+      val rounds = (2 to 5).map { k =>
+        val prev = if (k == 2) "s1" else s"sel${k - 1}"
+        raw"""p$k AS (SELECT s.query_id, s.ci, MAX(s.sim) AS pen
+             |  FROM sims s JOIN $prev t ON s.query_id = t.query_id AND s.cj = t.vec_id
+             |  GROUP BY s.query_id, s.ci),
+             |r$k AS (SELECT query_id, vec_id, $k AS rank, score FROM (
+             |  SELECT c.query_id, c.vec_id, 0.7 * c.rel - 0.3 * p.pen AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY 0.7 * c.rel - 0.3 * p.pen DESC, c.vec_id) AS rn
+             |  FROM cand c JOIN p$k p ON c.query_id = p.query_id AND c.vec_id = p.ci
+             |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+             |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)) t
+             |  WHERE rn = 1),
+             |sel$k AS (SELECT query_id, vec_id FROM $prev
+             |  UNION ALL SELECT query_id, vec_id FROM r$k)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+           |  WHERE $SqlQueryPred),
+           |sc AS (SELECT query_id, n.vec_id, list_dot_product(qv, v) / sqrt(qn * nrm) AS rel
+           |  FROM n JOIN q ON n.vec_id <> query_id),
+           |cand AS (SELECT query_id, vec_id, rel FROM (
+           |  SELECT query_id, vec_id, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+           |  FROM sc) t WHERE rn <= 20),
+           |cv AS (SELECT c.query_id, c.vec_id, c.rel, n.v, n.nrm
+           |  FROM cand c JOIN n USING (vec_id)),
+           |sims AS (SELECT a.query_id, a.vec_id AS ci, b.vec_id AS cj,
+           |    list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm) AS sim
+           |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+           |s1 AS (SELECT query_id, vec_id, 1 AS rank, score FROM (
+           |  SELECT query_id, vec_id, 0.7 * rel AS score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY 0.7 * rel DESC, vec_id) AS rn
+           |  FROM cand) t WHERE rn = 1),
+           |$rounds
+           |SELECT query_id, rank, vec_id, round(score, 6) AS mmr_score
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM r2
+           |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+           |  UNION ALL SELECT * FROM r5)
+           |ORDER BY query_id, rank""".stripMargin
+    },
 
     "s05_quantize_int8" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

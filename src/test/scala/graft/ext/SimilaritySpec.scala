@@ -212,6 +212,36 @@ class SimilaritySpec extends SparkSuite {
     assert(byQ.values.forall(_ == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("s26: MMR greedy invariants — monotone scores, rank-1 = top-rel, diversity acts") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("s26_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 25, s"expected 5 queries x 5 picks, got ${rows.length}")
+    // greedy max over a shrinking candidate set with growing penalties is
+    // non-increasing in k
+    rows.groupBy(_._1).values.foreach { picks =>
+      val scores = picks.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-12 },
+        s"MMR scores increased across rounds: ${scores.toList}")
+    }
+    // rank 1 maximizes lambda*rel, i.e. rel: must equal s01's top-1
+    val top1 = Similarity.queries("s01_cosine_topk")(spark, sf)
+      .filter($"rn" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, v, _) =>
+      assert(v == top1(q), s"query $q: MMR rank-1 $v != exact top-1 ${top1(q)}")
+    }
+    // and the diversity penalty actually changes the selection vs pure
+    // relevance for at least one query at sf0.01
+    val rel5 = Similarity.queries("s01_cosine_topk")(spark, sf)
+      .filter($"rn" <= 5).select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val mmr5 = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(mmr5.exists { case (q, s) => s != rel5(q) },
+      "MMR top-5 identical to relevance top-5 for every query — penalty inert")
+  }
+
   test("s27: binary hamming report is well-formed; sum_ham matches a Scala replay") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
