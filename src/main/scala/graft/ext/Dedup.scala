@@ -1167,32 +1167,45 @@ object Dedup {
     // invariant (gated == ungated) and the measured pruning.
     "d23_bloom_dedup_gate" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.GraftShims
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 10 === 7
       val fps = docs.select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
       val base = fps.filter(!isNew).select($"doc_id".as("base_id"), $"fp")
-      val bloomDf = base.select(GraftShims.column(
-        new BloomFilterAggregate(GraftShims.expression(xxhash64($"fp")), 65536L)
-          .toAggregateExpression()).as("bloom"))
-      val gate = GraftShims.column(BloomFilterMightContain(
-        ScalarSubquery(bloomDf.queryExecution.analyzed),
-        GraftShims.expression(xxhash64(col("fp")))))
-      val candidates = fps.filter(isNew).filter(gate)
-      val verified = broadcast(candidates.select($"doc_id", $"fp"))
-        .join(base, Seq("fp"))
-        .groupBy($"doc_id").agg(min($"base_id").as("match_id"))
-      fps.filter(isNew).select($"doc_id", $"source")
-        .join(broadcast(verified), Seq("doc_id"), "left")
-        .select($"doc_id", $"source",
-          when($"match_id".isNotNull, lit("exact_dup")).otherwise(lit("new"))
-            .as("verdict"),
-          $"match_id")
-        .orderBy($"doc_id")
+      bloomGatedVerdicts(base, fps.filter(isNew)).orderBy($"doc_id")
     }
   )
+
+  /** d23's shared stages, factored so the streaming twin runs the SAME
+    * definition per micro-batch: build the base bloom (one
+    * `BloomFilterAggregate` blob delivered as a scalar subquery — the
+    * InjectRuntimeFilter mechanism, no driver collect), gate the
+    * increment scan on `might_contain`, exact-verify only the
+    * bloom-positive survivors via a BROADCAST join against one base
+    * pass, and emit per-doc verdicts. `baseFps` must be `(base_id, fp)`;
+    * `inc` must carry `(doc_id, source, fp)`. A production server
+    * materializes the blob once per base generation (runtime-filter
+    * reuse); rebuilding it per call changes cost, never verdicts. */
+  private[graft] def bloomGatedVerdicts(baseFps: DataFrame, inc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomDf = baseFps.select(GraftShims.column(
+      new BloomFilterAggregate(GraftShims.expression(xxhash64(col("fp"))), 65536L)
+        .toAggregateExpression()).as("bloom"))
+    val gate = GraftShims.column(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      GraftShims.expression(xxhash64(col("fp")))))
+    val candidates = inc.filter(gate)
+    val verified = broadcast(candidates.select(col("doc_id"), col("fp")))
+      .join(baseFps, Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("match_id"))
+    inc.select(col("doc_id"), col("source"))
+      .join(broadcast(verified), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("match_id").isNotNull, lit("exact_dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("match_id"))
+  }
 
   val oracle: Map[String, String] = {
     val shingleCte =

@@ -887,4 +887,48 @@ class StreamingParitySpec extends SparkSuite {
     assert(served == t20,
       s"streamed-grid estimates diverge from the batch query: $served vs $t20")
   }
+
+  test("bloom-gated dedup verdicts an increment stream against the frozen base (d23)") {
+    // the STREAMING form of d23's nightly gate: increment documents
+    // arrive as a stream and each micro-batch runs the SAME
+    // bloomGatedVerdicts definition the batch query runs — base bloom
+    // (scalar-subquery blob), might_contain pre-gate, broadcast exact
+    // verify. Bloom has no false negatives and verdicts are per-row, so
+    // the union of micro-batch verdicts must equal the batch query's
+    // verdict set no matter how the increment was sliced (forced through
+    // multiple micro-batches via maxFilesPerTrigger=1). foreachBatch is
+    // the right harness: each micro-batch is a batch frame, so the
+    // scalar subquery executes exactly as in the nightly run.
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val fps = docs.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("fp"))
+    val base = fps.filter(!isNew).select(col("doc_id").as("base_id"), col("fp"))
+    val batch = Dedup.queries("d23_bloom_dedup_gate")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch produced no verdicts at sf0.001")
+
+    val root = Files.createTempDirectory("graft-d23-stream").toString
+    fps.filter(isNew).repartition(4).write.mode("overwrite")
+      .parquet(root + "/inc")
+    val schema = spark.read.parquet(root + "/inc").schema
+    var batches = 0
+    val acc = scala.collection.mutable.Set[Seq[Any]]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/inc")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          acc ++= Dedup.bloomGatedVerdicts(base, b).collect().map(_.toSeq)
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "d23 stream did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    assert(acc.toSet == batch,
+      s"streamed verdicts ${acc.size} != batch verdicts ${batch.size}")
+  }
 }
