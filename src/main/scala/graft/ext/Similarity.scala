@@ -1444,9 +1444,16 @@ object Similarity {
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
       val scored = e.join(broadcast(qs), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id",
-          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("rel"), $"v", $"nrm")
-      val cand = graft.operators.TopK.perKey(
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("rel"))
+      // rank on NARROW (query, vec, rel) rows — vectors never ride the
+      // rank shuffle (s20's rule); the ≤ 20/query winners then re-fetch
+      // their vectors by broadcasting the id set against one corpus scan
+      // (s14's candidate-probe shape)
+      val candIds = graft.operators.TopK.perKey(
           scored, $"query_id", Seq($"rel".desc, $"vec_id"), 20, saltFrom = $"vec_id")
+        .select($"query_id", $"vec_id", $"rel")
+      val cand = e.select($"vec_id", $"v", $"nrm")
+        .join(broadcast(candIds), Seq("vec_id"))
         .select($"query_id", $"vec_id", $"rel", $"v", $"nrm")
       val sims = cand.as("a").join(broadcast(cand.as("b")),
           col("a.query_id") === col("b.query_id")

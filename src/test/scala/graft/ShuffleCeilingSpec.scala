@@ -101,7 +101,12 @@ class ShuffleCeilingSpec extends SparkSuite {
     "q55_gapfill_spine" -> 1100,       // measured 532 KB ((ck,midx) partials + ck window)
     "s25_maxsim_late_interaction" -> 416, // measured 195 KB (one (query,vec) max-reduce row per pair)
     "c22_zorder_layout" -> 2600,       // measured 1.25 MB (the inherent layout co-location move)
-    "g07_kcore_peel" -> 416)           // measured 195 KB (the g03/g06 set-building exchange; peels add node-sized semi-joins)
+    "g07_kcore_peel" -> 416,           // measured 195 KB (the g03/g06 set-building exchange; peels add node-sized semi-joins)
+    // round-13 back half
+    "s27_binary_hamming" -> 64,        // measured 20 KB (16-byte codes; queries broadcast)
+    "s26_mmr_rerank" -> 88,            // measured 40 KB (narrow (query,vec,rel) rank rows; vectors re-fetched by broadcast probe — 0.72 MB with vectors riding the rank shuffle, the red case)
+    "d23_bloom_dedup_gate" -> 64,      // measured 20 KB (bloom partials; verify join broadcasts)
+    "m14_tga_decode" -> 64)            // ~0: RLE round-trip never shuffles
 
   private lazy val written = {
     val w = new LongAdder
