@@ -212,6 +212,23 @@ object TextAnalysis {
       .agg(sum(col("fx")).as("sfx"))
   }
 
+  /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
+    * hash) set, hashed IN THE SCAN STAGE so the one corpus-wide distinct
+    * exchanges fixed 8-byte keys, never shingle text (t09's scaladoc has
+    * the full 100 TB framing). Persisted: t09 feeds both its exact census
+    * and its sketch from it; t21 feeds sketches AND the exact pairwise
+    * overlap. */
+  private def kmvDistinctHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source",
+        explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
+      .select($"source",
+        conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE vocabulary induction, step one: corpus-wide adjacent character
     // pair counts within words — the statistic each byte-pair merge round
@@ -247,13 +264,7 @@ object TextAnalysis {
       // corpus scan; the sketch's 28-bit prefix is just m >> 32 (top 7 hex
       // chars), so its distinct runs over the already-deduped set
       // (|distinct shingles| rows, not |corpus|) with no second hash pass.
-      val dm = Tables.documents(s, d)
-        .select($"source",
-          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
-        .select($"source",
-          conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dm = kmvDistinctHashes(s, d)
       val dh = dm
         .select($"source", shiftright($"m", 32).as("h"))
         .distinct()
@@ -268,6 +279,60 @@ object TextAnalysis {
           round(abs(est - $"n_exact".cast("double")) / $"n_exact".cast("double"), 6)
             .as("rel_error"))
         .orderBy($"source")
+    },
+
+    // KMV sketch SET OPERATIONS — the reason to pick KMV over HLL when
+    // you need more than cardinalities: two sources' bottom-k sketches
+    // MERGE into the union's bottom-k (re-rank the union of the two
+    // 64-hash sets, keep 64), the union estimate falls out of the same
+    // (k−1)·2^28/h_k estimator, and the intersection follows by
+    // inclusion–exclusion — the cheap cross-source overlap report that
+    // tells a dedup planner WHERE to spend its LSH budget. At 100 TB the
+    // pairwise stage touches only k-sized sketch state (64 ints per
+    // source — |sources|²·k work, corpus-size-independent); the exact
+    // pairwise overlap rides along as calibration (t09/d14's
+    // realized-error pattern) and is itself an 8-byte-key equi-join,
+    // never a text move. Everything is md5-derived integers — the
+    // estimates are deterministic and the oracle replays them exactly.
+    "t21_kmv_overlap" -> { (s, d) =>
+      import s.implicits._
+      val k = 64
+      val dm = kmvDistinctHashes(s, d)
+      val dh = dm.select($"source", shiftright($"m", 32).as("h")).distinct()
+      val bk = graft.operators.TopK.perKey(dh, $"source", Seq($"h"), k, saltFrom = $"h")
+        .select($"source", $"h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def estCol(nObs: Column, hk: Column): Column =
+        when(nObs < k, nObs.cast("double"))
+          .otherwise(lit((k - 1).toDouble * (1L << 28).toDouble) / hk.cast("double"))
+      val est = bk.groupBy($"source").agg(max($"h").as("hk"), count(lit(1)).as("n_obs"))
+        .select($"source", estCol($"n_obs", $"hk").as("est"))
+      val pairs = est.as("a").join(est.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          col("a.est").as("est_a"), col("b.est").as("est_b"))
+      val pu = pairs.select($"sa", $"sb").join(bk, $"sa" === $"source")
+          .select($"sa", $"sb", $"h")
+        .unionByName(pairs.select($"sa", $"sb").join(bk, $"sb" === $"source")
+          .select($"sa", $"sb", $"h"))
+        .distinct()
+      val ku = graft.operators.TopK.perKey(
+          pu, struct($"sa", $"sb"), Seq($"h"), k, saltFrom = $"h")
+        .groupBy($"sa", $"sb").agg(max($"h").as("hku"), count(lit(1)).as("n_obs_u"))
+      val ei = dm.as("x").join(dm.as("y"),
+          col("x.m") === col("y.m") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val estU = estCol($"n_obs_u", $"hku")
+      val estI = greatest($"est_a" + $"est_b" - estU, lit(0.0))
+      val exD = coalesce($"exact_inter", lit(0L)).cast("double")
+      pairs.join(ku, Seq("sa", "sb"))
+        .join(ei, Seq("sa", "sb"), "left")
+        .select($"sa", $"sb",
+          round($"est_a", 4).as("est_a"), round($"est_b", 4).as("est_b"),
+          round(estU, 4).as("est_union"), round(estI, 4).as("est_inter"),
+          coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+          round(abs(estI - exD) / greatest(exD, lit(1.0)), 6).as("rel_error"))
+        .orderBy($"sa", $"sb")
     },
 
     "t05_bpe_pair_counts" -> { (s, d) =>
@@ -993,6 +1058,48 @@ object TextAnalysis {
            |SELECT source, n_exact, n_obs, round(est, 4) AS kmv_estimate,
            |  round(abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error
            |FROM j ORDER BY source""".stripMargin,
+
+    // same md5-derived integers as t09, so the sketch merge, both
+    // estimators and the inclusion-exclusion intersection replay exactly;
+    // the exact pairwise overlap joins the 60-bit hash sets
+    "t21_kmv_overlap" ->
+      raw"""WITH w AS (SELECT source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |sg AS (SELECT source,
+           |    unnest(list_transform(range(1, len(w) - 1),
+           |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sg
+           |  FROM w WHERE len(w) >= 3),
+           |dm AS (SELECT DISTINCT source, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS m FROM sg),
+           |dh AS (SELECT DISTINCT source, m >> 32 AS h FROM dm),
+           |r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+           |bk AS (SELECT source, h FROM r WHERE rn <= 64),
+           |est AS (SELECT source,
+           |    CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+           |         ELSE 63.0 * 268435456.0 / CAST(MAX(h) AS DOUBLE) END AS est
+           |  FROM bk GROUP BY source),
+           |pairs AS (SELECT a.source AS sa, b.source AS sb, a.est AS est_a, b.est AS est_b
+           |  FROM est a JOIN est b ON a.source < b.source),
+           |pu AS (SELECT DISTINCT sa, sb, h FROM (
+           |  SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sa
+           |  UNION ALL
+           |  SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sb)),
+           |ru AS (SELECT sa, sb, h,
+           |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM pu),
+           |ku AS (SELECT sa, sb,
+           |    CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+           |         ELSE 63.0 * 268435456.0 / CAST(MAX(h) AS DOUBLE) END AS est_u
+           |  FROM ru WHERE rn <= 64 GROUP BY sa, sb),
+           |ei AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS exact_inter
+           |  FROM dm x JOIN dm y ON x.m = y.m AND x.source < y.source GROUP BY 1, 2),
+           |f AS (SELECT p.sa, p.sb, p.est_a, p.est_b, k.est_u,
+           |    GREATEST(p.est_a + p.est_b - k.est_u, 0.0) AS est_i,
+           |    CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter
+           |  FROM pairs p JOIN ku k ON p.sa = k.sa AND p.sb = k.sb
+           |  LEFT JOIN ei e ON p.sa = e.sa AND p.sb = e.sb)
+           |SELECT sa, sb, round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+           |  round(est_u, 4) AS est_union, round(est_i, 4) AS est_inter, exact_inter,
+           |  round(abs(est_i - CAST(exact_inter AS DOUBLE))
+           |    / GREATEST(CAST(exact_inter AS DOUBLE), 1.0), 6) AS rel_error
+           |FROM f ORDER BY sa, sb""".stripMargin,
 
     "t12_bpe_merge_train" ->
       raw"""WITH w0 AS (

@@ -106,7 +106,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s27_binary_hamming" -> 64,        // measured 20 KB (16-byte codes; queries broadcast)
     "s26_mmr_rerank" -> 88,            // measured 40 KB (narrow (query,vec,rel) rank rows; vectors re-fetched by broadcast probe — 0.72 MB with vectors riding the rank shuffle, the red case)
     "d23_bloom_dedup_gate" -> 64,      // measured 20 KB (bloom partials; verify join broadcasts)
-    "m14_tga_decode" -> 64)            // ~0: RLE round-trip never shuffles
+    "m14_tga_decode" -> 64,            // ~0: RLE round-trip never shuffles
+    "t21_kmv_overlap" -> 2400)         // measured 1.17 MB (the t09 60-bit distincts + the 8-byte-key exact-calibration join; sketch set-ops themselves are k-sized)
 
   private lazy val written = {
     val w = new LongAdder

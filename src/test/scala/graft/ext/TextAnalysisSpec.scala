@@ -190,4 +190,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rowMass.size == 4 && rowMass.values.forall(_ == nTok),
       s"each sketch row must conserve token mass: $rowMass vs $nTok")
   }
+
+  test("t21: sketch set-ops — full pair lattice, union monotone, exact overlap replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.queries("t21_kmv_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val nSrc = graft.core.Tables.documents(spark, sf)
+      .select($"source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected the full pair lattice, got ${rows.length} of ${nSrc * (nSrc - 1) / 2}")
+    rows.foreach { case (sa, sb, ea, eb, eu, ei, _) =>
+      // merged bottom-k of a superset has an equal-or-smaller k-th minimum
+      assert(eu >= math.max(ea, eb) - 1e-6,
+        s"($sa,$sb): union estimate $eu below a side ($ea, $eb)")
+      assert(ei >= 0.0, s"($sa,$sb): negative intersection estimate $ei")
+    }
+    // the exact column is a plain distinct-hash intersection — replay it
+    val dm = graft.core.Tables.documents(spark, sf)
+      .select($"source",
+        explode(graft.functions.ShingleArr(split(trim($"text"), graft.core.Tok.Ws), 3)).as("sg"))
+      .select($"source",
+        conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = dm.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (sa, sb, _, _, _, _, ex) =>
+      val want = (bySrc(sa) & bySrc(sb)).size.toLong
+      assert(ex == want, s"($sa,$sb): exact_inter $ex != replay $want")
+    }
+  }
 }
