@@ -327,6 +327,43 @@ object Similarity {
     * so an increment encoded against the FILES gets byte-identical
     * codes. This is what makes s23's maintenance honest: nothing about
     * the codebook is recomputed from vectors at maintenance time. */
+  /** s21/s28's shared graph-build stages. `knnAssigned`: every vector
+    * assigned to its best of the 8 seed-centroid cells (per-row broadcast
+    * argmax — corpus never exchanged), persisted because the pair join
+    * consumes it twice. `knnDirEdges`: the DIRECTED top-3 kNN edge list,
+    * cell-bounded (the equi-join on cell is what keeps pair generation
+    * off O(n²)), persisted because s21's mutual join reads it twice and
+    * s28's serving loop probes it every hop. */
+  private[graft] def knnAssigned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+    val cents = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    e.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"v", $"nrm", $"cent_id"),
+        struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
+      .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
+        $"b.cent_id".as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def knnDirEdges(assigned: DataFrame): DataFrame = {
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"),
+        cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+          .as("cos"))
+    graft.operators.TopK.perKey(
+        pairs, col("i"), Seq(col("cos").desc, col("j")), 3, saltFrom = col("j"))
+      .select(col("cell"), col("i"), col("j"),
+        round(col("cos") * 1000000.0).cast("long").as("fx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private def subCbFromSaved(cbR: DataFrame): DataFrame =
     cbR.select(explode(col("cb")).as("e"))
       .select(explode(array((0 until 8).map(m => struct(
@@ -1656,29 +1693,8 @@ object Similarity {
     // are per-cell integers.
     "s21_knn_graph" -> { (s, d) =>
       import s.implicits._
-      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
-      val cents = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val assigned = e.join(broadcast(cents))
-        .select($"vec_id", $"v", $"nrm", $"cent_id",
-          cosineWithNorms($"v", $"cv", $"nrm", $"cnrm").as("ccos"))
-        .groupBy($"vec_id")
-        .agg(max_by(struct($"v", $"nrm", $"cent_id"),
-          struct($"ccos", (-$"cent_id").as("tb"))).as("b"))
-        .select($"vec_id", $"b.v".as("v"), $"b.nrm".as("nrm"),
-          $"b.cent_id".as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = assigned.as("a").join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.cell").as("cell"), col("a.vec_id").as("i"),
-          col("b.vec_id").as("j"),
-          cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-            .as("cos"))
-      val dir = graft.operators.TopK.perKey(
-          pairs, $"i", Seq($"cos".desc, $"j"), 3, saltFrom = $"j")
-        .select($"cell", $"i", $"j",
-          round($"cos" * 1000000.0).cast("long").as("fx"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = knnAssigned(s, d)
+      val dir = knnDirEdges(assigned)
       val mutual = dir.as("x").join(dir.as("y"),
           col("x.i") === col("y.j") && col("x.j") === col("y.i")
             && col("x.i") < col("x.j"))
@@ -1696,6 +1712,50 @@ object Similarity {
           round($"sfx".cast("double") / ($"nm".cast("double") * 1000000.0), 6)
             .as("mean_mutual_cos"))
         .orderBy($"cell")
+    },
+
+    // Graph-ANN SERVING — beam search over s21's kNN graph, the
+    // HNSW-family navigation step and the one ANN paradigm the
+    // exact/LSH/IVF/PQ/SQ/binary ladder doesn't cover: start from the 8
+    // cell-seed entry points, then 3 hops of expand-neighbors → score →
+    // keep beam-4 (cos desc, vec_id ties). Each hop is a candidate-probe
+    // shape: the ≤ (4 + 12)-id-per-query frontier BROADCASTS against the
+    // edge list and one vector fetch — in production the fetch is a
+    // point lookup into the id-keyed vector store; here it is the
+    // columnar analog, a broadcast-hash probe of one corpus scan, and
+    // the beam frames never shuffle. The beam always re-includes its
+    // current members, so beam quality is monotone per hop (spec-
+    // asserted); the oracle replays entry + 3 hops as unrolled CTEs
+    // over the SAME knnDirEdges definition and must reproduce ids AND
+    // rounded scores.
+    "s28_graph_beam_search" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = knnDirEdges(knnAssigned(s, d)).select($"i", $"j")
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      def scoreIds(ids: DataFrame): DataFrame = e
+        .join(broadcast(ids), Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      var beam = scoreIds(
+        e.filter($"vec_id" < 8).crossJoin(broadcast(qs.select($"query_id")))
+          .select($"query_id", $"vec_id"))
+      for (_ <- 1 to 3) {
+        val exp = beam.select($"query_id", $"vec_id".as("i"))
+          .join(g, Seq("i")).select($"query_id", $"j".as("vec_id"))
+        beam = scoreIds(
+          beam.select($"query_id", $"vec_id").unionByName(exp).distinct())
+      }
+      beam.select($"query_id", $"rn".cast("int").as("rank"),
+          $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+        .orderBy($"query_id", $"rank")
     }
   )
 
@@ -2599,6 +2659,53 @@ object Similarity {
            |  round(CAST(sfx AS DOUBLE) / (CAST(nm AS DOUBLE) * 1000000.0), 6)
            |    AS mean_mutual_cos
            |FROM cs LEFT JOIN es USING (cell) LEFT JOIN ms USING (cell)
-           |ORDER BY cell""".stripMargin
+           |ORDER BY cell""".stripMargin,
+
+    // the s21 graph CTEs verbatim, then entry + 3 hops unrolled — the
+    // beam re-ranks (current beam ∪ out-neighbors) each hop with the
+    // identical cosine doubles and vec_id tie-break
+    "s28_graph_beam_search" -> {
+      val hops = (1 to 3).map { k =>
+        val prev = if (k == 1) "b0" else s"b${k - 1}"
+        raw"""c$k AS (SELECT DISTINCT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id FROM $prev
+             |  UNION ALL
+             |  SELECT b.query_id, d.j AS vec_id FROM $prev b
+             |    JOIN dir d ON b.vec_id = d.i)),
+             |b$k AS (SELECT query_id, vec_id, cos, rn FROM (
+             |  SELECT c.query_id, c.vec_id, ${sqlCosine("qv", "v")} AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY ${sqlCosine("qv", "v")} DESC, c.vec_id) AS rn
+             |  FROM c$k c JOIN e ON e.vec_id = c.vec_id
+             |    JOIN q ON q.query_id = c.query_id
+             |  WHERE c.vec_id <> c.query_id) t WHERE rn <= 4)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+           |    ${sqlCosine("a.v", "b.v")} AS cos
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |r AS (SELECT i, j,
+           |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM p),
+           |dir AS (SELECT i, j FROM r WHERE rn <= 3),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |b0 AS (SELECT query_id, vec_id, cos, rn FROM (
+           |  SELECT q.query_id, e.vec_id, ${sqlCosine("qv", "v")} AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("qv", "v")} DESC, e.vec_id) AS rn
+           |  FROM e JOIN q ON e.vec_id < 8 AND e.vec_id <> q.query_id) t
+           |  WHERE rn <= 4),
+           |$hops
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id,
+           |  round(cos, 6) AS cos
+           |FROM b3 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

@@ -107,7 +107,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s26_mmr_rerank" -> 88,            // measured 40 KB (narrow (query,vec,rel) rank rows; vectors re-fetched by broadcast probe — 0.72 MB with vectors riding the rank shuffle, the red case)
     "d23_bloom_dedup_gate" -> 64,      // measured 20 KB (bloom partials; verify join broadcasts)
     "m14_tga_decode" -> 64,            // ~0: RLE round-trip never shuffles
-    "t21_kmv_overlap" -> 2400)         // measured 1.17 MB (the t09 60-bit distincts + the 8-byte-key exact-calibration join; sketch set-ops themselves are k-sized)
+    "t21_kmv_overlap" -> 2400,         // measured 1.17 MB (the t09 60-bit distincts + the 8-byte-key exact-calibration join; sketch set-ops themselves are k-sized)
+    "s28_graph_beam_search" -> 1300)   // measured 610 KB (s21's cell-bounded graph build dominates; the 3-hop beam serve itself adds ~0 — frontiers broadcast)
 
   private lazy val written = {
     val w = new LongAdder
@@ -146,6 +147,6 @@ class ShuffleCeilingSpec extends SparkSuite {
         "change. NOTE: ceilings are absolute bytes tied to this suite's " +
         "local[4]/4-shuffle-partition config and lz4 block compression — " +
         "if MANY ceilings trip at once after a Spark/codec/partition-config " +
-        "change, suspect the environment, not 36 simultaneous plan regressions")
+        "change, suspect the environment, not dozens of simultaneous plan regressions")
   }
 }

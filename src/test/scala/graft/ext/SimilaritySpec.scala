@@ -242,6 +242,39 @@ class SimilaritySpec extends SparkSuite {
       "MMR top-5 identical to relevance top-5 for every query — penalty inert")
   }
 
+  test("s28: beam search improves pointwise on the entry beam and never returns self") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("s28_graph_beam_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20, s"expected 5 queries x beam-4, got ${rows.length}")
+    rows.foreach { case (q, _, n, _) => assert(n != q, s"query $q returned itself") }
+    val byQ = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._4).toList).toMap
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // entry beam replay: exact cosines of the 8 seed entry points, top-4
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val entry = e.filter($"vec_id" < 8).as("c")
+      .crossJoin(e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv")))
+      .filter(col("c.vec_id") =!= $"qid")
+      .select($"qid", col("c.vec_id").as("nid"),
+        Similarity.cosine($"qv", col("c.v")).as("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(4).map(_._3).toList).toMap
+    // the beam re-includes its members each hop, so hop-3 scores dominate
+    // the entry scores at every rank
+    for (q <- 0L to 4L) {
+      byQ(q).zip(entry(q)).zipWithIndex.foreach { case ((fin, ent), i) =>
+        assert(fin >= ent - 1e-6,
+          s"query $q rank ${i + 1}: final $fin below entry $ent — beam lost ground")
+      }
+      assert(byQ(q).zip(byQ(q).tail).forall { case (a, b) => b <= a + 1e-12 },
+        s"query $q: beam not rank-sorted: ${byQ(q)}")
+    }
+  }
+
   test("s27: binary hamming report is well-formed; sum_ham matches a Scala replay") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
