@@ -98,27 +98,33 @@ object Graph {
     * returning the per-round census. Factored so `GraphSpec` can drive
     * it on hand-computed fixtures. Each round: one degree aggregation
     * (map-side partials over a shrinking edge frame) + two semi-joins
-    * against the node-sized survivor set; round frames persist without
-    * eager counts (fixed horizon — the g01 round-12 lesson), released
-    * by the caller's cache hygiene. */
+    * against the node-sized survivor set; round frames localCheckpoint
+    * (lineage truncation — see the in-loop comment), released by the
+    * ContextCleaner when the query's frames go out of scope. */
   private[ext] def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
-    var ed = edges0
-    // Eager materialization ONCE per round frame, persists retained to
-    // the end (NOT the g01 round-12 anti-pattern, which paired eager
-    // counts with early unpersists): the final census union references
-    // every round, and its semi-join BROADCAST sides execute as
-    // concurrent futures — without a materialized base they race past
-    // the unpopulated cache and each recomputes the expensive upstream
-    // edge build in parallel (measured: 83–106 s at sf0.1; with the
-    // eager counts the build runs once and the loop is seconds).
-    ed.count()
+    // Lineage TRUNCATION per round frame, not just caching — the
+    // iterative-loop lesson that supersedes round 12's eager-count one.
+    // Each round references deg twice (the two semi-joins) plus the
+    // census arm, and deg embeds the whole prior round, so the LOGICAL
+    // plan grows ~2^rounds copies of the upstream build; a cache
+    // dedupes execution but Catalyst still re-analyzes the full tree
+    // (measured: 287 CPU-s at sf0.1 — and the final union's plan STRING
+    // alone OOMed an 8 GB driver). localCheckpoint (eager) rebases each
+    // round on a LogicalRDD: the analyzed plan stays round-local, the
+    // blocks live on executors like any cached frame, and the census
+    // arms read materialized data so the broadcast-future recompute
+    // race cannot happen either. Same pattern as
+    // ConnectedComponents' contraction loop; a cluster job that must
+    // survive executor loss swaps in reliable checkpoint() — the
+    // plan-size argument is identical.
+    var ed = edges0.localCheckpoint()
     val out = Seq.newBuilder[DataFrame]
     for (r <- 0 to rounds) {
       val deg = ed.select(explode(array($"u", $"v")).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       out += deg.agg(
         count(lit(1)).as("n_nodes"),
         expr("CAST(coalesce(sum(dg), 0) DIV 2 AS BIGINT)").as("n_edges"),
@@ -130,8 +136,7 @@ object Graph {
           .join(keep.select($"n".as("u")), Seq("u"), "leftsemi")
           .join(keep.select($"n".as("v")), Seq("v"), "leftsemi")
           .select($"u", $"v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ed.count()
+          .localCheckpoint()
       }
     }
     out.result().reduceLeft(_.unionByName(_)).orderBy($"round")
@@ -313,7 +318,6 @@ object Graph {
       val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
       var round = 1
       var changed = -1L
-      var prev: DataFrame = null
       while (changed != 0L && round <= 50) {
         // g01's per-round plan shape: each node SENDS its label along
         // its out-edges (the join is co-partitioned with the persisted
@@ -324,16 +328,23 @@ object Graph {
         // frame by v every round — measured 35 s vs ~3 s at sf0.1.
         val contrib = ed.join(lbl, "u")
           .groupBy($"v").agg(min($"lbl").as("ml"))
+        // localCheckpoint, not persist: stage references lbl twice, so a
+        // plain cached plan doubles per round — by convergence (~10+
+        // rounds at sf0.1) Catalyst re-analyzes ~2^rounds copies of the
+        // edge build per round (kcorePeel's measured disease). The
+        // eager checkpoint materializes the round AND truncates the
+        // analyzed plan to a LogicalRDD; the convergence count below
+        // then reads checkpointed blocks. Superseded round blocks are
+        // node-sized and freed by the ContextCleaner once unreferenced
+        // (no explicit unpersist bookkeeping to get wrong — the g01
+        // round-12 lesson).
         val stage = lbl.join(contrib, lbl("u") === contrib("v"))
           .select(lbl("u").as("u"), $"lbl".as("olbl"),
             least($"lbl", $"ml").as("nl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // the convergence check IS the materializing action
+          .localCheckpoint()
+        // the convergence check over the materialized round frame
         changed = stage.filter($"nl" =!= $"olbl").count()
         hist += ((round, changed))
-        // rounds n-1 and n-2 are now superseded; release them
-        if (prev != null) prev.unpersist(false)
-        prev = lbl
         lbl = stage.select($"u", $"nl".as("lbl"))
         round += 1
       }
@@ -411,9 +422,9 @@ object Graph {
     // until no change with the round count as the convergence check).
     // Scale shape: each round is one degree aggregation (map-side
     // partials over an edge frame that only SHRINKS) + two semi-joins
-    // against the node-sized survivor set; every round frame persists
-    // (fixed horizon — the g01 round-12 lesson: no eager per-round
-    // counts), superseded frames released by Verify's clearCache.
+    // against the node-sized survivor set; every round frame
+    // localCheckpoints (lineage truncation — see kcorePeel's in-loop
+    // comment for the measured plan-blowup this prevents).
     "g07_kcore_peel" -> { (s, d) =>
       kcorePeel(mutualTopEdges(s, d), k = 3, rounds = 3)
     },

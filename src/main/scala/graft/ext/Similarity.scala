@@ -1489,9 +1489,19 @@ object Similarity {
       val candIds = graft.operators.TopK.perKey(
           scored, $"query_id", Seq($"rel".desc, $"vec_id"), 20, saltFrom = $"vec_id")
         .select($"query_id", $"vec_id", $"rel")
+      // candidate frames TRUNCATE lineage (localCheckpoint), not just
+      // cache: cand is re-read by sims plus every greedy round, and
+      // each round's `next` references `selected` three times — left as
+      // plain plans the analyzed tree grows ~3^rounds copies of the
+      // TopK build (measured 28.6 CPU-s / 13.9 s wall at sf0.1; with
+      // round-local LogicalRDD bases the loop is sub-second). Both
+      // frames are candidate-sized (≤ 20 rows/query and its ≤ 20×19
+      // pair square) at ANY corpus scale, so the checkpoint blocks are
+      // trivially small.
       val cand = e.select($"vec_id", $"v", $"nrm")
         .join(broadcast(candIds), Seq("vec_id"))
         .select($"query_id", $"vec_id", $"rel", $"v", $"nrm")
+        .localCheckpoint()
       val sims = cand.as("a").join(broadcast(cand.as("b")),
           col("a.query_id") === col("b.query_id")
             && col("a.vec_id") =!= col("b.vec_id"))
@@ -1499,6 +1509,7 @@ object Similarity {
           col("a.vec_id").as("ci"), col("b.vec_id").as("cj"),
           cosineWithNorms(col("a.v"), col("b.v"),
             col("a.nrm"), col("b.nrm")).as("sim"))
+        .localCheckpoint()
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
       var selected = cand
@@ -1519,7 +1530,7 @@ object Similarity {
             (lam * $"rel" - oneMinusLam * $"pen").as("score"))
           .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
           .select($"query_id", $"vec_id", lit(k).as("rank"), $"score")
-        selected = selected.unionByName(next)
+        selected = selected.unionByName(next).localCheckpoint()
       }
       selected
         .select($"query_id", $"rank", $"vec_id",
