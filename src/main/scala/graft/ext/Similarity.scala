@@ -1744,7 +1744,13 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lineage truncation (the g07/s26/g05 lesson): the hop loop below
+      // references `beam` twice per hop and every hop plan would embed
+      // the full 8-copy graph-build tree — measured as 16 MB broadcast
+      // task binaries and 2.95 s steady; with round-local LogicalRDD
+      // bases the serve loop is the sub-second probe it should be
       val g = knnDirEdges(knnAssigned(s, d)).select($"i", $"j")
+        .localCheckpoint()
       val qs = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -1759,10 +1765,10 @@ object Similarity {
         e.filter($"vec_id" < 8).crossJoin(broadcast(qs.select($"query_id")))
           .select($"query_id", $"vec_id"))
       for (_ <- 1 to 3) {
-        val exp = beam.select($"query_id", $"vec_id".as("i"))
+        val base = beam.select($"query_id", $"vec_id").localCheckpoint()
+        val exp = base.select($"query_id", $"vec_id".as("i"))
           .join(g, Seq("i")).select($"query_id", $"j".as("vec_id"))
-        beam = scoreIds(
-          beam.select($"query_id", $"vec_id").unionByName(exp).distinct())
+        beam = scoreIds(base.unionByName(exp).distinct())
       }
       beam.select($"query_id", $"rn".cast("int").as("rank"),
           $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
