@@ -845,6 +845,14 @@ object Curation {
     // co-locates a cell into one writer — c13's inherent move; at
     // 100 TB swap the DIV for a range partitioner over z and the same
     // plan lays out any table.
+    // SIDE EFFECT (deliberate, c13 prove-the-files precedent): the
+    // layout write below runs EAGERLY at DataFrame-construction time —
+    // the census must read the files actually on disk, so plan-only
+    // tooling (ExplainAudit / ShuffleAudit / PlanShapeSpec) pays one
+    // sf-sized parquet write to java.io.tmpdir/graft_c22_zorder_<sf>.
+    // The dir is overwrite-mode per sf (bounded: one copy per scale
+    // factor, ~MBs at test SFs), not deleted, so ZOrderSpec can
+    // re-open the same files for its row-group-skipping measurements.
     "c22_zorder_layout" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber",

@@ -1153,11 +1153,13 @@ object Dedup {
     // shuffle pruning (`BloomFilterAggregate` / `BloomFilterMightContain`,
     // the codegen'd blocked-bloom pair behind
     // spark.sql.optimizer.runtime.bloomFilter): the base corpus folds
-    // ONCE into a fixed-size mergeable bloom blob (numBits-sized partials,
+    // ONCE into a fixed-size mergeable bloom blob (sized by Spark from
+    // estimatedNumItems=65536 at the sketch's default ~3% FPP;
     // text never moves), delivered to the increment scan as a SCALAR
     // SUBQUERY — the exact mechanism InjectRuntimeFilter uses, so the
     // blob rides the plan without any driver collect. Only bloom-POSITIVE
-    // increment rows (true dups + the ~3% FP tail) reach the verify join,
+    // increment rows (true dups + the default-FPP ~3% FP tail; other
+    // scales re-derive bits from their own estimatedNumItems) reach the verify join,
     // and that join BROADCASTS the surviving handful against one base
     // scan — at 100 TB the nightly cost is one base pass + a
     // bloom-filter-sized exchange, with NO base-fingerprint shuffle (the

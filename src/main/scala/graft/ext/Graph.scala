@@ -612,11 +612,11 @@ object Graph {
              |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
              |dir AS (SELECT sa AS n, sb AS p, shared FROM p
              |  UNION ALL SELECT sb, sa, shared FROM p),
-             |top3 AS (SELECT n, p FROM (SELECT n, p,
+             |top6 AS (SELECT n, p FROM (SELECT n, p,
              |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
              |  FROM dir) WHERE rk <= 6),
-             |ed AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top3 x
-             |  JOIN top3 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |ed AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top6 x
+             |  JOIN top6 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
              |deg AS (SELECT n, COUNT(*) AS deg
              |  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) GROUP BY n),
              |tr AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -659,11 +659,11 @@ object Graph {
              |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
              |dir AS (SELECT sa AS n, sb AS p, shared FROM p
              |  UNION ALL SELECT sb, sa, shared FROM p),
-             |top3 AS (SELECT n, p FROM (SELECT n, p,
+             |top6 AS (SELECT n, p FROM (SELECT n, p,
              |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
              |  FROM dir) WHERE rk <= 6),
-             |e0 AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top3 x
-             |  JOIN top3 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |e0 AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top6 x
+             |  JOIN top6 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
              |d0 AS (SELECT n, COUNT(*) AS dg
              |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
              |${peel(0)},

@@ -1749,8 +1749,14 @@ object Similarity {
       // the full 8-copy graph-build tree — measured as 16 MB broadcast
       // task binaries and 2.95 s steady; with round-local LogicalRDD
       // bases the serve loop is the sub-second probe it should be
-      val g = knnDirEdges(knnAssigned(s, d)).select($"i", $"j")
-        .localCheckpoint()
+      val assigned = knnAssigned(s, d)
+      val dirEdges = knnDirEdges(assigned)
+      val g = dirEdges.select($"i", $"j").localCheckpoint()
+      // the checkpoint above owns the graph from here on; drop the
+      // helper persists so an s21+s28 session doesn't hold two cached
+      // copies of the identical assigned/edge frames until clearCache
+      dirEdges.unpersist()
+      assigned.unpersist()
       val qs = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
