@@ -931,4 +931,121 @@ class StreamingParitySpec extends SparkSuite {
     assert(acc.toSet == batch,
       s"streamed verdicts ${acc.size} != batch verdicts ${batch.size}")
   }
+
+  test("crash-mid-batch replay does not double-apply: exactly-once ledger sink (ExactlyOnceSink)") {
+    // THE delivery-semantics cell checkpoint-restart alone can't reach:
+    // foreachBatch commits offsets only AFTER the user function returns,
+    // so a crash in the window between the sink write and the commit
+    // replays the whole micro-batch (same batchId, same rows) on
+    // restart. A naive read-merge-overwrite upsert double-applies there.
+    // This test drives graft.streaming.ExactlyOnceSink through that
+    // exact window: batch 0 is fully applied to the ledger, the query is
+    // then killed BEFORE its offsets commit (an exception after
+    // applyBatch returns — the engine fails the batch pre-commit),
+    // restart replays batch 0 from the WAL, and the final ledger must
+    // equal the once-applied full recompute. The counterfactual (that a
+    // naive re-merge WOULD have corrupted the ledger) is asserted too,
+    // so the crash injection provably lands in the dangerous window
+    // rather than vacuously passing.
+    import org.apache.spark.sql.SparkSession
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), col("value"))
+    def state(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(14, 2))).as("value_sum"),
+        sum(conv(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 10), 16, 10).cast("long")).as("id_checksum"))
+    def remerge(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("value_sum")).cast(DecimalType(24, 2)).as("value_sum"),
+        sum(col("id_checksum")).cast("long").as("id_checksum"))
+    val maxDay = ev.agg(max(col("day"))).head().getDate(0)
+    val isInc = col("day") === lit(maxDay)
+    val root = Files.createTempDirectory("graft-e1-sink").toString
+    state(ev.filter(!isInc))
+      .write.mode("overwrite").partitionBy("day").parquet(root + "/roll")
+    ev.filter(isInc).repartition(4).write.mode("overwrite")
+      .parquet(root + "/inc")
+    val schema = spark.read.parquet(root + "/inc").schema
+
+    @volatile var armed = true
+    val outcomes = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(root + "/inc")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            // capture batch 0's raw rows so the counterfactual below can
+            // re-derive its partials without touching the WAL internals
+            if (id == 0 && armed)
+              b.write.mode("overwrite").parquet(root + "/b0_capture")
+            ExactlyOnceSink.pruneStages(root, id, b)
+            val out = ExactlyOnceSink.applyBatch(
+              root, id, state(b), remerge, "day")
+            outcomes.synchronized { outcomes += ((id, out.toString)) }
+            if (id == 0 && armed)
+              throw new RuntimeException(
+                "injected crash: sink applied, offsets not yet committed")
+          }
+          ()
+        }.start()
+
+    // run 1: batch 0 applies, then dies pre-commit
+    val q1 = run()
+    val failed =
+      try { q1.awaitTermination(180000); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(failed, "run 1 must fail from the injected pre-commit crash")
+    assert(outcomes.toList == List((0L, "Merged")),
+      s"run 1 must have fully applied exactly batch 0, got $outcomes")
+
+    // counterfactual: naively re-merging batch 0's partials into the
+    // post-crash ledger (what a non-idempotent sink does on replay)
+    // diverges from the truth — the crash landed in the window where
+    // idempotence is the only defense
+    val b0 = spark.read.parquet(root + "/b0_capture")
+    val touched = state(b0).select(col("day").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    def norm(df: DataFrame): Set[Seq[Any]] = df
+      .select(col("day").cast("string"), col("event_type"),
+        col("n_events").cast("long"),
+        round(col("value_sum"), 2).cast("double").as("value_sum"),
+        col("id_checksum"))
+      .collect().map(_.toSeq).toSet
+    val naiveReplay = norm(remerge(
+      spark.read.parquet(root + "/roll")
+        .filter(col("day").cast("string").isin(touched: _*))
+        .unionByName(state(b0))))
+    val appliedTouched = norm(spark.read.parquet(root + "/roll")
+      .filter(col("day").cast("string").isin(touched: _*)))
+    assert(naiveReplay != appliedTouched,
+      "naive re-merge must double-apply (change the already-correct " +
+        "ledger), else the test has no teeth")
+
+    // run 2: same checkpoint, crash disarmed — the WAL replays batch 0,
+    // the sink recognizes its staged transaction and skips the merge
+    armed = false
+    val q2 = run()
+    assert(q2.awaitTermination(180000), "restart did not finish within 180 s")
+    val byRun2 = outcomes.toList.drop(1)
+    assert(byRun2.headOption.contains((0L, "Replayed")),
+      s"batch 0 must replay through the idempotent path, got $byRun2")
+    assert(byRun2.tail.forall(_._2 == "Merged") && byRun2.size >= 3,
+      s"later batches must merge normally, got $byRun2")
+
+    // the observable sink state equals the once-applied full recompute
+    assert(norm(spark.read.parquet(root + "/roll")) == norm(state(ev)),
+      "ledger after crash-replay must equal the once-applied state")
+    // stage hygiene: pruneStages reclaimed every stage older than the
+    // last batch that ran
+    val stages = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("stage_")).sorted.toList
+    assert(stages.size == 1 && stages.head == s"stage_${byRun2.last._1}",
+      s"expected only the final batch's stage dir, got $stages")
+  }
 }
