@@ -335,6 +335,104 @@ object TextAnalysis {
         .orderBy($"sa", $"sb")
     },
 
+    // Trigram Kneser–Ney LM quality gate — t15's CCNet-style perplexity
+    // filter upgraded to the higher-order smoothed LM the published
+    // filters (CCNet/Gopher via KenLM) actually use. Interpolated KN
+    // with fixed discount D=3/4, made ENGINE-EXACT by doing the whole
+    // probability ladder in integers: D rides as the exact rational 3/4
+    // (every term scaled by 4), each distribution lands as a FIXED-POINT
+    // 1e-6 integer via floor division (identical `div`/`//` semantics on
+    // positive longs in both engines), floored at 1 fx so log never sees
+    // zero, and the per-trigram cost is the integer BIT LENGTH
+    // bitlen(1e6) − bitlen(p_fx) — t15's floor-log2 quantization. The
+    // ladder is textbook KN: continuation-unigram P_cont = N1+(·w3)/N1+(··)
+    // from bigram TYPES; lower-order P(w3|w2) discounts the continuation
+    // counts N1+(·w2w3) over N1+(·w2·) with back-off mass 3·N1+(w2·)/4·N1+(·w2·);
+    // top level discounts raw trigram counts over Σc(w1w2·) with mass
+    // 3·N1+(w1w2·)/4·c(w1w2·); unseen contexts fall through to the next
+    // rung (the CASE arms). Counts come from the c02 TRAIN split only;
+    // every split is scored (t15's train/score discipline). Gate:
+    // keep iff nll_bits ≤ 4·n_trigrams (≤4.0 bits/trigram) — integer
+    // cross-product, no division at the gate.
+    //
+    // Scale shape: all five LM tables are VOCAB-BOUNDED ((w1w2w3),
+    // (w1w2), (w2w3), (w2), (w3) keyed counts — map-side-combinable
+    // partials over the train scan) and BROADCAST against the scoring
+    // scan, so the corpus side never shuffles for the lookups; the one
+    // corpus exchange is the per-doc integer-partial agg. A 100 TB run
+    // prunes the trigram table to top-K with the back-off rungs as the
+    // OOV default first — same plan, smaller broadcasts. pcont/plow/p
+    // land in SEPARATE projections (the round-7 lesson: multi-referenced
+    // non-cheap aliases inline per reference if CollapseProject merges
+    // them; the split keeps each computed once and codegen'd).
+    "t22_kn_trigram_bits" -> { (s, d) =>
+      import s.implicits._
+      val S = 1000000L
+      val dv = Tables.documents(s, d)
+        .withColumn("w", split(trim($"text"), Tok.Ws))
+        .filter(size($"w") >= 3)
+        .withColumn("split", Curation.splitCol($"doc_id"))
+      val tr = dv.filter($"split" === "train")
+      def triExplode(df: DataFrame, keep: Column*): DataFrame = df
+        .select(keep :+ explode(expr(
+          """transform(sequence(1, size(w) - 2),
+            |  i -> named_struct('w1', element_at(w, i),
+            |    'w2', element_at(w, i + 1),
+            |    'w3', element_at(w, i + 2)))""".stripMargin)).as("z"): _*)
+        .select(keep :+ col("z.w1").as("w1") :+ col("z.w2").as("w2")
+          :+ col("z.w3").as("w3"): _*)
+      // trigram token counts; every other table derives from this one
+      // (or from bigram types) instead of re-scanning the corpus
+      val t3 = triExplode(tr)
+        .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c123"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = t3.groupBy($"w1", $"w2")
+        .agg(sum($"c123").as("ctx_tot"), count(lit(1)).as("ctx_types"))
+      val n23 = t3.groupBy($"w2", $"w3").agg(count(lit(1)).as("n1p_23"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n2 = n23.groupBy($"w2")
+        .agg(sum($"n1p_23").as("n2_tot"), count(lit(1)).as("n2_types"))
+      val bt = tr.select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> named_struct('b1', element_at(w, i),
+            |    'b2', element_at(w, i + 1)))""".stripMargin)).as("z"))
+        .select($"z.b1".as("b1"), $"z.b2".as("b2")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n3 = bt.groupBy($"b2").agg(count(lit(1)).as("n1p_3"))
+        .select($"b2".as("w3"), $"n1p_3")
+      val nall = bt.agg(count(lit(1)).as("n1p_all")).withColumn("one", lit(1))
+      val db = triExplode(dv, $"doc_id", $"split")
+      db.join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(ctx), Seq("w1", "w2"), "left")
+        .join(broadcast(n23), Seq("w2", "w3"), "left")
+        .join(broadcast(n2), Seq("w2"), "left")
+        .join(broadcast(n3), Seq("w3"), "left")
+        .withColumn("one", lit(1)).join(broadcast(nall), Seq("one"))
+        .withColumn("pcont",
+          greatest(expr(s"($S * coalesce(n1p_3, 0L)) div n1p_all"), lit(1L)))
+        .withColumn("plow",
+          when(coalesce($"n2_tot", lit(0L)) > 0, greatest(expr(
+            s"($S * greatest(4 * coalesce(n1p_23, 0L) - 3, 0L)" +
+              s" + 3 * n2_types * pcont) div (4 * n2_tot)"), lit(1L)))
+            .otherwise($"pcont"))
+        .withColumn("p",
+          when(coalesce($"ctx_tot", lit(0L)) > 0, greatest(expr(
+            s"($S * greatest(4 * coalesce(c123, 0L) - 3, 0L)" +
+              s" + 3 * ctx_types * plow) div (4 * ctx_tot)"), lit(1L)))
+            .otherwise($"plow"))
+        .select($"doc_id", $"split",
+          (length(conv(lit(S), 10, 2)) - length(conv($"p", 10, 2)))
+            .cast("long").as("bits"))
+        .groupBy($"doc_id", $"split")
+        .agg(count(lit(1)).as("n_trigrams"), sum($"bits").as("nll_bits"))
+        .select($"doc_id", $"split", $"n_trigrams", $"nll_bits",
+          round($"nll_bits".cast("double") / $"n_trigrams".cast("double"), 6)
+            .as("bits_per_trigram"),
+          when($"nll_bits" <= $"n_trigrams" * 4, lit("keep"))
+            .otherwise(lit("drop")).as("label"))
+        .orderBy($"doc_id")
+    },
+
     "t05_bpe_pair_counts" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -1100,6 +1198,55 @@ object TextAnalysis {
            |  round(abs(est_i - CAST(exact_inter AS DOUBLE))
            |    / GREATEST(CAST(exact_inter AS DOUBLE), 1.0), 6) AS rel_error
            |FROM f ORDER BY sa, sb""".stripMargin,
+
+    // the whole KN ladder replays in integers: `//` here == `div` there
+    // on positive BIGINTs, GREATEST floors match, bin() bit lengths
+    // match conv(x,10,2); nll SUM cast from HUGEINT back to BIGINT
+    "t22_kn_trigram_bits" ->
+      raw"""WITH dv AS (SELECT doc_id, w,
+           |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+           |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT / 268435456.0 AS u
+           |    FROM documents) WHERE len(w) >= 3),
+           |tr AS (SELECT w FROM dv WHERE split = 'train'),
+           |t3 AS (SELECT z.w1 AS w1, z.w2 AS w2, z.w3 AS w3, CAST(COUNT(*) AS BIGINT) AS c123 FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)-1),
+           |      i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS z FROM tr) GROUP BY 1,2,3),
+           |ctx AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS ctx_tot,
+           |    CAST(COUNT(*) AS BIGINT) AS ctx_types FROM t3 GROUP BY 1,2),
+           |n23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n1p_23 FROM t3 GROUP BY 1,2),
+           |n2 AS (SELECT w2, CAST(SUM(n1p_23) AS BIGINT) AS n2_tot,
+           |    CAST(COUNT(*) AS BIGINT) AS n2_types FROM n23 GROUP BY 1),
+           |bt AS (SELECT DISTINCT z.b1 AS b1, z.b2 AS b2 FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)),
+           |      i -> {'b1': w[i], 'b2': w[i+1]})) AS z FROM tr)),
+           |n3 AS (SELECT b2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1p_3 FROM bt GROUP BY 1),
+           |nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM bt),
+           |db AS (SELECT doc_id, split, z.w1 AS w1, z.w2 AS w2, z.w3 AS w3 FROM (
+           |    SELECT doc_id, split, unnest(list_transform(range(1, len(w)-1),
+           |      i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS z FROM dv)),
+           |sc AS (SELECT doc_id, split, c123, ctx_tot, ctx_types, n1p_23, n2_tot, n2_types,
+           |    GREATEST((1000000 * coalesce(n1p_3, 0)) // n1p_all, 1) AS pcont
+           |  FROM db LEFT JOIN t3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+           |    LEFT JOIN n23 USING (w2, w3) LEFT JOIN n2 USING (w2)
+           |    LEFT JOIN n3 USING (w3) CROSS JOIN nall),
+           |lo AS (SELECT doc_id, split, c123, ctx_tot, ctx_types,
+           |    CASE WHEN coalesce(n2_tot, 0) > 0
+           |      THEN GREATEST((1000000 * GREATEST(4 * coalesce(n1p_23, 0) - 3, 0)
+           |           + 3 * n2_types * pcont) // (4 * n2_tot), 1)
+           |      ELSE pcont END AS plow FROM sc),
+           |pf AS (SELECT doc_id, split,
+           |    CASE WHEN coalesce(ctx_tot, 0) > 0
+           |      THEN GREATEST((1000000 * GREATEST(4 * coalesce(c123, 0) - 3, 0)
+           |           + 3 * ctx_types * plow) // (4 * ctx_tot), 1)
+           |      ELSE plow END AS p FROM lo),
+           |agg AS (SELECT doc_id, split, COUNT(*) AS n_trigrams,
+           |    CAST(SUM(CAST(length(bin(1000000)) - length(bin(p)) AS BIGINT)) AS BIGINT) AS nll_bits
+           |  FROM pf GROUP BY 1, 2)
+           |SELECT doc_id, split, n_trigrams, nll_bits,
+           |  round(CAST(nll_bits AS DOUBLE) / n_trigrams, 6) AS bits_per_trigram,
+           |  CASE WHEN nll_bits <= n_trigrams * 4 THEN 'keep' ELSE 'drop' END AS label
+           |FROM agg ORDER BY doc_id""".stripMargin,
 
     "t12_bpe_merge_train" ->
       raw"""WITH w0 AS (

@@ -155,6 +155,47 @@ class TextAnalysisSpec extends SparkSuite {
       ("sb", 10L, 30L, 0L, 30L, 3.0)), s"got $rows")
   }
 
+  test("t22: hand-computed KN ladder — fluent cheap, unseen backs off, OOV pays the floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // Train corpus (doc 1, split=train by md5): "a b c a b d".
+    //   Trigram counts all 1: (a,b,c) (b,c,a) (c,a,b) (a,b,d).
+    //   ctx(a,b)=tot 2/types 2; ctx(b,c)=ctx(c,a)=1/1.
+    //   n23 each 1; n2(b)=tot 2/types 2; n2(a)=n2(c)=1/1.
+    //   Bigram types {(a,b),(b,c),(c,a),(b,d)} → n1p_all=4, every n1p_3=1
+    //   → pcont = 1e6/4 = 250000 fx for a,b,c,d; OOV floors at 1 fx.
+    // Hand ladder (D=3/4, S=1e6, floor div):
+    //   p(c|a,b) = (1e6·max(4−3,0) + 3·2·plow)/8 with
+    //     plow(c|b) = (1e6 + 3·2·250000)/8 = 312500 → p = 359375 → 1 bit
+    //   p(a|b,c): plow(a|c) = (1e6 + 3·1·250000)/4 = 437500
+    //     → p = (1e6 + 3·1·437500)/4 = 578125 → 0 bits (≥ 2^19)
+    //   p(b|c,a) symmetric → 0 bits; p(d|a,b) mirrors p(c|a,b) → 1 bit
+    //   train doc: 4 trigrams, nll 2, 0.5 bits/trigram, keep
+    // Scoring docs (NOT in train, so tables stay frozen):
+    //   doc 3 (test) "a b c": the seen trigram → 1.0 bits, keep
+    //   doc 5 (val) "d c b": unseen trigram AND unseen ctx(d,c) → falls
+    //     to plow(b|c) = (0 + 3·1·250000)/4 = 187500 → 2 bits, keep
+    //   doc 10 (val) "x y z": fully OOV → every rung floors to 1 fx
+    //     → 20−bitlen(1) = 19 bits, drop (the gate's teeth)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    Seq((1L, "a b c a b d", "en", "sa"),
+        (3L, "a b c", "en", "sa"),
+        (5L, "d c b", "en", "sa"),
+        (10L, "x y z", "en", "sa"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("t22_kn_trigram_bits")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toList
+    assert(rows == List(
+      (1L, "train", 4L, 2L, 0.5, "keep"),
+      (3L, "test", 1L, 1L, 1.0, "keep"),
+      (5L, "val", 1L, 2L, 2.0, "keep"),
+      (10L, "val", 1L, 19L, 19.0, "drop")), s"got $rows")
+  }
+
   test("t20: CMS one-sided error, collisions resolved by depth, exact on a clean corpus") {
     import spark.implicits._
     val rows = TextAnalysis.queries("t20_countmin_heavyhitters")(spark, sf)
