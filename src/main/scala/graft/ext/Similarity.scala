@@ -1779,6 +1779,93 @@ object Similarity {
       beam.select($"query_id", $"rn".cast("int").as("rank"),
           $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
         .orderBy($"query_id", $"rank")
+    },
+
+    // LAYERED graph-ANN entry — the "H" in HNSW, completing the
+    // s21 (build) → s28 (serve) story: a sparser UPPER layer over a
+    // deterministic 1/8 node sample (vec_id % 8 = 0), same cell-bounded
+    // kNN construction at coarser degree (top-2 vs layer-0's top-3),
+    // beam-searched first (8 fixed entry points, 2 hops); its top-4
+    // result per query then SEEDS the layer-0 beam (2 hops) instead of
+    // s28's blind cell seeds — the navigate-coarse-then-descend step
+    // that makes HNSW entry cost logarithmic. Recall is measured IN the
+    // query against the exact brute-force top-4 (s06's discipline):
+    // each emitted neighbor carries an in_exact4 flag and the per-query
+    // recall_at_4, so the layered entry's quality is an oracle-checked
+    // OUTPUT, not a claim. Expansion budget ≈ s28's (8+12+12+12 scored
+    // ids vs 8 + 2×8 upper on the 1/8 layer + 4+12+12 lower) with one
+    // fewer layer-0 hop — the point of entering closer.
+    //
+    // Scale shape: identical to s28 — every frontier (≤16 ids/query)
+    // BROADCASTS against the edge lists and one vector fetch; the upper
+    // layer's build quadratic is (cell ∩ sample)²-bounded, 64× smaller
+    // than layer-0's; hop frames localCheckpoint (the g07 lesson); at
+    // 100 TB both graphs are saved artifacts and serving cost is
+    // hops × beam × degree, corpus-size-independent. The exact-recall
+    // arm is the s01 broadcast brute-force — evaluation harness, not
+    // the serving path (drop it in production).
+    "s29_layered_beam_entry" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = knnAssigned(s, d)
+      val dirEdges = knnDirEdges(assigned)
+      val g0 = dirEdges.select($"i", $"j").localCheckpoint()
+      // upper layer: same construction, sampled nodes, degree 2
+      val up = assigned.filter($"vec_id" % 8 === 0)
+      val upPairs = up.as("a").join(up.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+            .as("cos"))
+      val g1 = graft.operators.TopK.perKey(
+          upPairs, col("i"), Seq(col("cos").desc, col("j")), 2, saltFrom = col("j"))
+        .select(col("i"), col("j")).localCheckpoint()
+      dirEdges.unpersist()
+      assigned.unpersist()
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      def scoreIds(ids: DataFrame): DataFrame = e
+        .join(broadcast(ids), Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      def hops(init: DataFrame, g: DataFrame, n: Int): DataFrame = {
+        var beam = init
+        for (_ <- 1 to n) {
+          val base = beam.select($"query_id", $"vec_id").localCheckpoint()
+          val exp = base.select($"query_id", $"vec_id".as("i"))
+            .join(g, Seq("i")).select($"query_id", $"j".as("vec_id"))
+          beam = scoreIds(base.unionByName(exp).distinct())
+        }
+        beam
+      }
+      // upper-layer descent: fixed entries (sampled ids < 64), 2 hops
+      val upper = hops(scoreIds(
+        e.filter($"vec_id" % 8 === 0 && $"vec_id" < 64)
+          .crossJoin(broadcast(qs.select($"query_id")))
+          .select($"query_id", $"vec_id")), g1, 2)
+      // layer-0 descent seeded by the upper result
+      val beam = hops(scoreIds(upper.select($"query_id", $"vec_id")), g0, 2)
+      // evaluation arm: exact top-4 via the s01 broadcast brute-force
+      val exact = e.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .withColumn("xrn", row_number().over(w)).filter($"xrn" <= 4)
+        .select($"query_id", $"vec_id", lit(1).as("in_exact4"))
+      val ww = Window.partitionBy($"query_id")
+      beam.join(exact, Seq("query_id", "vec_id"), "left")
+        .select($"query_id", $"rn".cast("int").as("rank"),
+          $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"),
+          coalesce($"in_exact4", lit(0)).as("in_exact4"))
+        .withColumn("recall_at_4",
+          round(sum($"in_exact4").over(ww).cast("double") / 4.0, 6))
+        .orderBy($"query_id", $"rank")
     }
   )
 
@@ -2729,6 +2816,75 @@ object Similarity {
            |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id,
            |  round(cos, 6) AS cos
            |FROM b3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the layered replay: both graph builds (layer-0 top-3, sampled
+    // upper top-2), the 2-hop upper descent, the seeded 2-hop layer-0
+    // descent, and the exact-top-4 recall join — all as unrolled CTEs
+    // over the SAME cosine/tie-break definitions as s28/s01
+    "s29_layered_beam_entry" -> {
+      def hop(prev: String, out: String, dirT: String) =
+        raw"""c_$out AS (SELECT DISTINCT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id FROM $prev
+             |  UNION ALL
+             |  SELECT b.query_id, d.j AS vec_id FROM $prev b
+             |    JOIN $dirT d ON b.vec_id = d.i)),
+             |$out AS (SELECT query_id, vec_id, cos, rn FROM (
+             |  SELECT c.query_id, c.vec_id, ${sqlCosine("qv", "v")} AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY ${sqlCosine("qv", "v")} DESC, c.vec_id) AS rn
+             |  FROM c_$out c JOIN e ON e.vec_id = c.vec_id
+             |    JOIN q ON q.query_id = c.query_id
+             |  WHERE c.vec_id <> c.query_id) t WHERE rn <= 4)""".stripMargin
+      val laddered = Seq(
+        hop("u0", "u1", "dir1"), hop("u1", "u2", "dir1"),
+        hop("u2", "h1", "dir"), hop("h1", "h2", "dir")).mkString(",\n")
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+           |    ${sqlCosine("a.v", "b.v")} AS cos
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |r AS (SELECT i, j,
+           |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM p),
+           |dir AS (SELECT i, j FROM r WHERE rn <= 3),
+           |up AS (SELECT vec_id, v, cell FROM assigned WHERE vec_id % 8 = 0),
+           |p1 AS (SELECT a.vec_id AS i, b.vec_id AS j,
+           |    ${sqlCosine("a.v", "b.v")} AS cos
+           |  FROM up a JOIN up b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |r1 AS (SELECT i, j,
+           |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM p1),
+           |dir1 AS (SELECT i, j FROM r1 WHERE rn <= 2),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |u0 AS (SELECT query_id, vec_id, cos, rn FROM (
+           |  SELECT q.query_id, e.vec_id, ${sqlCosine("qv", "v")} AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("qv", "v")} DESC, e.vec_id) AS rn
+           |  FROM e JOIN q ON e.vec_id % 8 = 0 AND e.vec_id < 64
+           |    AND e.vec_id <> q.query_id) t
+           |  WHERE rn <= 4),
+           |$laddered,
+           |x AS (SELECT query_id, vec_id, 1 AS in_exact4 FROM (
+           |  SELECT q.query_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("qv", "v")} DESC, e.vec_id) AS xrn
+           |  FROM e JOIN q ON e.vec_id <> q.query_id) t WHERE xrn <= 4),
+           |f AS (SELECT b.query_id, CAST(b.rn AS INTEGER) AS rank,
+           |    b.vec_id AS neighbor_id, round(b.cos, 6) AS cos,
+           |    CAST(coalesce(x.in_exact4, 0) AS INTEGER) AS in_exact4
+           |  FROM h2 b LEFT JOIN x
+           |    ON b.query_id = x.query_id AND b.vec_id = x.vec_id)
+           |SELECT query_id, rank, neighbor_id, cos, in_exact4,
+           |  round(CAST(SUM(in_exact4) OVER (PARTITION BY query_id) AS DOUBLE) / 4.0, 6)
+           |    AS recall_at_4
+           |FROM f ORDER BY query_id, rank""".stripMargin
     }
   )
 }

@@ -110,7 +110,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t21_kmv_overlap" -> 2400,         // measured 1.17 MB (the t09 60-bit distincts + the 8-byte-key exact-calibration join; sketch set-ops themselves are k-sized)
     "s28_graph_beam_search" -> 1300,   // measured 610 KB (s21's cell-bounded graph build dominates; the 3-hop beam serve itself adds ~0 — frontiers broadcast)
     // round-14 additions
-    "t22_kn_trigram_bits" -> 1200)     // measured 570 KB (the trigram-type table build — vocab-bounded (w1,w2,w3,count) partials; scoring side exchanges only per-doc integer partials, tables broadcast)
+    "t22_kn_trigram_bits" -> 1200,     // measured 570 KB (the trigram-type table build — vocab-bounded (w1,w2,w3,count) partials; scoring side exchanges only per-doc integer partials, tables broadcast)
+    "s29_layered_beam_entry" -> 1400)  // measured 660 KB (both graph builds — layer-0 cell-bounded + the 64×-smaller sampled upper layer; the two-layer beam serve itself adds ~0 — frontiers broadcast)
 
   private lazy val written = {
     val w = new LongAdder

@@ -275,6 +275,44 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s29: layered entry is internally consistent and beats s28's blind entry on found quality") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("s29_layered_beam_entry")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.length == 20, s"expected 5 queries x beam-4, got ${rows.length}")
+    rows.foreach { case (q, _, n, _, flag, _) =>
+      assert(n != q, s"query $q returned itself")
+      assert(flag == 0 || flag == 1, s"in_exact4 flag $flag not boolean")
+    }
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // rank-sorted beam, and recall_at_4 is exactly the flag mean
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail)
+        .forall { case (a, b) => b <= a + 1e-12 }, s"query $q beam unsorted")
+      val recall = rs.map(_._5).sum / 4.0
+      rs.foreach { case (_, _, _, _, _, r) =>
+        assert(math.abs(r - recall) < 1e-9,
+          s"query $q recall_at_4 $r != flag mean $recall") }
+    }
+    // the measured point of the layer: at EQUAL expansion budget (one
+    // fewer layer-0 hop), entering from the coarse layer's beam finds
+    // strictly better neighbors on this corpus than s28's blind cell
+    // seeds (0.2095 vs 0.1696 mean cosine at sf0.01 when authored).
+    // Uniform random vectors are graph-ANN's adversarial case (no
+    // navigable small-world structure — strict recall@4 sits at the
+    // random baseline for BOTH, recorded in SCALE.md), so mean found
+    // cosine is the discriminating signal.
+    val s28mean = Similarity.queries("s28_graph_beam_search")(spark, sf)
+      .agg(avg($"cos")).head().getDouble(0)
+    val s29mean = rows.map(_._4).sum / rows.length
+    assert(s29mean > s28mean,
+      f"layered entry mean cos $s29mean%.4f not above blind entry $s28mean%.4f")
+  }
+
   test("s27: binary hamming report is well-formed; sum_ham matches a Scala replay") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
