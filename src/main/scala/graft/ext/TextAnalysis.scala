@@ -147,6 +147,91 @@ object TextAnalysis {
           .otherwise(lit("drop")).as("label"))
   }
 
+  /** Tokenized + split-labeled trigram-ready view (≥ 3 tokens) of a
+    * documents-shaped DF — t22's [[lmPrep]] analog. Narrow per-row ops;
+    * runs unchanged on a streaming scan. */
+  private[graft] def knPrep(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(trim(col("text")), Tok.Ws))
+      .filter(size(col("w")) >= 3)
+      .withColumn("split", Curation.splitCol(col("doc_id")))
+
+  /** The five Kneser–Ney count tables (see t22's scaladoc), frozen from
+    * [[knPrep]]'s TRAIN split. All vocab-bounded map-side-combinable
+    * partials; every table derives from the trigram-count frame or the
+    * bigram-type frame rather than re-scanning the corpus. */
+  private[graft] final case class KnTables(t3: DataFrame, ctx: DataFrame,
+      n23: DataFrame, n2: DataFrame, n3: DataFrame, nall: DataFrame)
+
+  private def triExplode(df: DataFrame, keep: Column*): DataFrame = df
+    .select(keep :+ explode(expr(
+      """transform(sequence(1, size(w) - 2),
+        |  i -> named_struct('w1', element_at(w, i),
+        |    'w2', element_at(w, i + 1),
+        |    'w3', element_at(w, i + 2)))""".stripMargin)).as("z"): _*)
+    .select(keep :+ col("z.w1").as("w1") :+ col("z.w2").as("w2")
+      :+ col("z.w3").as("w3"): _*)
+
+  private[graft] def knTables(dv: DataFrame): KnTables = {
+    val tr = dv.filter(col("split") === "train")
+    val t3 = triExplode(tr)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = t3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("ctx_tot"), count(lit(1)).as("ctx_types"))
+    val n23 = t3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1p_23"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = n23.groupBy(col("w2"))
+      .agg(sum(col("n1p_23")).as("n2_tot"), count(lit(1)).as("n2_types"))
+    val bt = tr.select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> named_struct('b1', element_at(w, i),
+          |    'b2', element_at(w, i + 1)))""".stripMargin)).as("z"))
+      .select(col("z.b1").as("b1"), col("z.b2").as("b2")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n3 = bt.groupBy(col("b2")).agg(count(lit(1)).as("n1p_3"))
+      .select(col("b2").as("w3"), col("n1p_3"))
+    val nall = bt.agg(count(lit(1)).as("n1p_all")).withColumn("one", lit(1))
+    KnTables(t3, ctx, n23, n2, n3, nall)
+  }
+
+  /** Score [[knPrep]] rows against frozen KN tables: the integer
+    * probability ladder (see t22's scaladoc), per-doc sum + gate.
+    * Explode + broadcast joins + one stateful agg — streaming-legal, so
+    * the same definition is the batch query AND the live-scoring stream
+    * (t15's serving discipline). No ORDER BY (callers add it). */
+  private[graft] def knScored(dv: DataFrame, t: KnTables): DataFrame = {
+    val S = 1000000L
+    val db = triExplode(dv, col("doc_id"), col("split"))
+    db.join(broadcast(t.t3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(t.ctx), Seq("w1", "w2"), "left")
+      .join(broadcast(t.n23), Seq("w2", "w3"), "left")
+      .join(broadcast(t.n2), Seq("w2"), "left")
+      .join(broadcast(t.n3), Seq("w3"), "left")
+      .withColumn("one", lit(1)).join(broadcast(t.nall), Seq("one"))
+      .withColumn("pcont",
+        greatest(expr(s"($S * coalesce(n1p_3, 0L)) div n1p_all"), lit(1L)))
+      .withColumn("plow",
+        when(coalesce(col("n2_tot"), lit(0L)) > 0, greatest(expr(
+          s"($S * greatest(4 * coalesce(n1p_23, 0L) - 3, 0L)" +
+            s" + 3 * n2_types * pcont) div (4 * n2_tot)"), lit(1L)))
+          .otherwise(col("pcont")))
+      .withColumn("p",
+        when(coalesce(col("ctx_tot"), lit(0L)) > 0, greatest(expr(
+          s"($S * greatest(4 * coalesce(c123, 0L) - 3, 0L)" +
+            s" + 3 * ctx_types * plow) div (4 * ctx_tot)"), lit(1L)))
+          .otherwise(col("plow")))
+      .select(col("doc_id"), col("split"),
+        (length(conv(lit(S), 10, 2)) - length(conv(col("p"), 10, 2)))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("bits")).as("nll_bits"))
+      .select(col("doc_id"), col("split"), col("n_trigrams"), col("nll_bits"),
+        round(col("nll_bits").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("bits_per_trigram"),
+        when(col("nll_bits") <= col("n_trigrams") * 4, lit("keep"))
+          .otherwise(lit("drop")).as("label"))
+  }
+
   /** The BM25 impact-scored postings index over `docs`' TRAIN side
     * (everything [[Curation.isEvalDoc]] excludes): one row per posting
     * `(t, train_id, fx)` where `fx` is the fixed-point 1e-6 per-term
@@ -367,70 +452,8 @@ object TextAnalysis {
     // them; the split keeps each computed once and codegen'd).
     "t22_kn_trigram_bits" -> { (s, d) =>
       import s.implicits._
-      val S = 1000000L
-      val dv = Tables.documents(s, d)
-        .withColumn("w", split(trim($"text"), Tok.Ws))
-        .filter(size($"w") >= 3)
-        .withColumn("split", Curation.splitCol($"doc_id"))
-      val tr = dv.filter($"split" === "train")
-      def triExplode(df: DataFrame, keep: Column*): DataFrame = df
-        .select(keep :+ explode(expr(
-          """transform(sequence(1, size(w) - 2),
-            |  i -> named_struct('w1', element_at(w, i),
-            |    'w2', element_at(w, i + 1),
-            |    'w3', element_at(w, i + 2)))""".stripMargin)).as("z"): _*)
-        .select(keep :+ col("z.w1").as("w1") :+ col("z.w2").as("w2")
-          :+ col("z.w3").as("w3"): _*)
-      // trigram token counts; every other table derives from this one
-      // (or from bigram types) instead of re-scanning the corpus
-      val t3 = triExplode(tr)
-        .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c123"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ctx = t3.groupBy($"w1", $"w2")
-        .agg(sum($"c123").as("ctx_tot"), count(lit(1)).as("ctx_types"))
-      val n23 = t3.groupBy($"w2", $"w3").agg(count(lit(1)).as("n1p_23"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n2 = n23.groupBy($"w2")
-        .agg(sum($"n1p_23").as("n2_tot"), count(lit(1)).as("n2_types"))
-      val bt = tr.select(explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> named_struct('b1', element_at(w, i),
-            |    'b2', element_at(w, i + 1)))""".stripMargin)).as("z"))
-        .select($"z.b1".as("b1"), $"z.b2".as("b2")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n3 = bt.groupBy($"b2").agg(count(lit(1)).as("n1p_3"))
-        .select($"b2".as("w3"), $"n1p_3")
-      val nall = bt.agg(count(lit(1)).as("n1p_all")).withColumn("one", lit(1))
-      val db = triExplode(dv, $"doc_id", $"split")
-      db.join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
-        .join(broadcast(ctx), Seq("w1", "w2"), "left")
-        .join(broadcast(n23), Seq("w2", "w3"), "left")
-        .join(broadcast(n2), Seq("w2"), "left")
-        .join(broadcast(n3), Seq("w3"), "left")
-        .withColumn("one", lit(1)).join(broadcast(nall), Seq("one"))
-        .withColumn("pcont",
-          greatest(expr(s"($S * coalesce(n1p_3, 0L)) div n1p_all"), lit(1L)))
-        .withColumn("plow",
-          when(coalesce($"n2_tot", lit(0L)) > 0, greatest(expr(
-            s"($S * greatest(4 * coalesce(n1p_23, 0L) - 3, 0L)" +
-              s" + 3 * n2_types * pcont) div (4 * n2_tot)"), lit(1L)))
-            .otherwise($"pcont"))
-        .withColumn("p",
-          when(coalesce($"ctx_tot", lit(0L)) > 0, greatest(expr(
-            s"($S * greatest(4 * coalesce(c123, 0L) - 3, 0L)" +
-              s" + 3 * ctx_types * plow) div (4 * ctx_tot)"), lit(1L)))
-            .otherwise($"plow"))
-        .select($"doc_id", $"split",
-          (length(conv(lit(S), 10, 2)) - length(conv($"p", 10, 2)))
-            .cast("long").as("bits"))
-        .groupBy($"doc_id", $"split")
-        .agg(count(lit(1)).as("n_trigrams"), sum($"bits").as("nll_bits"))
-        .select($"doc_id", $"split", $"n_trigrams", $"nll_bits",
-          round($"nll_bits".cast("double") / $"n_trigrams".cast("double"), 6)
-            .as("bits_per_trigram"),
-          when($"nll_bits" <= $"n_trigrams" * 4, lit("keep"))
-            .otherwise(lit("drop")).as("label"))
-        .orderBy($"doc_id")
+      val dv = knPrep(Tables.documents(s, d))
+      knScored(dv, knTables(dv)).orderBy($"doc_id")
     },
 
     "t05_bpe_pair_counts" -> { (s, d) =>

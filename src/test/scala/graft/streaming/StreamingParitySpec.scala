@@ -401,6 +401,35 @@ class StreamingParitySpec extends SparkSuite {
       s"streaming scored ${streamed.size} docs vs batch ${batch.size}")
   }
 
+  test("KN trigram scoring runs as a stream against frozen batch-trained tables (t22)") {
+    // the serving shape of the Kneser–Ney quality gate, same discipline
+    // as t15's twin: the five KN count tables are trained in batch from
+    // the c02 train split and FROZEN; a live document stream is scored
+    // against the broadcast tables by the identical knPrep/knScored
+    // definitions, so the gate cannot drift between batch and serving.
+    import graft.ext.TextAnalysis
+    val batch = SparkEntry.queries("t22_kn_trigram_bits")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-kn").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val tables = TextAnalysis.knTables(
+      TextAnalysis.knPrep(Tables.documents(spark, sf)))
+    val schema = spark.read.parquet(docsDir).schema
+    val scored = TextAnalysis.knScored(
+      TextAnalysis.knPrep(spark.readStream.schema(schema).parquet(docsDir)),
+      tables)
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_kn")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_kn did not finish within 120 s")
+    val streamed = spark.table("parity_kn").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming scored ${streamed.size} docs vs batch ${batch.size}")
+  }
+
   test("cohort retention runs as a stream against frozen first-seen weeks (q44)") {
     // the live-retention-dashboard shape: per-user first-seen weeks are
     // the frozen index (batch-built — inherently historical), the event
