@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -140,6 +140,41 @@ object Graph {
       }
     }
     out.result().reduceLeft(_.unionByName(_)).orderBy($"round")
+  }
+
+  /** g08's multi-source BFS over any undirected `(u, v)` edge frame:
+    * `rounds` depth-capped frontier expansions from the nodes matching
+    * `sourcePred` (applied to the node column `n`), returning one
+    * `(n, hop)` row per node — hop −1 for nodes never reached. Factored
+    * so `GraphSpec` drives it on hand-computed fixtures. Each round is
+    * frontier⋈edges + distinct + anti-join against the reached set —
+    * node-bounded exchanges; round frames localCheckpoint (the loop
+    * references `reached` twice per round — the g07 lineage lesson). */
+  private[ext] def bfsHops(edges0: DataFrame, sourcePred: Column,
+      rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val adj = edges0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val nodes = adj.select($"a".as("n")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reached = nodes.filter(sourcePred)
+      .select($"n", lit(0).as("hop")).localCheckpoint()
+    var frontier = reached.select($"n")
+    for (h <- 1 to rounds) {
+      val nxt = frontier.join(adj, $"n" === $"a")
+        .select($"b".as("n")).distinct()
+        .join(reached.select($"n"), Seq("n"), "left_anti")
+        .localCheckpoint()
+      reached = reached
+        .unionByName(nxt.select($"n", lit(h).as("hop")))
+        .localCheckpoint()
+      frontier = nxt
+    }
+    reached.unionByName(nodes
+      .join(reached.select($"n"), Seq("n"), "left_anti")
+      .select($"n", lit(-1).as("hop")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,6 +464,34 @@ object Graph {
       kcorePeel(mutualTopEdges(s, d), k = 3, rounds = 3)
     },
 
+    // Multi-source BFS hop distances — the traversal primitive the
+    // family still lacked (g05 propagates labels to convergence; this
+    // answers "how FAR is everything from a seed set", the reachability
+    // radius / influence-frontier query). Sources = suppliers with
+    // sp % 7 = 3 on the mutual-top-6 graph; 4 DEPTH-CAPPED rounds
+    // (q52's corpus-scale discipline — a production BFS always caps
+    // depth; unreached nodes report hop −1). Per-hop census output:
+    // node count + id-sum checksum + min/max, so the oracle pins the
+    // exact reached SET each round, not just its size.
+    //
+    // Scale shape: each round is frontier⋈edges (bounded degree ≤ 6,
+    // so the expansion is ≤ 6·|frontier| rows) + a distinct + an
+    // anti-join against the reached set — ALL node-bounded exchanges;
+    // the edge frame is built once and reused checkpointed; round
+    // frames localCheckpoint (the g07 lineage lesson — the loop
+    // references `reached` twice per round). At 100 TB bucket edges by
+    // node (g07's note) and every per-round join co-locates.
+    "g08_bfs_hops" -> { (s, d) =>
+      import s.implicits._
+      bfsHops(mutualTopEdges(s, d), col("n") % 7 === 3, rounds = 4)
+        .groupBy($"hop".cast("int").as("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum($"n").cast("long").as("node_checksum"),
+          min($"n").cast("long").as("min_node"),
+          max($"n").cast("long").as("max_node"))
+        .orderBy($"hop")
+    },
+
     // Fixed-point integer PageRank, 3 rounds, over the undirected
     // bipartite graph; output = top-20 suppliers by final score. Every
     // node appears as a destination (undirected edges), so no
@@ -671,6 +734,44 @@ object Graph {
              |${peel(2)}
              |${row(0)} UNION ALL ${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
              |ORDER BY round""".stripMargin
+      },
+
+      // same mutual-top-6 construction as g06/g07, then 4 unrolled BFS
+      // rounds: each frontier = distinct neighbors of the previous one
+      // not yet reached; −1 collects the never-reached tail
+      "g08_bfs_hops" -> {
+        def round(r: Int): String =
+          s"""f$r AS (SELECT DISTINCT adj.b AS n FROM adj
+             |  JOIN f${r - 1} ON adj.a = f${r - 1}.n
+             |  WHERE adj.b NOT IN (SELECT n FROM d${r - 1})),
+             |d$r AS (SELECT * FROM d${r - 1} UNION ALL SELECT n, $r FROM f$r)""".stripMargin
+        raw"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |p AS MATERIALIZED (SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS shared
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |dir AS (SELECT sa AS n, sb AS p, shared FROM p
+             |  UNION ALL SELECT sb, sa, shared FROM p),
+             |top6 AS (SELECT n, p FROM (SELECT n, p,
+             |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
+             |  FROM dir) WHERE rk <= 6),
+             |e0 AS MATERIALIZED (SELECT x.n AS u, x.p AS v FROM top6 x
+             |  JOIN top6 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+             |  UNION ALL SELECT v, u FROM e0),
+             |nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj),
+             |d0 AS (SELECT n, 0 AS hop FROM nodes WHERE n % 7 = 3),
+             |f0 AS (SELECT n FROM d0),
+             |${round(1)},
+             |${round(2)},
+             |${round(3)},
+             |${round(4)},
+             |alln AS (SELECT * FROM d4 UNION ALL
+             |  SELECT n, -1 FROM nodes WHERE n NOT IN (SELECT n FROM d4))
+             |SELECT CAST(hop AS INTEGER) AS hop, COUNT(*) AS n_nodes,
+             |  CAST(SUM(n) AS BIGINT) AS node_checksum,
+             |  CAST(MIN(n) AS BIGINT) AS min_node,
+             |  CAST(MAX(n) AS BIGINT) AS max_node
+             |FROM alln GROUP BY hop ORDER BY hop""".stripMargin
       },
 
       "g02_degree_census" ->

@@ -151,4 +151,24 @@ class GraphSpec extends SparkSuite {
     assert(path == Seq((0, 5L, 4L, 2L), (1, 3L, 2L, 2L),
       (2, 0L, 0L, 0L), (3, 0L, 0L, 0L)), s"got $path")
   }
+
+  test("g08 BFS core: path distances exact, depth cap strands the tail, disconnected -> -1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5-6-7 + disconnected edge 8-9, source {1}, 4 rounds:
+    // hops 1:0, 2:1, 3:2, 4:3, 5:4; {6,7} are REACHABLE but beyond the
+    // depth cap and {8,9} unreachable — both report -1, which is the
+    // documented cap semantics (a production BFS bounds its radius)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (8L, 9L)).toDF("u", "v")
+    val got = Graph.bfsHops(edges, col("n") === 1, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      6L -> -1, 7L -> -1, 8L -> -1, 9L -> -1), s"got $got")
+    // multi-source: {1, 7} meet in the middle within 3 rounds
+    val got2 = Graph.bfsHops(edges, col("n") === 1 || col("n") === 7, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got2 == Map(1L -> 0, 7L -> 0, 2L -> 1, 6L -> 1, 3L -> 2,
+      5L -> 2, 4L -> 3, 8L -> -1, 9L -> -1), s"got $got2")
+  }
 }
