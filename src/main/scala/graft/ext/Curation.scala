@@ -882,6 +882,63 @@ object Curation {
         s.read.parquet(path), col("zcell").cast("int"), "zorder")
       val linear = census(li, expr("CAST(x div 16 AS INT)"), "linear")
       zorder.unionByName(linear).orderBy($"layout", $"cell")
+    },
+
+    // SCHEMA EVOLUTION roundtrip — the lake capability every long-lived
+    // corpus feed hits: writers upgrade mid-corpus, so shards on disk
+    // span THREE schema generations (gen 1 original; gen 2 adds a
+    // `quality` score; gen 3 adds an array `tags` column and DROPS
+    // `lang`), and the reader must still see ONE table. The query
+    // actually writes the three generations as parquet (c22's eager
+    // prove-the-files precedent, same tmpdir convention) and reads them
+    // back through `mergeSchema` + hive partition discovery; the census
+    // — per-gen row counts, per-column null counts (absent columns MUST
+    // surface as null, not error), exact fixed-point sums of the added
+    // columns, and a 40-bit text checksum — pins that no row or value
+    // was lost or misaligned by the merge. The ORACLE recomputes the
+    // same census from the raw table by replaying the generation logic
+    // with explicit NULLs (union-by-name semantics), so a mergeSchema
+    // regression (column misalignment, silent drop, wrong null-fill)
+    // hash-mismatches loudly.
+    //
+    // Scale shape: the generation writes are one corpus pass each over
+    // a disjoint third; the merged read is ONE scan with partition
+    // discovery (footer merging is metadata work, bounded by file
+    // count); the census exchanges per-gen integer partials only.
+    // quality is quarter-valued (exact in binary doubles) so its
+    // fixed-point ×4 sum is engine-exact.
+    "c23_schema_evolution" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_c23_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      docs.filter($"doc_id" % 3 === 0)
+        .write.mode("overwrite").parquet(root + "/gen=1")
+      docs.filter($"doc_id" % 3 === 1)
+        .withColumn("quality", ($"doc_id" % 5).cast("double") / 4.0)
+        .write.mode("overwrite").parquet(root + "/gen=2")
+      docs.filter($"doc_id" % 3 === 2)
+        .drop("lang")
+        .withColumn("tags", array(
+          concat(lit("src:"), $"source"),
+          concat(lit("len:"), length($"text").cast("string"))))
+        .write.mode("overwrite").parquet(root + "/gen=3")
+      s.read.option("mergeSchema", "true").option("basePath", root)
+        .parquet(root + "/gen=1", root + "/gen=2", root + "/gen=3")
+        .groupBy($"gen".cast("int").as("gen"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"lang".isNull, 1)).as("null_lang"),
+          count(when($"quality".isNull, 1)).as("null_quality"),
+          count(when($"tags".isNull, 1)).as("null_tags"),
+          coalesce(sum(($"quality" * 4).cast("long")), lit(0L))
+            .as("sum_quality4"),
+          coalesce(sum(size($"tags")), lit(0L)).cast("long").as("n_tags"),
+          coalesce(sum(when($"tags".isNotNull,
+            conv(substring(md5(concat_ws("|", $"tags").cast("binary")), 1, 10),
+              16, 10).cast("long"))), lit(0L)).as("tags_checksum"),
+          sum(conv(substring(md5($"text".cast("binary")), 1, 10), 16, 10)
+            .cast("long")).as("text_checksum"))
+        .orderBy($"gen")
     }
   )
 
@@ -1279,6 +1336,37 @@ object Curation {
            |  CAST((MAX(x) - MIN(x) + 1) AS BIGINT) * (MAX(y) - MIN(y) + 1) AS box_area,
            |  CAST(SUM(('0x' || substr(md5(concat_ws(',', l_orderkey, l_linenumber, x, y)), 1, 10))::BIGINT) AS BIGINT) AS row_checksum
            |FROM u GROUP BY layout, cell ORDER BY layout, cell""".stripMargin
-    }
+    },
+
+    // the oracle replays the three writer generations with explicit
+    // NULLs — DuckDB's union-by-name view of what the merged read MUST
+    // contain; any mergeSchema misalignment/drop/null-fill bug on the
+    // Spark side hash-mismatches
+    "c23_schema_evolution" ->
+      raw"""WITH g1 AS (SELECT doc_id, text, lang,
+           |    NULL::DOUBLE AS quality, NULL::VARCHAR[] AS tags, 1 AS gen
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |g2 AS (SELECT doc_id, text, lang,
+           |    CAST(doc_id % 5 AS DOUBLE) / 4.0 AS quality,
+           |    NULL::VARCHAR[] AS tags, 2 AS gen
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |g3 AS (SELECT doc_id, text, NULL::VARCHAR AS lang,
+           |    NULL::DOUBLE AS quality,
+           |    ['src:' || source, 'len:' || CAST(length(text) AS VARCHAR)] AS tags,
+           |    3 AS gen
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+           |  UNION ALL SELECT * FROM g3)
+           |SELECT CAST(gen AS INTEGER) AS gen, COUNT(*) AS n_docs,
+           |  COUNT(*) FILTER (lang IS NULL) AS null_lang,
+           |  COUNT(*) FILTER (quality IS NULL) AS null_quality,
+           |  COUNT(*) FILTER (tags IS NULL) AS null_tags,
+           |  CAST(COALESCE(SUM(CAST(quality * 4 AS BIGINT)), 0) AS BIGINT) AS sum_quality4,
+           |  CAST(COALESCE(SUM(len(tags)), 0) AS BIGINT) AS n_tags,
+           |  CAST(COALESCE(SUM(CASE WHEN tags IS NOT NULL THEN
+           |      ('0x' || substr(md5(array_to_string(tags, '|')), 1, 10))::BIGINT
+           |    END), 0) AS BIGINT) AS tags_checksum,
+           |  CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS text_checksum
+           |FROM u GROUP BY gen ORDER BY gen""".stripMargin
   )
 }

@@ -327,4 +327,43 @@ class CurationSpec extends SparkSuite {
     assert(rows.head.getAs[Long]("n_days") == dayDirs.length.toLong)
     assert(rows.head.getAs[Long]("n_days_touched") == 2L)
   }
+
+  test("c23: merged read sees every generation's columns; the single-footer read cannot") {
+    import org.apache.spark.sql.functions.col
+    // run the query (materializes the three generations) and check the
+    // null pattern the union-by-name semantics dictate per generation
+    val rows = Curation.queries("c23_schema_evolution")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      val (gen, n) = (r.getInt(0), r.getLong(1))
+      val (nl, nq, nt) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      gen match {
+        case 1 => assert(nl == 0 && nq == n && nt == n,
+          s"gen 1 nulls wrong: lang $nl quality $nq tags $nt of $n")
+        case 2 => assert(nl == 0 && nq == 0 && nt == n,
+          s"gen 2 nulls wrong: lang $nl quality $nq tags $nt of $n")
+        case 3 => assert(nl == n && nq == n && nt == 0,
+          s"gen 3 nulls wrong: lang $nl quality $nq tags $nt of $n")
+      }
+    }
+    // the merged schema carries the union of all generations' columns
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_c23_evo_" + sf.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val gens = Seq(1, 2, 3).map(g => s"$root/gen=$g")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("basePath", root).parquet(gens: _*)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "source",
+      "n_chars", "quality", "tags", "gen"), merged.columns.mkString(","))
+    // counterfactual teeth: without mergeSchema the schema comes from
+    // ONE footer, and no single generation carries lang AND quality AND
+    // tags — so at least one column is invisible, whatever file wins
+    val naive = spark.read.option("basePath", root).parquet(gens: _*)
+    val cols = naive.columns.toSet
+    assert(!(cols.contains("lang") && cols.contains("quality")
+        && cols.contains("tags")),
+      s"single-footer read claims all evolved columns: $cols")
+    // and absent columns read as null, never as dropped rows
+    assert(merged.filter(col("gen") === 1 && col("quality").isNotNull)
+      .count() == 0L)
+  }
 }
