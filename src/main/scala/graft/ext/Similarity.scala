@@ -1866,6 +1866,71 @@ object Similarity {
         .withColumn("recall_at_4",
           round(sum($"in_exact4").over(ww).cast("double") / 4.0, 6))
         .orderBy($"query_id", $"rank")
+    },
+
+    // Beam-WIDTH recall sweep — the graph-ANN analog of s19's PQ
+    // codebook sweep, closing the measured-ladder story for the serving
+    // family: the SAME s28 search (8 cell seeds, 3 hops) run at beam
+    // widths 2 / 4 / 8 over one shared graph, each width's found set
+    // scored against the exact brute-force top-4. Output is one row per
+    // width: found count, hits, recall@4, and the mean found cosine as
+    // a FIXED-POINT 1e-6 integer sum divided once at the end (t16's
+    // trick — order-free, engine-exact), so "wider beam = better recall
+    // at linearly more scoring work" is an oracle-checked measurement,
+    // not prose. Uniform random vectors floor strict recall (s29's
+    // note), so the mean-cos column carries the discriminating signal.
+    //
+    // Scale shape: identical to s28 per width — frontiers broadcast,
+    // the graph builds once (shared, checkpointed), cost scales as
+    // Σ widths × hops × degree, corpus-size-independent at serve time.
+    "s30_beam_width_sweep" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = knnAssigned(s, d)
+      val dirEdges = knnDirEdges(assigned)
+      val g = dirEdges.select($"i", $"j").localCheckpoint()
+      dirEdges.unpersist()
+      assigned.unpersist()
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      def scoreIds(ids: DataFrame, width: Int): DataFrame = e
+        .join(broadcast(ids), Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= width)
+      val exact = e.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
+        .withColumn("xrn", row_number().over(w)).filter($"xrn" <= 4)
+        .select($"query_id", $"vec_id", lit(1).as("hit"))
+        .localCheckpoint()
+      val seeds = e.filter($"vec_id" < 8)
+        .crossJoin(broadcast(qs.select($"query_id")))
+        .select($"query_id", $"vec_id").localCheckpoint()
+      Seq(2, 4, 8).map { width =>
+        var beam = scoreIds(seeds, width)
+        for (_ <- 1 to 3) {
+          val base = beam.select($"query_id", $"vec_id").localCheckpoint()
+          val exp = base.select($"query_id", $"vec_id".as("i"))
+            .join(g, Seq("i")).select($"query_id", $"j".as("vec_id"))
+          beam = scoreIds(base.unionByName(exp).distinct(), width)
+        }
+        beam.join(exact, Seq("query_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_found"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hits4"),
+            sum(round($"cos" * 1000000.0).cast("long")).as("sfx"))
+          .select(lit(width).as("beam_width"), $"n_found", $"n_hits4",
+            round($"n_hits4".cast("double") / 20.0, 6).as("recall_at_4"),
+            round($"sfx".cast("double")
+              / ($"n_found".cast("double") * 1000000.0), 6)
+              .as("mean_found_cos"))
+      }.reduceLeft(_.unionByName(_)).orderBy($"beam_width")
     }
   )
 
@@ -2885,6 +2950,70 @@ object Similarity {
            |  round(CAST(SUM(in_exact4) OVER (PARTITION BY query_id) AS DOUBLE) / 4.0, 6)
            |    AS recall_at_4
            |FROM f ORDER BY query_id, rank""".stripMargin
+    },
+
+    // three width-suffixed unrolled searches over ONE shared graph
+    // build, each aggregated against the same exact-top-4 CTE; the
+    // fixed-point mean makes the found-quality column order-free
+    "s30_beam_width_sweep" -> {
+      def search(wd: Int): String = {
+        val hops = (1 to 3).map { k =>
+          val prev = if (k == 1) s"b0_$wd" else s"b${k - 1}_$wd"
+          raw"""c${k}_$wd AS (SELECT DISTINCT query_id, vec_id FROM (
+               |  SELECT query_id, vec_id FROM $prev
+               |  UNION ALL
+               |  SELECT b.query_id, d.j AS vec_id FROM $prev b
+               |    JOIN dir d ON b.vec_id = d.i)),
+               |b${k}_$wd AS (SELECT query_id, vec_id, cos, rn FROM (
+               |  SELECT c.query_id, c.vec_id, ${sqlCosine("qv", "v")} AS cos,
+               |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+               |      ORDER BY ${sqlCosine("qv", "v")} DESC, c.vec_id) AS rn
+               |  FROM c${k}_$wd c JOIN e ON e.vec_id = c.vec_id
+               |    JOIN q ON q.query_id = c.query_id
+               |  WHERE c.vec_id <> c.query_id) t WHERE rn <= $wd)""".stripMargin
+        }.mkString(",\n")
+        raw"""b0_$wd AS (SELECT query_id, vec_id, cos, rn FROM (
+             |  SELECT q.query_id, e.vec_id, ${sqlCosine("qv", "v")} AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${sqlCosine("qv", "v")} DESC, e.vec_id) AS rn
+             |  FROM e JOIN q ON e.vec_id < 8 AND e.vec_id <> q.query_id) t
+             |  WHERE rn <= $wd),
+             |$hops""".stripMargin
+      }
+      def aggRow(wd: Int): String =
+        raw"""SELECT $wd AS beam_width, COUNT(*) AS n_found,
+             |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hits4,
+             |  round(CAST(COALESCE(SUM(hit), 0) AS DOUBLE) / 20.0, 6) AS recall_at_4,
+             |  round(CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+             |    / (COUNT(*) * 1000000.0), 6) AS mean_found_cos
+             |FROM b3_$wd b LEFT JOIN x
+             |  ON b.query_id = x.query_id AND b.vec_id = x.vec_id""".stripMargin
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |p AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+           |    ${sqlCosine("a.v", "b.v")} AS cos
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |r AS (SELECT i, j,
+           |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM p),
+           |dir AS (SELECT i, j FROM r WHERE rn <= 3),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $SqlQueryPred),
+           |x AS (SELECT query_id, vec_id, 1 AS hit FROM (
+           |  SELECT q.query_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("qv", "v")} DESC, e.vec_id) AS xrn
+           |  FROM e JOIN q ON e.vec_id <> q.query_id) t WHERE xrn <= 4),
+           |${search(2)},
+           |${search(4)},
+           |${search(8)}
+           |${aggRow(2)} UNION ALL ${aggRow(4)} UNION ALL ${aggRow(8)}
+           |ORDER BY beam_width""".stripMargin
     }
   )
 }

@@ -113,7 +113,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t22_kn_trigram_bits" -> 1200,     // measured 570 KB (the trigram-type table build — vocab-bounded (w1,w2,w3,count) partials; scoring side exchanges only per-doc integer partials, tables broadcast)
     "s29_layered_beam_entry" -> 1400,  // measured 660 KB (both graph builds — layer-0 cell-bounded + the 64×-smaller sampled upper layer; the two-layer beam serve itself adds ~0 — frontiers broadcast)
     "g08_bfs_hops" -> 416,             // measured 200 KB (the g03/g06/g07 set-building exchange again; the 4 BFS rounds exchange node-sized frontier/reached keys only)
-    "c23_schema_evolution" -> 64)      // ~0: generation writes are file I/O, the merged read is one scan, census is per-gen integer partials
+    "c23_schema_evolution" -> 64,      // ~0: generation writes are file I/O, the merged read is one scan, census is per-gen integer partials
+    "s30_beam_width_sweep" -> 1400)    // measured 670 KB (one shared graph build; the three width searches add only broadcast frontiers)
 
   private lazy val written = {
     val w = new LongAdder

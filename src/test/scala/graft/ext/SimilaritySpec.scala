@@ -313,6 +313,26 @@ class SimilaritySpec extends SparkSuite {
       f"layered entry mean cos $s29mean%.4f not above blind entry $s28mean%.4f")
   }
 
+  test("s30: width sweep is shape-exact and hits never decrease with a wider beam") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("s30_beam_width_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toList
+    assert(rows.map(_._1) == List(2, 4, 8), s"widths wrong: $rows")
+    rows.foreach { case (w, nf, nh, rec, mc) =>
+      // 5 queries × beam-W survivors, recall consistent with hits
+      assert(nf == 5L * w, s"width $w found $nf, expected ${5 * w}")
+      assert(rec == nh / 20.0, s"width $w recall $rec != $nh/20")
+      assert(nh <= math.min(nf, 20L), s"width $w hits $nh out of range")
+      assert(mc > -1.0 && mc < 1.0)
+    }
+    // a wider beam keeps a superset-quality frontier at every hop
+    // (top-k of a candidate superset pointwise dominates), so hits@4
+    // can only grow with width
+    assert(rows.map(_._3) == rows.map(_._3).sorted,
+      s"hits not monotone in width: $rows")
+  }
+
   test("s27: binary hamming report is well-formed; sum_ham matches a Scala replay") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
