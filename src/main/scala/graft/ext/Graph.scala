@@ -81,15 +81,21 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
       .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
+    // w carries the edge's INTEGER traversal cost for g09 (inverse
+    // co-occurrence strength, floored — strong ties are cheap to cross);
+    // shared is pair-symmetric so the x-side value is THE pair's value.
+    // Callers that only need topology select (u, v) off the one shared
+    // persisted frame — the extra long does not change the build.
     val top = dir.withColumn("rk", row_number().over(
         Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
-      .filter($"rk" <= 6).select($"n", $"p")
+      .filter($"rk" <= 6)
+      .select($"n", $"p", expr("1000000 DIV shared").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u
     top.as("x").join(top.as("y"),
         col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
           col("x.n") < col("x.p"))
-      .select(col("x.n").as("u"), col("x.p").as("v"))
+      .select(col("x.n").as("u"), col("x.p").as("v"), col("x.w").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -175,6 +181,41 @@ object Graph {
     reached.unionByName(nodes
       .join(reached.select($"n"), Seq("n"), "left_anti")
       .select($"n", lit(-1).as("hop")))
+  }
+
+  /** g09's weighted relaxation loop (bounded-round Bellman–Ford) over any
+    * undirected `(u, v, w)` edge frame with INTEGER weights: `rounds`
+    * tentative-distance relaxations from the nodes matching `sourcePred`,
+    * returning one `(round, n, dist)` row per node per round (round 0 =
+    * the seed set at distance 0) so a census can pin every intermediate
+    * distance map, not just the fixpoint. Integer weights make every
+    * tentative distance an exact sum — order-free, hashable cross-engine
+    * (the g01 fixed-point discipline). Factored so `GraphSpec` drives it
+    * on hand-computed fixtures (a longer-but-cheaper path must win).
+    * Each round is dist⋈edges (bounded degree ⇒ ≤ deg·|reached| candidate
+    * rows) + one map-side-combinable min agg — node-bounded exchanges;
+    * round frames localCheckpoint (the loop references `dist` twice per
+    * round: candidates + the min-merge union — the g07 lineage lesson). */
+  private[ext] def ssspRounds(edges0: DataFrame, sourcePred: Column,
+      rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val adj = edges0.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionByName(edges0.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint()
+    var dist = adj.select($"a".as("n")).distinct().filter(sourcePred)
+      .select($"n", lit(0L).as("dist")).localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    out += dist.select(lit(0).as("round"), $"n", $"dist")
+    for (r <- 1 to rounds) {
+      val cand = dist.join(adj, $"n" === $"a")
+        .select($"b".as("n"), ($"dist" + $"w").as("dist"))
+      dist = dist.unionByName(cand)
+        .groupBy($"n").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+      out += dist.select(lit(r).as("round"), $"n", $"dist")
+    }
+    out.result().reduceLeft(_.unionByName(_))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -492,6 +533,34 @@ object Graph {
         .orderBy($"hop")
     },
 
+    // WEIGHTED shortest paths (bounded-round Bellman–Ford) — g08 asks
+    // "how many hops", this asks "how CHEAP is the cheapest route" over
+    // the same mutual-top-6 graph, with edge cost = 1e6 DIV shared (an
+    // exact integer — strong co-occurrence ties are cheap to cross, so a
+    // two-hop route through strong ties can beat a direct weak tie, which
+    // is precisely what hop-count BFS cannot see). Same seed set as g08
+    // (sp % 7 = 3), 4 depth-capped relaxation rounds. Output: per-round
+    // census over the tentative-distance map — reached count, node-set
+    // checksum, exact distance sum, max distance — so the oracle pins
+    // every intermediate relaxation state, not just the final map.
+    //
+    // Scale shape: identical to g08's — per round one dist⋈edges join
+    // (co-partitioned when edges are bucketed by node) + one
+    // map-side-combinable min agg; all exchanges node-bounded; round
+    // frames localCheckpoint. Integer weights keep the min-merge
+    // order-free, so the result is partitioning-invariant by arithmetic,
+    // not by luck.
+    "g09_sssp_relax" -> { (s, d) =>
+      import s.implicits._
+      ssspRounds(mutualTopEdges(s, d), col("n") % 7 === 3, rounds = 4)
+        .groupBy($"round")
+        .agg(count(lit(1)).as("n_reached"),
+          sum($"n").cast("long").as("node_checksum"),
+          sum($"dist").cast("long").as("dist_checksum"),
+          max($"dist").cast("long").as("max_dist"))
+        .orderBy($"round")
+    },
+
     // Fixed-point integer PageRank, 3 rounds, over the undirected
     // bipartite graph; output = top-20 suppliers by final score. Every
     // node appears as a destination (undirected edges), so no
@@ -772,6 +841,47 @@ object Graph {
              |  CAST(MIN(n) AS BIGINT) AS min_node,
              |  CAST(MAX(n) AS BIGINT) AS max_node
              |FROM alln GROUP BY hop ORDER BY hop""".stripMargin
+      },
+
+      // g08's construction with the integer edge cost carried through,
+      // then 4 unrolled relaxations: each round's map = MIN over the old
+      // map unioned with every one-edge extension; one census row per
+      // round pins each intermediate distance map exactly
+      "g09_sssp_relax" -> {
+        def relax(r: Int): String =
+          s"""d$r AS (SELECT n, MIN(dist) AS dist FROM (
+             |  SELECT * FROM d${r - 1} UNION ALL
+             |  SELECT adj.b, d.dist + adj.w FROM adj
+             |    JOIN d${r - 1} d ON adj.a = d.n) GROUP BY n)""".stripMargin
+        def row(r: Int): String =
+          s"""SELECT $r AS round, COUNT(*) AS n_reached,
+             |  CAST(SUM(n) AS BIGINT) AS node_checksum,
+             |  CAST(SUM(dist) AS BIGINT) AS dist_checksum,
+             |  CAST(MAX(dist) AS BIGINT) AS max_dist FROM d$r""".stripMargin
+        raw"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |p AS MATERIALIZED (SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS shared
+             |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+             |dir AS (SELECT sa AS n, sb AS p, shared FROM p
+             |  UNION ALL SELECT sb, sa, shared FROM p),
+             |top6 AS (SELECT n, p, 1000000 // shared AS w FROM (SELECT n, p, shared,
+             |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY shared DESC, p) AS rk
+             |  FROM dir) WHERE rk <= 6),
+             |e0 AS MATERIALIZED (SELECT x.n AS u, x.p AS v, x.w AS w FROM top6 x
+             |  JOIN top6 y ON x.n = y.p AND x.p = y.n WHERE x.n < x.p),
+             |adj AS MATERIALIZED (SELECT u AS a, v AS b, w FROM e0
+             |  UNION ALL SELECT v, u, w FROM e0),
+             |d0 AS (SELECT n, CAST(0 AS BIGINT) AS dist
+             |  FROM (SELECT DISTINCT a AS n FROM adj) WHERE n % 7 = 3),
+             |${relax(1)},
+             |${relax(2)},
+             |${relax(3)},
+             |${relax(4)}
+             |SELECT CAST(round AS INTEGER) AS round, n_reached, node_checksum,
+             |  dist_checksum, max_dist
+             |FROM (${row(0)} UNION ALL ${row(1)} UNION ALL ${row(2)}
+             |  UNION ALL ${row(3)} UNION ALL ${row(4)})
+             |ORDER BY round""".stripMargin
       },
 
       "g02_degree_census" ->

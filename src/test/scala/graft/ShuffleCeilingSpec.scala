@@ -114,7 +114,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s29_layered_beam_entry" -> 1400,  // measured 660 KB (both graph builds — layer-0 cell-bounded + the 64×-smaller sampled upper layer; the two-layer beam serve itself adds ~0 — frontiers broadcast)
     "g08_bfs_hops" -> 416,             // measured 200 KB (the g03/g06/g07 set-building exchange again; the 4 BFS rounds exchange node-sized frontier/reached keys only)
     "c23_schema_evolution" -> 64,      // ~0: generation writes are file I/O, the merged read is one scan, census is per-gen integer partials
-    "s30_beam_width_sweep" -> 1400)    // measured 670 KB (one shared graph build; the three width searches add only broadcast frontiers)
+    "s30_beam_width_sweep" -> 1400,    // measured 670 KB (one shared graph build; the three width searches add only broadcast frontiers)
+    "g09_sssp_relax" -> 640)           // measured 310 KB (the g03/g06 set-building exchange + 4 relaxation rounds of node-sized (n, dist) candidate/min partials — weights ride the same rows)
 
   private lazy val written = {
     val w = new LongAdder

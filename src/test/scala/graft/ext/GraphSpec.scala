@@ -171,4 +171,33 @@ class GraphSpec extends SparkSuite {
     assert(got2 == Map(1L -> 0, 7L -> 0, 2L -> 1, 6L -> 1, 3L -> 2,
       5L -> 2, 4L -> 3, 8L -> -1, 9L -> -1), s"got $got2")
   }
+
+  test("g09 SSSP core: longer-but-cheaper path wins, rounds tighten monotonically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2 (w 5), 2-3 (w 1), 1-3 (w 10): round 1 reaches 3 at 10
+    // (the direct weak tie), round 2 TIGHTENS it to 6 via the two-hop
+    // strong-tie route — the exact behavior hop-count BFS cannot express
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("u", "v", "w")
+    def state(rounds: Int): Map[Int, Map[Long, Long]] =
+      Graph.ssspRounds(edges, col("n") === 1, rounds).collect()
+        .groupBy(_.getInt(0))
+        .map { case (r, rows) =>
+          r -> rows.map(x => x.getLong(1) -> x.getLong(2)).toMap }
+    val st = state(2)
+    assert(st(0) == Map(1L -> 0L), s"round 0: ${st(0)}")
+    assert(st(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L), s"round 1: ${st(1)}")
+    assert(st(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L), s"round 2: ${st(2)}")
+    // multi-source on a weighted path 4-(1)-5-(1)-6 + the triangle:
+    // disconnected component never appears in the distance map
+    val ed2 = Seq((1L, 2L, 5L), (2L, 3L, 1L), (4L, 5L, 1L), (5L, 6L, 1L))
+      .toDF("u", "v", "w")
+    val st2 = Graph.ssspRounds(ed2, col("n") === 1 || col("n") === 4, 2)
+      .collect().groupBy(_.getInt(0))
+      .map { case (r, rows) =>
+        r -> rows.map(x => x.getLong(1) -> x.getLong(2)).toMap }
+    assert(st2(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L,
+      4L -> 0L, 5L -> 1L, 6L -> 2L), s"got ${st2(2)}")
+  }
 }
