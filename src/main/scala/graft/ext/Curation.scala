@@ -939,8 +939,86 @@ object Curation {
           sum(conv(substring(md5($"text".cast("binary")), 1, 10), 16, 10)
             .cast("long")).as("text_checksum"))
         .orderBy($"gen")
+    },
+
+    // SCD TYPE-2 MERGE — the key-versioned upsert-history op completing
+    // the lakehouse maintenance family (c21 maintains ADDITIVE rollups;
+    // this maintains per-key VERSION HISTORY: every attribute change
+    // opens a row, closes its predecessor). Events: each order is an
+    // update to its customer's price tier (FLOOR(o_totalprice/50000));
+    // consecutive equal tiers collapse; versions carry
+    // [valid_from, valid_to) with the canonical far-future sentinel on
+    // the current row. The QUERY runs the PRODUCTION path — build the
+    // compacted base history from pre-1999 events, then MERGE the 1999+
+    // increment into it by replaying only AFFECTED keys' version
+    // boundaries + their new events (untouched keys' rows pass through
+    // by anti-join, never re-derived) — while the ORACLE rebuilds from
+    // the full event log in one pass: two independent derivations whose
+    // row-for-row hash equality IS the merge-correctness proof
+    // (associativity of change-collapse over the cutoff), q55's
+    // two-derivations discipline.
+    //
+    // Scale shape: the increment exchanges by key once (its inherent
+    // move); base history rows for UNTOUCHED keys move only through the
+    // anti-join's key-hash (at 100 TB: bucket the history table by key
+    // and broadcast the affected-key set — the anti-join and the semi-
+    // join both co-locate, and with c21's partition-overwrite machinery
+    // only partitions holding affected keys are rewritten). The replay
+    // set is |affected keys' versions| + |increment| — increment-sized,
+    // never history-sized. Window work is per-key sort of a few rows.
+    "c24_scd2_merge" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.orders(s, d).select(
+        $"o_custkey".as("ck"), $"o_orderdate".as("ts"),
+        $"o_orderkey".as("okey"),
+        floor($"o_totalprice" / 50000).cast("int").as("tier"))
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val base = scd2Build(ev.filter($"ts" < cutoff))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inc = ev.filter($"ts" >= cutoff)
+      val affected = inc.select($"ck").distinct()
+      val untouched = base.join(affected, Seq("ck"), "left_anti")
+      // replay = the affected keys' version-boundary events (compacted
+      // state, NOT raw base events) + their new events; re-collapsing is
+      // exact because consecutive base versions differ by construction
+      // and the cutoff totally orders base boundaries before increments
+      val replay = base.join(affected, Seq("ck"), "leftsemi")
+        .select($"ck", $"valid_from".as("ts"), $"okey0".as("okey"), $"tier")
+        .unionByName(inc.select($"ck", $"ts", $"okey", $"tier"))
+      untouched.unionByName(scd2Build(replay))
+        .select($"ck".as("c_custkey"), $"version", $"valid_from",
+          $"valid_to", $"tier", $"is_current")
+        .orderBy($"c_custkey", $"version")
     }
   )
+
+  /** c24's SCD2 history builder over any `(ck, ts, okey, tier)` event
+    * frame: keep change events (first per key, or tier ≠ previous tier
+    * in (ts, okey) order), version them, and close each version with the
+    * next change's timestamp — the canonical 2099-12-31 sentinel marks
+    * the current row (a real NULL valid_to would also be invisible to
+    * range predicates like `valid_from <= t AND t < valid_to`, which is
+    * why production SCD2 tables use a sentinel too). okey0 (the change
+    * row's event id) is retained so a MERGE can replay version
+    * boundaries through this same builder with the original tie-break.
+    * Both windows share one (ck, (ts, okey)) partitioning+sort — the
+    * filter between them preserves order, so Catalyst plans ONE exchange
+    * and one sort. Factored so CurationSpec drives it on hand-computed
+    * fixtures. */
+  private[ext] def scd2Build(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"ck").orderBy($"ts", $"okey")
+    ev.withColumn("prev", lag($"tier", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"tier")
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to",
+        coalesce(lead($"ts", 1).over(w), lit("2099-12-31").cast("timestamp")))
+      .select($"ck", $"version", $"ts".as("valid_from"), $"okey".as("okey0"),
+        $"tier", $"valid_to",
+        ($"valid_to" === lit("2099-12-31").cast("timestamp")).as("is_current"))
+  }
 
   val oracle: Map[String, String] = Map(
     // same md5 epoch keys; lead doc via rank over (k, doc_id)
@@ -1367,6 +1445,25 @@ object Curation {
            |      ('0x' || substr(md5(array_to_string(tags, '|')), 1, 10))::BIGINT
            |    END), 0) AS BIGINT) AS tags_checksum,
            |  CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT) AS text_checksum
-           |FROM u GROUP BY gen ORDER BY gen""".stripMargin
+           |FROM u GROUP BY gen ORDER BY gen""".stripMargin,
+
+    // deliberately NOT the query's merge path: one-pass rebuild from the
+    // full event log — the two derivations agreeing row-for-row is the
+    // merge-correctness proof (q55's discipline)
+    "c24_scd2_merge" ->
+      raw"""WITH ev AS (SELECT o_custkey AS ck, o_orderdate AS ts,
+           |    o_orderkey AS okey,
+           |    CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS tier FROM orders),
+           |ch AS (SELECT ck, ts, okey, tier,
+           |    LAG(tier) OVER (PARTITION BY ck ORDER BY ts, okey) AS prev FROM ev),
+           |chg AS (SELECT ck, ts, okey, tier FROM ch
+           |  WHERE prev IS NULL OR prev <> tier),
+           |v AS (SELECT ck, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           |    ts AS valid_from,
+           |    COALESCE(LEAD(ts) OVER w, TIMESTAMP '2099-12-31') AS valid_to, tier
+           |  FROM chg WINDOW w AS (PARTITION BY ck ORDER BY ts, okey))
+           |SELECT ck AS c_custkey, version, valid_from, valid_to, tier,
+           |  (valid_to = TIMESTAMP '2099-12-31') AS is_current
+           |FROM v ORDER BY c_custkey, version""".stripMargin
   )
 }

@@ -366,4 +366,77 @@ class CurationSpec extends SparkSuite {
     assert(merged.filter(col("gen") === 1 && col("quality").isNotNull)
       .count() == 0L)
   }
+
+  test("c24 scd2Build: change collapse, versioning, sentinel, same-ts tie-break") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val sentinel = ts("2099-12-31")
+    // key 1: tiers 3,3,1,1,3 -> versions (3,1,3); key 2: two events at the
+    // SAME timestamp, okey breaks the tie (5 then 7 -> two versions)
+    val ev = Seq(
+      (1L, ts("1995-01-01"), 10L, 3), (1L, ts("1995-02-01"), 11L, 3),
+      (1L, ts("1995-03-01"), 12L, 1), (1L, ts("1995-04-01"), 13L, 1),
+      (1L, ts("1995-05-01"), 14L, 3),
+      (2L, ts("1995-06-01"), 20L, 5), (2L, ts("1995-06-01"), 21L, 7))
+      .toDF("ck", "ts", "okey", "tier")
+    val got = Curation.scd2Build(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getLong(3),
+        r.getInt(4), r.getTimestamp(5), r.getBoolean(6))).toList.sorted
+    assert(got == List(
+      (1L, 1, ts("1995-01-01"), 10L, 3, ts("1995-03-01"), false),
+      (1L, 2, ts("1995-03-01"), 12L, 1, ts("1995-05-01"), false),
+      (1L, 3, ts("1995-05-01"), 14L, 3, sentinel, true),
+      (2L, 1, ts("1995-06-01"), 20L, 5, ts("1995-06-01"), false),
+      (2L, 2, ts("1995-06-01"), 21L, 7, sentinel, true)), s"got $got")
+  }
+
+  test("c24 merge path == one-pass rebuild, incl. cross-cutoff collapse, new keys, untouched keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // staged orders crafted so the increment (>= 1999-01-01) exercises:
+    //  ck 1 — first increment event REPEATS the base current tier (must
+    //         collapse across the cutoff: no new version, row stays open)
+    //  ck 2 — increment changes the tier (close the base current row)
+    //  ck 3 — key seen ONLY in the increment (fresh history)
+    //  ck 4 — key untouched by the increment (anti-join passthrough)
+    val orders = Seq(
+      (10L, 1L, 60000.0, ts("1995-01-01")), (11L, 1L, 110000.0, ts("1996-01-01")),
+      (12L, 1L, 120000.0, ts("1999-02-01")), (13L, 1L, 260000.0, ts("1999-03-01")),
+      (20L, 2L, 60000.0, ts("1995-01-01")), (21L, 2L, 310000.0, ts("1999-02-01")),
+      (30L, 3L, 60000.0, ts("1999-06-01")),
+      (40L, 4L, 410000.0, ts("1995-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("graft-c24").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val merged = Curation.queries("c24_scd2_merge")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getInt(4), r.getBoolean(5))).toList
+    val sentinel = ts("2099-12-31")
+    assert(merged == List(
+      // ck 1: 1@95 -> 2@96 (held across the repeat at 99-02) -> 5@99-03
+      (1L, 1, ts("1995-01-01"), ts("1996-01-01"), 1, false),
+      (1L, 2, ts("1996-01-01"), ts("1999-03-01"), 2, false),
+      (1L, 3, ts("1999-03-01"), sentinel, 5, true),
+      (2L, 1, ts("1995-01-01"), ts("1999-02-01"), 1, false),
+      (2L, 2, ts("1999-02-01"), sentinel, 6, true),
+      (3L, 1, ts("1999-06-01"), sentinel, 1, true),
+      (4L, 1, ts("1995-06-01"), sentinel, 8, true)), s"got $merged")
+    // and on real data at both SFs: the merge path equals a one-pass
+    // rebuild of the full event log (the oracle re-proves this cross-
+    // engine; this makes the invariant a local red test too)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val viaMerge = Curation.queries("c24_scd2_merge")(spark, sf)
+      val ev = graft.core.Tables.orders(spark, sf).select(
+        col("o_custkey").as("ck"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") / 50000).cast("int").as("tier"))
+      val rebuilt = Curation.scd2Build(ev)
+        .select(col("ck").as("c_custkey"), col("version"), col("valid_from"),
+          col("valid_to"), col("tier"), col("is_current"))
+        .orderBy(col("c_custkey"), col("version"))
+      assert(viaMerge.collect().toSeq == rebuilt.collect().toSeq,
+        s"merge != rebuild at $sf")
+    }
+  }
 }
