@@ -456,6 +456,51 @@ object TextAnalysis {
       knScored(dv, knTables(dv)).orderBy($"doc_id")
     },
 
+    // SLIDING-WINDOW DOCUMENT CHUNKER — the RAG/embedding-ingest
+    // primitive c14 deliberately is not: c14 PACKS whole docs into
+    // budget-bounded training sequences; this SPLITS each doc into
+    // overlapping retrieval chunks (64-token windows, stride 48 → 16
+    // tokens of overlap so no sentence straddles a boundary unseen),
+    // the shape every embedding pipeline feeds to its encoder. Chunk i
+    // covers tokens [i·48, i·48+64); the tail chunk is short, never
+    // dropped; a ≤64-token doc is exactly one chunk. Output: per-doc
+    // census with a POSITION-WEIGHTED content checksum — Σ (i+1) ·
+    // md5₄₀(chunk_text) — which pins every chunk's exact text AND its
+    // index (a same-bytes different-order regression flips the sum),
+    // plus the tail length (the off-by-one magnet: n − (nc−1)·48).
+    //
+    // Scale shape: one narrow corpus pass; the explode's fan-out is
+    // ceil(tokens/stride) rows per doc, all landing in the producing
+    // partition, and the per-doc partial agg collapses them map-side —
+    // the one exchange carries ONE census row per document (no chunk
+    // text ever moves; the hash is computed scan-side). nc arithmetic
+    // stays in GREATEST-guarded non-negative integer division so both
+    // engines floor identically.
+    "t23_chunk_windows" -> { (s, d) =>
+      import s.implicits._
+      val W = 64
+      val S = 48
+      val base = Tables.documents(s, d)
+        .select($"doc_id", split(trim($"text"), Tok.Ws).as("toks"))
+        .withColumn("n", size($"toks").cast("long"))
+        .withColumn("nc",
+          expr(s"CAST(1 + (GREATEST(n - $W, 0) + ${S - 1}) DIV $S AS INT)"))
+      base.select($"doc_id", $"n", $"nc", $"toks",
+          explode(sequence(lit(0), $"nc" - 1)).as("i"))
+        .select($"doc_id", $"n", $"nc", $"i",
+          conv(substring(md5(array_join(
+            slice($"toks", ($"i" * S + 1).cast("int"),
+              least(lit(W), $"n" - $"i" * S).cast("int")), " ")
+            .cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_toks"),
+          count(lit(1)).as("n_chunks"),
+          least(lit(W.toLong), max($"n") - (max($"nc") - 1) * S)
+            .cast("long").as("tail_len"),
+          sum($"h" * ($"i" + 1)).cast("long").as("chunk_checksum"))
+        .orderBy($"doc_id")
+    },
+
     "t05_bpe_pair_counts" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -1225,6 +1270,27 @@ object TextAnalysis {
     // the whole KN ladder replays in integers: `//` here == `div` there
     // on positive BIGINTs, GREATEST floors match, bin() bit lengths
     // match conv(x,10,2); nll SUM cast from HUGEINT back to BIGINT
+    // DuckDB 1-based inclusive list slicing toks[a:b] mirrors Spark's
+    // slice(toks, a, len) with b = a + len - 1; the nc arithmetic is the
+    // identical GREATEST-guarded non-negative floor division
+    "t23_chunk_windows" ->
+      raw"""WITH w AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
+           |  FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(1 + (GREATEST(n - 64, 0) + 47) // 48 AS INTEGER) AS nc
+           |  FROM w),
+           |c AS (SELECT doc_id, n, nc, i,
+           |    ('0x' || substr(md5(array_to_string(
+           |      toks[CAST(i * 48 + 1 AS INT) :
+           |           CAST(i * 48 + LEAST(64, n - i * 48) AS INT)], ' ')),
+           |      1, 10))::BIGINT AS h
+           |  FROM n, UNNEST(generate_series(0, CAST(nc - 1 AS BIGINT))) AS t(i))
+           |SELECT doc_id, MAX(n) AS n_toks, COUNT(*) AS n_chunks,
+           |  CAST(LEAST(64, MAX(n) - (MAX(nc) - 1) * 48) AS BIGINT) AS tail_len,
+           |  CAST(SUM(h * (i + 1)) AS BIGINT) AS chunk_checksum
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t22_kn_trigram_bits" ->
       raw"""WITH dv AS (SELECT doc_id, w,
            |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split

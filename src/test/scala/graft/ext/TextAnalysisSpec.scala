@@ -262,4 +262,42 @@ class TextAnalysisSpec extends SparkSuite {
       assert(ex == want, s"($sa,$sb): exact_inter $ex != replay $want")
     }
   }
+
+  test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
+    import spark.implicits._
+    // hand-constructed token counts around every boundary: 1, 63, 64
+    // (one chunk, tail = n), 65 (two chunks, tail 17), 112 (two chunks,
+    // tail EXACTLY 64), 113 (three chunks, tail 17), 160 (3 chunks, 64)
+    def doc(id: Long, n: Int): (Long, String) =
+      (id, (0 until n).map(k => s"w$k").mkString(" "))
+    val docs = Seq(doc(1, 1), doc(2, 63), doc(3, 64), doc(4, 65),
+      doc(5, 112), doc(6, 113), doc(7, 160))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t23").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("t23_chunk_windows")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L)), s"got ${got(1L)}")
+    assert(got(2L) == ((63L, 1L, 63L)))
+    assert(got(3L) == ((64L, 1L, 64L)))
+    assert(got(4L) == ((65L, 2L, 17L)))   // chunk 1 = tokens [48, 65)
+    assert(got(5L) == ((112L, 2L, 64L)))  // tail lands exactly full
+    assert(got(6L) == ((113L, 3L, 17L)))
+    assert(got(7L) == ((160L, 3L, 64L)))
+    // checksum replay: recompute doc 4's two chunks by hand — chunk 0 is
+    // tokens 0..63, chunk 1 is tokens 48..64 (16-token overlap), weights
+    // 1 and 2 — a same-bytes order flip would change the sum
+    def h40(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 10), 16)
+    }
+    val toks4 = (0 until 65).map(k => s"w$k")
+    val want4 = 1L * h40(toks4.slice(0, 64).mkString(" ")) +
+      2L * h40(toks4.slice(48, 65).mkString(" "))
+    val gotSum4 = TextAnalysis.queries("t23_chunk_windows")(spark, dir)
+      .filter($"doc_id" === 4).collect().head.getLong(4)
+    assert(gotSum4 == want4, s"checksum $gotSum4 != hand-computed $want4")
+  }
 }
