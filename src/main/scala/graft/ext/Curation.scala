@@ -968,10 +968,7 @@ object Curation {
     // never history-sized. Window work is per-key sort of a few rows.
     "c24_scd2_merge" -> { (s, d) =>
       import s.implicits._
-      val ev = Tables.orders(s, d).select(
-        $"o_custkey".as("ck"), $"o_orderdate".as("ts"),
-        $"o_orderkey".as("okey"),
-        floor($"o_totalprice" / 50000).cast("int").as("tier"))
+      val ev = tierEvents(s, d)
       val cutoff = lit("1999-01-01").cast("timestamp")
       val base = scd2Build(ev.filter($"ts" < cutoff))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -989,8 +986,63 @@ object Curation {
         .select($"ck".as("c_custkey"), $"version", $"valid_from",
           $"valid_to", $"tier", $"is_current")
         .orderBy($"c_custkey", $"version")
+    },
+
+    // POINT-IN-TIME (temporal) DIMENSION JOIN — the canonical reason
+    // SCD2 histories exist: every fact row joined to the dimension
+    // VERSION that was valid when the fact happened. Facts = lineitems
+    // at their ship date; dimension = c24's customer tier history;
+    // match = LEFT equi-join on the key + the half-open range residual
+    // `valid_from <= ts < valid_to`. Versions partition [first_event,
+    // sentinel), so a fact matches AT MOST one version; facts timestamped
+    // BEFORE the key's first version (the harness ship dates are
+    // independent of order dates — ~half precede) land in the tier −1
+    // PRE-HISTORY bucket rather than being dropped, so the census is
+    // count-preserving — the spec proves Σ n_items == lineitem count
+    // (no fan-out, no silent drop). Output: (tier-at-ship-time, ship
+    // year) census with exact integer checksums over keys and versions.
+    //
+    // Scale shape: the join is an equi-join ON THE KEY (versions-per-key
+    // is small and bounded by change frequency, so the residual filter
+    // scans a handful of versions per fact) — at 100 TB co-partition
+    // facts and history by key (bucketing) and the range residual costs
+    // nothing extra; never express this as a pure interval cross —
+    // q47's binned interval form is the documented fallback for
+    // version-heavy keys. The census partials combine map-side; the
+    // exchange carries (tier, year) groups only.
+    "c25_scd2_pointintime" -> { (s, d) =>
+      import s.implicits._
+      val hist = scd2Build(tierEvents(s, d)).as("h")
+      val facts = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate".as("ts"))
+        .join(Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey".as("fck")),
+          $"l_orderkey" === $"o_orderkey")
+        .as("f")
+      facts.join(hist,
+          $"fck" === $"h.ck" &&
+            $"ts" >= $"h.valid_from" && $"ts" < $"h.valid_to", "left")
+        .groupBy(coalesce($"h.tier", lit(-1)).as("tier"),
+          year($"ts").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(coalesce($"h.version", lit(0))).cast("long")
+            .as("version_checksum"),
+          sum($"fck").cast("long").as("cust_checksum"),
+          sum($"l_orderkey" * $"l_linenumber").cast("long").as("line_checksum"))
+        .orderBy($"tier", $"yr")
     }
   )
+
+  /** The order-as-CDC-event derivation shared by c24 (history build +
+    * merge) and c25 (point-in-time join): each order updates its
+    * customer's price tier. */
+  private def tierEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select(
+      $"o_custkey".as("ck"), $"o_orderdate".as("ts"),
+      $"o_orderkey".as("okey"),
+      floor($"o_totalprice" / 50000).cast("int").as("tier"))
+  }
 
   /** c24's SCD2 history builder over any `(ck, ts, okey, tier)` event
     * frame: keep change events (first per key, or tier ≠ previous tier
@@ -1464,6 +1516,32 @@ object Curation {
            |  FROM chg WINDOW w AS (PARTITION BY ck ORDER BY ts, okey))
            |SELECT ck AS c_custkey, version, valid_from, valid_to, tier,
            |  (valid_to = TIMESTAMP '2099-12-31') AS is_current
-           |FROM v ORDER BY c_custkey, version""".stripMargin
+           |FROM v ORDER BY c_custkey, version""".stripMargin,
+
+    "c25_scd2_pointintime" ->
+      raw"""WITH ev AS (SELECT o_custkey AS ck, o_orderdate AS ts,
+           |    o_orderkey AS okey,
+           |    CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS tier FROM orders),
+           |ch AS (SELECT ck, ts, okey, tier,
+           |    LAG(tier) OVER (PARTITION BY ck ORDER BY ts, okey) AS prev FROM ev),
+           |chg AS (SELECT ck, ts, okey, tier FROM ch
+           |  WHERE prev IS NULL OR prev <> tier),
+           |v AS (SELECT ck, CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           |    ts AS valid_from,
+           |    COALESCE(LEAD(ts) OVER w, TIMESTAMP '2099-12-31') AS valid_to, tier
+           |  FROM chg WINDOW w AS (PARTITION BY ck ORDER BY ts, okey)),
+           |f AS (SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS ts,
+           |    o.o_custkey AS ck
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |m AS (SELECT COALESCE(v.tier, -1) AS tier, year(f.ts) AS yr,
+           |    f.ck, COALESCE(v.version, 0) AS version,
+           |    f.l_orderkey, f.l_linenumber
+           |  FROM f LEFT JOIN v ON f.ck = v.ck
+           |    AND f.ts >= v.valid_from AND f.ts < v.valid_to)
+           |SELECT tier, CAST(yr AS INTEGER) AS yr, COUNT(*) AS n_items,
+           |  CAST(SUM(version) AS BIGINT) AS version_checksum,
+           |  CAST(SUM(ck) AS BIGINT) AS cust_checksum,
+           |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS line_checksum
+           |FROM m GROUP BY tier, yr ORDER BY tier, yr""".stripMargin
   )
 }

@@ -439,4 +439,46 @@ class CurationSpec extends SparkSuite {
         s"merge != rebuild at $sf")
     }
   }
+
+  test("c25 point-in-time join: count-preserving (pre-history bucket), version-at-ship-time fixture, equi-join plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // ck 1 changes tier at 1996-01-01 (order 11); order 10's SECOND
+    // lineitem ships AFTER that change, so it must match version 2 even
+    // though its own order created version 1 — the lookup is by SHIP
+    // time, not order membership
+    val dir = java.nio.file.Files.createTempDirectory("graft-c25").toString
+    Seq((10L, 1L, 60000.0, ts("1995-01-01")),
+        (11L, 1L, 110000.0, ts("1996-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1, ts("1995-06-01")), (10L, 2, ts("1996-06-01")),
+        (11L, 1, ts("1996-02-01")), (11L, 2, ts("1994-06-01")))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Curation.queries("c25_scd2_pointintime")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // (tier, yr, n_items, version_checksum): the 1994 ship PRECEDES the
+    // customer's first version -> tier -1 pre-history bucket, version 0;
+    // 1995 ship under tier 1/v1; both 1996 ships under tier 2/v2
+    assert(rows == List((-1, 1994, 1L, 0L), (1, 1995, 1L, 1L),
+      (2, 1996, 2L, 4L)), s"got $rows")
+    // count-preservation on real data: at most one version matches by
+    // interval disjointness, pre-history facts land in tier -1, so the
+    // census total must equal the fact count exactly
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val matched = Curation.queries("c25_scd2_pointintime")(spark, sf)
+        .agg(org.apache.spark.sql.functions.sum(col("n_items")))
+        .collect().head.getLong(0)
+      val facts = graft.core.Tables.lineitem(spark, sf).count()
+      assert(matched == facts, s"$sf: matched $matched != lineitems $facts")
+    }
+    // plan: the range residual must ride an EQUI join on the key, never
+    // a nested-loop interval cross
+    val plan = Curation.queries("c25_scd2_pointintime")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "interval cross-join regression")
+  }
 }
