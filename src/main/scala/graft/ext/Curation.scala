@@ -972,17 +972,7 @@ object Curation {
       val cutoff = lit("1999-01-01").cast("timestamp")
       val base = scd2Build(ev.filter($"ts" < cutoff))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inc = ev.filter($"ts" >= cutoff)
-      val affected = inc.select($"ck").distinct()
-      val untouched = base.join(affected, Seq("ck"), "left_anti")
-      // replay = the affected keys' version-boundary events (compacted
-      // state, NOT raw base events) + their new events; re-collapsing is
-      // exact because consecutive base versions differ by construction
-      // and the cutoff totally orders base boundaries before increments
-      val replay = base.join(affected, Seq("ck"), "leftsemi")
-        .select($"ck", $"valid_from".as("ts"), $"okey0".as("okey"), $"tier")
-        .unionByName(inc.select($"ck", $"ts", $"okey", $"tier"))
-      untouched.unionByName(scd2Build(replay))
+      scd2Merge(base, ev.filter($"ts" >= cutoff))
         .select($"ck".as("c_custkey"), $"version", $"valid_from",
           $"valid_to", $"tier", $"is_current")
         .orderBy($"c_custkey", $"version")
@@ -1036,7 +1026,7 @@ object Curation {
   /** The order-as-CDC-event derivation shared by c24 (history build +
     * merge) and c25 (point-in-time join): each order updates its
     * customer's price tier. */
-  private def tierEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tierEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d).select(
       $"o_custkey".as("ck"), $"o_orderdate".as("ts"),
@@ -1057,7 +1047,30 @@ object Curation {
     * filter between them preserves order, so Catalyst plans ONE exchange
     * and one sort. Factored so CurationSpec drives it on hand-computed
     * fixtures. */
-  private[ext] def scd2Build(ev: DataFrame): DataFrame = {
+  /** c24's MERGE: apply new `(ck, ts, okey, tier)` events to an existing
+    * history (scd2Build's schema). Affected keys' VERSION BOUNDARIES are
+    * replayed through the builder together with their new events;
+    * untouched keys pass through an anti-join untouched. Exact iff every
+    * new event is at-or-after its key's last applied event (the CDC
+    * in-order-per-key contract — Kafka's per-key ordering guarantee, and
+    * c24's cutoff by construction): re-collapsing boundaries + in-order
+    * appends equals a full-log rebuild because consecutive versions
+    * differ by construction; a MID-history insert could need an absorbed
+    * (non-boundary) event to resolve and is NOT supported — replay the
+    * key from the raw log instead. Shared by the c24 batch query and the
+    * streaming CDC-apply twin (per-micro-batch foreachBatch merge). */
+  private[graft] def scd2Merge(base: DataFrame, inc: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val affected = inc.select($"ck").distinct()
+    val untouched = base.join(affected, Seq("ck"), "left_anti")
+    val replay = base.join(affected, Seq("ck"), "leftsemi")
+      .select($"ck", $"valid_from".as("ts"), $"okey0".as("okey"), $"tier")
+      .unionByName(inc.select($"ck", $"ts", $"okey", $"tier"))
+    untouched.unionByName(scd2Build(replay))
+  }
+
+  private[graft] def scd2Build(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -846,6 +846,82 @@ class StreamingParitySpec extends SparkSuite {
       s"streamed ledger ${ledger.size} rows != full recompute ${full.size}")
   }
 
+  test("SCD2 history maintained per micro-batch by foreachBatch equals a full-log rebuild (c24)") {
+    // the STREAMING CDC-APPLY form of c24: tier-change events arrive as
+    // a stream and every micro-batch runs the SAME scd2Merge the batch
+    // query runs — affected keys' version boundaries replayed with the
+    // batch's events, untouched keys untouched, the history table
+    // swapped via dynamic partition overwrite on a key-bucket layout
+    // (only buckets holding affected keys are rewritten — c21's
+    // machinery pointed at versioned state instead of additive state).
+    // Boundary replay is exact only under the in-order-per-key CDC
+    // contract (scd2Merge's scaladoc), so the increment is staged as
+    // time-sliced files with strictly increasing modification times —
+    // the file source's oldest-first order IS the per-key ordering
+    // guarantee a Kafka CDC feed provides. Multiple micro-batches prove
+    // the merge REPEATABLE: after any number of in-order applications
+    // the table equals the one-shot full-log rebuild.
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val ev = graft.ext.Curation.tierEvents(spark, sf)
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val root = Files.createTempDirectory("graft-c24-stream").toString
+    // base history, bucket-partitioned by key (the 100 TB layout)
+    graft.ext.Curation.scd2Build(ev.filter($"ts" < cutoff))
+      .withColumn("bucket", pmod($"ck", lit(8L)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(root + "/hist")
+    // increment: one file per calendar year, mod-times forcing
+    // oldest-first processing (1999 -> 2000 -> 2001)
+    Files.createDirectories(java.nio.file.Paths.get(root + "/inc"))
+    val t0 = System.currentTimeMillis() - 60000
+    for ((y, i) <- Seq(1999, 2000, 2001).zipWithIndex) {
+      val tmp = root + s"/slice_$y"
+      ev.filter($"ts" >= cutoff && year($"ts") === y)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(root + s"/inc/slice_$y.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 10000))
+    }
+    val schema = spark.read.parquet(root + "/inc").schema
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/inc")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s: SparkSession = b.sparkSession
+        if (!b.isEmpty) {
+          batches += 1
+          val touched = b.select(pmod(col("ck"), lit(8L)).cast("string"))
+            .distinct().collect().map(_.getString(0))
+          val tb = s.read.parquet(root + "/hist")
+            .filter(col("bucket").cast("string").isin(touched.toSeq: _*))
+          graft.ext.Curation.scd2Merge(tb.drop("bucket"), b)
+            .write.mode("overwrite").parquet(root + s"/stage_$id")
+          s.read.parquet(root + s"/stage_$id")
+            .withColumn("bucket", pmod(col("ck"), lit(8L)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(root + "/hist")
+          s.catalog.refreshByPath(root + "/hist")
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "c24 stream did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    def norm(df: DataFrame): Set[Seq[Any]] = df
+      .select(col("ck"), col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("tier"), col("is_current"))
+      .collect().map(_.toSeq).toSet
+    val streamed = norm(spark.read.parquet(root + "/hist"))
+    val rebuilt = norm(graft.ext.Curation.scd2Build(ev))
+    assert(streamed == rebuilt,
+      s"streamed history ${streamed.size} rows != rebuild ${rebuilt.size}")
+  }
+
   test("count-min sketch maintained per micro-batch merges to the batch grid (t20)") {
     // the STREAMING form of t20: CMS grids merge by ADDITION, so a
     // sketch maintained incrementally — each micro-batch's partial grid
