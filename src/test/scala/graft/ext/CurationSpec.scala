@@ -481,4 +481,31 @@ class CurationSpec extends SparkSuite {
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "interval cross-join regression")
   }
+
+  test("c24 scd2Merge is idempotent under exact-batch replay (at-least-once -> effectively-once)") {
+    // a REPLAYED batch re-presents events that are now version
+    // boundaries: each duplicate sorts adjacent to its boundary twin,
+    // sees prev == tier, and collapses away — so at-least-once delivery
+    // + this merge = effectively-once, no ledger or batchId fencing
+    // needed (ExactlyOnceSink covers sinks whose payload is NOT
+    // naturally idempotent; this proves versioned state IS)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = Curation.tierEvents(spark, sf)
+    val cutoff = org.apache.spark.sql.functions.lit("1999-01-01").cast("timestamp")
+    val base = Curation.scd2Build(ev.filter(col("ts") < cutoff))
+      .localCheckpoint()
+    val inc = ev.filter(col("ts") >= cutoff).localCheckpoint()
+    def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("ck"), col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("tier"), col("is_current"))
+        .collect().map(_.toSeq).toSet
+    val once = Curation.scd2Merge(base, inc).localCheckpoint()
+    val twice = Curation.scd2Merge(once, inc)
+    assert(norm(once) == norm(twice), "replaying the same batch changed the history")
+    // and a batch containing internal duplicates applies like its dedup
+    val dupes = Curation.scd2Merge(base, inc.unionByName(inc))
+    assert(norm(once) == norm(dupes), "duplicated events changed the history")
+  }
 }
