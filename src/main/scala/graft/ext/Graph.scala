@@ -561,6 +561,60 @@ object Graph {
         .orderBy($"round")
     },
 
+    // PERSONALIZED PageRank (random-walk-with-restart) — g01 ranks
+    // global centrality; this ranks proximity TO A SEED SET (the
+    // recommendation / influence-attribution primitive: "what's
+    // important *near these accounts*"). Same fixed-point integer
+    // discipline as g01, two differences: scores START on the seeds
+    // (1e6 each, 0 elsewhere) and the 15% teleport mass returns ONLY to
+    // seeds (150000·N DIV |S| each — exact floored integers, so three
+    // rounds are bit-equal cross-engine and under any partitioning).
+    // Seeds: suppliers sp % 7 = 3, the same seed set g08/g09 probe.
+    // Output: top-20 suppliers by proximity score.
+    //
+    // Scale shape: identical to g01's — per round one co-partitioned
+    // edges⋈scores join + map-side-combinable contribution sums; the
+    // seed restart mass rides each node row as a precomputed column, so
+    // personalization adds ZERO exchanges over global PR (contrast with
+    // push-style PPR, whose frontier sparsity only pays off at very low
+    // seed counts — at a fixed small round budget the Pregel form wins).
+    "g10_personalized_pagerank" -> { (s, d) =>
+      import s.implicits._
+      val ed = ed2(s, d)
+      val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seedPred = "u % 2 = 1 AND (u - 1) DIV 2 % 7 = 3"
+      val counts = deg.agg(count(lit(1)).as("nn"),
+        count(when(expr(seedPred), 1)).as("ns"))
+      var sc = deg.crossJoin(broadcast(counts))
+        .select($"u",
+          when(expr(seedPred), lit(1000000L)).otherwise(lit(0L)).as("sc"),
+          $"deg",
+          expr(s"CASE WHEN $seedPred THEN 150000 * nn DIV ns ELSE 0 END")
+            .as("rst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // g01's lazy-persist loop policy verbatim (fixed horizon, tiny
+      // node-sized frames, MEMORY_AND_DISK + LRU end-of-life)
+      for (_ <- 1 to 3) {
+        val contrib = ed.join(sc, "u")
+          .groupBy($"v").agg(sum(expr("sc DIV deg")).as("m"))
+        sc = contrib.select($"v".as("u"), $"m")
+          .join(sc.select($"u", $"deg", $"rst"), "u")
+          .select($"u", ($"rst" + expr("85 * m DIV 100")).as("sc"),
+            $"deg", $"rst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      import org.apache.spark.sql.expressions.Window
+      sc.filter($"u" % 2 === 1)
+        .select(expr("(u - 1) DIV 2").as("s_suppkey"),
+          $"deg".as("n_partners"), $"sc".as("ppr_score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"ppr_score".desc, $"s_suppkey")))
+        .filter($"rank" <= 20)
+        .select($"rank", $"s_suppkey", $"n_partners", $"ppr_score")
+        .orderBy($"rank")
+    },
+
     // Fixed-point integer PageRank, 3 rounds, over the undirected
     // bipartite graph; output = top-20 suppliers by final score. Every
     // node appears as a destination (undirected edges), so no
@@ -891,6 +945,40 @@ object Graph {
              |  COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS sum_deg,
              |  CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
              |FROM deg GROUP BY 1, 2 ORDER BY kind, bucket""".stripMargin,
+
+      // g01's unrolled scaffolding with seed-only init and seed-only
+      // floored restart mass — the identical integer arithmetic
+      "g10_personalized_pagerank" ->
+        raw"""WITH $edgeCtes,
+             |cnt AS (SELECT COUNT(*) AS nn,
+             |    COUNT(*) FILTER (u % 2 = 1 AND (u - 1) // 2 % 7 = 3) AS ns
+             |  FROM deg),
+             |n0 AS (SELECT u,
+             |    CASE WHEN u % 2 = 1 AND (u - 1) // 2 % 7 = 3
+             |      THEN 1000000 ELSE 0 END AS sc, deg,
+             |    CASE WHEN u % 2 = 1 AND (u - 1) // 2 % 7 = 3
+             |      THEN 150000 * nn // ns ELSE 0 END AS rst
+             |  FROM deg CROSS JOIN cnt),
+             |r1 AS (SELECT v AS u, SUM(sc // deg) AS m
+             |  FROM ed JOIN n0 USING (u) GROUP BY v),
+             |n1 AS (SELECT u, rst + 85 * m // 100 AS sc, deg, rst
+             |  FROM r1 JOIN n0 USING (u)),
+             |r2 AS (SELECT v AS u, SUM(sc // deg) AS m
+             |  FROM ed JOIN n1 USING (u) GROUP BY v),
+             |n2 AS (SELECT u, rst + 85 * m // 100 AS sc, deg, rst
+             |  FROM r2 JOIN n1 USING (u)),
+             |r3 AS (SELECT v AS u, SUM(sc // deg) AS m
+             |  FROM ed JOIN n2 USING (u) GROUP BY v),
+             |n3 AS (SELECT u, rst + 85 * m // 100 AS sc, deg, rst
+             |  FROM r3 JOIN n2 USING (u)),
+             |sup AS (SELECT (u - 1) // 2 AS s_suppkey, deg AS n_partners,
+             |    sc AS ppr_score,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, (u - 1) // 2)
+             |      AS INTEGER) AS rank
+             |  FROM n3 WHERE u % 2 = 1)
+             |SELECT rank, s_suppkey, n_partners,
+             |  CAST(ppr_score AS BIGINT) AS ppr_score
+             |FROM sup WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
       // per-edge floored contributions + exact integer sums — the
       // identical arithmetic, unrolled three rounds

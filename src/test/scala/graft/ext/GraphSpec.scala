@@ -172,6 +172,33 @@ class GraphSpec extends SparkSuite {
       5L -> 2, 4L -> 3, 8L -> -1, 9L -> -1), s"got $got2")
   }
 
+  test("g10: hand-computed 3-round personalized PageRank — teleport mass returns to the seed only") {
+    // customers 1,2 each order from supplier 3: nodes c1=2, c2=4, s3=7
+    // (deg 2). Seed set = suppliers sp % 7 = 3 -> {s3}. N=3, |S|=1 ->
+    // seed restart = 150000*3 = 450000; non-seeds restart 0.
+    //   init: sc(7)=1e6, sc(2)=sc(4)=0
+    //   r1: c's get 85*(1e6 DIV 2) DIV 100 = 425000; s3 = 450000+0
+    //   r2: c's = 85*(450000 DIV 2) DIV 100 = 191250;
+    //       s3 = 450000 + 85*850000 DIV 100 = 1172500
+    //   r3: s3 = 450000 + 85*(191250+191250) DIV 100 = 775125
+    val dir = java.nio.file.Files.createTempDirectory("graft-g10").toString
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 3L), (20L, 3L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Graph.queries("g10_personalized_pagerank")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((1, 3L, 2L, 775125L)), s"got $r")
+    // a graph with NO seed suppliers drains to zero everywhere — the
+    // walk has nowhere to restart (g01's global floor does NOT apply)
+    val rows2 = Graph.queries("g10_personalized_pagerank")(spark, stagePath())
+      .collect()
+    assert(rows2.length == 1 && rows2.head.getLong(3) == 0L,
+      s"seedless graph should score 0, got ${rows2.toList}")
+  }
+
   test("g09 SSSP core: longer-but-cheaper path wins, rounds tighten monotonically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
