@@ -57,6 +57,11 @@ final case class TgaFeatures(
     r_sum: Long, g_sum: Long, b_sum: Long,
     first_px: Int, last_px: Int)
 
+final case class DispatchFeatures(
+    media_id: Long, kind: String, format: String,
+    width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -399,6 +404,45 @@ object Multimodal {
           case _ =>
             TgaFeatures(r.media_id, r.kind, -1, -1, -1L, -1L, -1L, -1, -1)
         }
+      }
+    }.toDF()
+  }
+
+  /** m15's dispatch batch: sniff each blob's MAGIC BYTES, route to the
+    * matching strict parser, and emit unified features; unrecognized or
+    * unparseable blobs emit the 'unknown'/sentinel row rather than
+    * disappearing. Factored so MultimodalSpec can feed it hand-built
+    * mixed and corrupted feeds directly. */
+  def dispatchFeatures(spark: SparkSession, mixed: DataFrame): DataFrame = {
+    import spark.implicits._
+    mixed.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val b = r.content
+        def feat(fmt: String, w: Int, hh: Int, samples: Array[Byte]) = {
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var i = 0
+          while (i + 2 < samples.length) {
+            rs += samples(i) & 0xff; gs += samples(i + 1) & 0xff
+            bs += samples(i + 2) & 0xff
+            i += 3
+          }
+          DispatchFeatures(r.media_id, r.kind, fmt, w, hh, rs, gs, bs)
+        }
+        def bad(fmt: String) =
+          DispatchFeatures(r.media_id, r.kind, fmt, -1, -1, -1L, -1L, -1L)
+        if (b.length >= 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte)
+          Ppm.parse(b).map(i => feat("ppm", i.width, i.height, i.samples))
+            .getOrElse(bad("ppm"))
+        else if (b.length >= 4 && b(0) == 'q'.toByte && b(1) == 'o'.toByte &&
+            b(2) == 'i'.toByte && b(3) == 'f'.toByte)
+          Qoi.parse(b).map { case (i, _) =>
+            feat("qoi", i.width, i.height, i.samples) }.getOrElse(bad("qoi"))
+        else if (b.length >= 4 && (b(0) & 0xff) == 0x89 &&
+            b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte)
+          Png.parse(b).filter(_.channels == 3)
+            .map(i => feat("png", i.width, i.height, i.samples))
+            .getOrElse(bad("png"))
+        else bad("unknown")
       }
     }.toDF()
   }
@@ -769,6 +813,47 @@ object Multimodal {
     // inputs. TgaSpec plants fixtures driving both packet types, the
     // 128-run clamp and the scanline cut; CodecFuzzSpec drives
     // adversarial bytes. n_bytes is absent by the m10/m11 rule.
+    // FORMAT-DISPATCH ROUTER — the reference's routing dispatch (O10)
+    // at the media-ingest layer: a HETEROGENEOUS blob feed (each doc
+    // encoded as PPM, QOI, or PNG by id — three containers over the
+    // IDENTICAL 5-wide RGB raster) is routed to the right strict parser
+    // by MAGIC BYTES ALONE ('P6' / 'qoif' / \x89PNG), never by
+    // out-of-band metadata. Because the three containers carry the same
+    // raster, the unified features (format tag + dims + channel sums)
+    // have ONE oracle: a blob routed to the wrong parser, or a parser
+    // disagreeing with another about the pixels, hash-mismatches.
+    // Unrecognized magic → the 'unknown' sentinel row (the m06/m08
+    // convention), never a dropped row — an ingest router must account
+    // for every blob.
+    //
+    // Scale shape: sniff + decode are per-row batch work inside the
+    // scan-side mapPartitions (two map stages, blob never re-encoded or
+    // exchanged); the only exchange is the output sort. Adding a format
+    // = one magic branch + one parser — the router itself stays O(1)
+    // per blob.
+    "m15_format_dispatch" -> { (s, d) =>
+      import s.implicits._
+      val bin = col("text").cast("binary")
+      val h = least(floor(length(bin) / 15), lit(8)).cast("int")
+      val media = Tables.documents(s, d).filter(length(bin) >= 15)
+        .select(col("doc_id").as("media_id"), col("source").as("kind"),
+          bin.substr(lit(1), h * 15).as("content"))
+      val mixed = media.as[MediaRecord].mapPartitions { it =>
+        it.map { r =>
+          val w = 5
+          val hh = r.content.length / 15
+          val raster = java.util.Arrays.copyOfRange(r.content, 0, 15 * hh)
+          val blob = (r.media_id % 3) match {
+            case 0 => Ppm.encode(Ppm.Rgb(w, hh, raster))
+            case 1 => Qoi.encode(Qoi.Rgb(w, hh, raster))
+            case _ => Png.encode(w, hh, 3, raster, k => k % 5)
+          }
+          MediaRecord(r.media_id, r.kind, blob)
+        }
+      }.toDF()
+      dispatchFeatures(s, mixed).orderBy(col("media_id"))
+    },
+
     "m14_tga_decode" -> { (s, d) =>
       tgaFeatures(s, tgaMedia(Tables.documents(s, d)), TgaW)
         .orderBy(col("media_id"))
@@ -968,6 +1053,23 @@ object Multimodal {
            |    least(length(text) // 15, 8) AS h
            |  FROM documents WHERE length(text) >= 15)
            |SELECT media_id, kind,
+           |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // the three containers carry the IDENTICAL raster, so expected
+    // features are format-independent — only the tag follows the id
+    // split; a mis-route or a parser pixel disagreement hash-mismatches
+    "m15_format_dispatch" -> {
+      def ch(c: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 15*h + 1), i -> CASE WHEN (i - 1) % 3 = $c THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 15, 8) AS h
+           |  FROM documents WHERE length(text) >= 15)
+           |SELECT media_id, kind,
+           |  CASE media_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'qoi'
+           |    ELSE 'png' END AS format,
            |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
            |FROM t ORDER BY media_id""".stripMargin

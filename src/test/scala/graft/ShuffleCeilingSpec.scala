@@ -119,7 +119,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c24_scd2_merge" -> 1500,          // measured 710 KB (the per-key event exchange feeding the two windows + the full merged history crossing the output sort — history-sized because the query DUMPS the table; the merge's own joins move affected-key rows only)
     "t23_chunk_windows" -> 64,         // measured 30 KB (ONE census row per doc — chunk text never moves; hashes computed scan-side, partials collapse map-side)
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
-    "g10_personalized_pagerank" -> 4400) // measured 2.17 MB (g01's edge build + 3 rounds with the rst column riding each node row — personalization adds a fourth long per row, zero extra exchanges)
+    "g10_personalized_pagerank" -> 4400, // measured 2.17 MB (g01's edge build + 3 rounds with the rst column riding each node row — personalization adds a fourth long per row, zero extra exchanges)
+    "m15_format_dispatch" -> 64)       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
 
   private lazy val written = {
     val w = new LongAdder

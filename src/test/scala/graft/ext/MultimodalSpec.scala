@@ -139,4 +139,36 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(0).getLong(3) == 1L && rows(0).getLong(4) == 400L * 97)
     assert(rows(1).getLong(3) == -1L && rows(1).getLong(4) == -1L)
   }
+
+  test("m15 dispatch: magic-byte routing on a hand-built mixed feed, corrupt and truncated blobs account as sentinels") {
+    import spark.implicits._
+    val raster = Array.tabulate(15)(i => (i * 7 + 1).toByte) // 5x1 RGB
+    def sums = {
+      val rs = Seq(0, 3, 6, 9, 12).map(i => (raster(i) & 0xff).toLong).sum
+      val gs = Seq(1, 4, 7, 10, 13).map(i => (raster(i) & 0xff).toLong).sum
+      val bs = Seq(2, 5, 8, 11, 14).map(i => (raster(i) & 0xff).toLong).sum
+      (rs, gs, bs)
+    }
+    val ppm = Ppm.encode(Ppm.Rgb(5, 1, raster))
+    val qoi = Qoi.encode(Qoi.Rgb(5, 1, raster))
+    val png = Png.encode(5, 1, 3, raster)
+    val corrupt = { val c = ppm.clone(); c(0) = 'X'.toByte; c } // magic gone
+    val truncated = java.util.Arrays.copyOfRange(qoi, 0, qoi.length - 2)
+    val mixed = Seq(
+      MediaRecord(1L, "a", ppm), MediaRecord(2L, "a", qoi),
+      MediaRecord(3L, "a", png), MediaRecord(4L, "a", corrupt),
+      MediaRecord(5L, "a", truncated)).toDF()
+    val got = Multimodal.dispatchFeatures(spark, mixed).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val (rs, gs, bs) = sums
+    assert(got(1L) == (("ppm", 5, 1, rs, gs, bs)), s"ppm: ${got(1L)}")
+    assert(got(2L) == (("qoi", 5, 1, rs, gs, bs)), s"qoi: ${got(2L)}")
+    assert(got(3L) == (("png", 5, 1, rs, gs, bs)), s"png: ${got(3L)}")
+    // unknown magic is ACCOUNTED, not dropped; a recognized magic whose
+    // body fails the strict parse keeps its format tag with sentinels
+    assert(got(4L) == (("unknown", -1, -1, -1L, -1L, -1L)), s"corrupt: ${got(4L)}")
+    assert(got(5L) == (("qoi", -1, -1, -1L, -1L, -1L)), s"truncated: ${got(5L)}")
+    assert(got.size == 5)
+  }
 }
