@@ -1174,8 +1174,75 @@ object Dedup {
       val fps = docs.select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
       val base = fps.filter(!isNew).select($"doc_id".as("base_id"), $"fp")
       bloomGatedVerdicts(base, fps.filter(isNew)).orderBy($"doc_id")
+    },
+
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    // algorithm): per sliding window of W=8 consecutive 4-gram hashes,
+    // select the window MINIMUM; the distinct selected hashes are the
+    // document's fingerprint set. The theorem the spec fixture proves:
+    // any shared token run of length ≥ k+W−1 = 11 GUARANTEES a shared
+    // fingerprint — position-robust overlap detection at a density the
+    // fixed ~2/(W+1) bound caps, which is what distinguishes winnowing
+    // from d03's MinHash (whole-doc similarity, no locality) and d13's
+    // fixed chunking (boundary-alignment-fragile). Output per doc:
+    // k-gram/window/fingerprint counts, the exact fingerprint-set
+    // checksum, and n_partners — how many OTHER docs share ≥1
+    // fingerprint (the plagiarism-candidate fan-in).
+    //
+    // Scale shape: selection is per-doc array work inside the scan
+    // (O(n·W) codegen'd-comparable ops; the arrays never leave the
+    // partition); the ONLY cross-doc exchange is the exploded
+    // (fingerprint, doc) pairs — winnowing bounds them to ~2n/(W+1) per
+    // doc, the same signature-bounded story as d03's bands. The pair
+    // join is an equi-join on the 40-bit hash; a pathological hot
+    // fingerprint (boilerplate) gets the d11 hot-block cap at scale.
+    "d24_winnow_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      val fps = winnowFingerprints(Tables.documents(s, d), k = 4, w = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = fps.select($"doc_id", explode($"fps").as("fp"))
+      val partners = pairs.as("a").join(pairs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_partners"))
+      fps.join(partners, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_partners"))
+        .select($"doc_id", $"n_kgrams", $"n_windows",
+          size($"fps").cast("long").as("n_fp"),
+          aggregate($"fps", lit(0L), (acc, x) => acc + x).as("fp_checksum"),
+          $"n_partners")
+        .orderBy($"doc_id")
     }
   )
+
+  /** d24's winnowing core over `documents(doc_id, text)`: tokenize,
+    * hash each k-gram to 40 bits (md5 prefix — the cross-engine
+    * pseudo-hash), take the minimum of every W-consecutive-hash window,
+    * and keep the DISTINCT selected values as `fps` (winnowing selects
+    * the same hash from overlapping windows; the set is the
+    * fingerprint). Docs shorter than k+W−1 tokens have no window and
+    * are excluded — they have no fingerprint to match on. Factored so
+    * DedupSpec can prove the guarantee (shared run ≥ k+W−1 ⇒ shared
+    * fingerprint) on planted fixtures. */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("tok", split(trim($"text"), graft.core.Tok.Ws))
+      .filter(size($"tok") >= k + w - 1)
+      .withColumn("hh", expr(
+        s"""transform(sequence(1, size(tok) - ${k - 1}),
+           |  i -> CAST(conv(substr(md5(CAST(concat_ws(' ',
+           |    ${(0 until k).map(j => s"element_at(tok, i + $j)").mkString(", ")}
+           |  ) AS BINARY)), 1, 10), 16, 10) AS BIGINT))""".stripMargin))
+      .select($"doc_id",
+        (size($"hh")).cast("long").as("n_kgrams"),
+        (size($"hh") - (w - 1)).cast("long").as("n_windows"),
+        array_distinct(expr(
+          s"transform(sequence(1, size(hh) - ${w - 1}), i -> array_min(slice(hh, i, $w)))"))
+          .as("fps"))
+  }
 
   /** d23's shared stages, factored so the streaming twin runs the SAME
     * definition per micro-batch: build the base bloom (one
@@ -1687,7 +1754,33 @@ object Dedup {
              |  m.match_id
              |FROM fp d LEFT JOIN m ON d.doc_id = m.doc_id
              |WHERE d.doc_id % 10 = 7
-             |ORDER BY d.doc_id""".stripMargin
+             |ORDER BY d.doc_id""".stripMargin,
+
+      // the identical k=4 / W=8 winnowing selection in list form; the
+      // 40-bit md5-prefix k-gram hash is the house pseudo-hash
+      "d24_winnow_fingerprint" ->
+        raw"""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tok
+             |  FROM documents),
+             |f AS (SELECT doc_id, CAST(len(tok) - 3 AS BIGINT) AS n_kgrams,
+             |    list_transform(range(1, len(tok) - 2), i ->
+             |      ('0x' || substr(md5(tok[i] || ' ' || tok[i+1] || ' ' ||
+             |        tok[i+2] || ' ' || tok[i+3]), 1, 10))::BIGINT) AS hh
+             |  FROM t WHERE len(tok) >= 11),
+             |s AS (SELECT doc_id, n_kgrams,
+             |    CAST(len(hh) - 7 AS BIGINT) AS n_windows,
+             |    list_distinct(list_transform(range(1, len(hh) - 6),
+             |      i -> list_min(hh[i : i + 7]))) AS fps
+             |  FROM f),
+             |p AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+             |pa AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
+             |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+             |pc AS (SELECT doc_id, COUNT(*) AS n_partners FROM pa GROUP BY doc_id)
+             |SELECT s.doc_id, n_kgrams, n_windows,
+             |  CAST(len(fps) AS BIGINT) AS n_fp,
+             |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum,
+             |  CAST(COALESCE(pc.n_partners, 0) AS BIGINT) AS n_partners
+             |FROM s LEFT JOIN pc USING (doc_id) ORDER BY s.doc_id""".stripMargin
     )
   }
 }

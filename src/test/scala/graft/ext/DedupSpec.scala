@@ -364,4 +364,46 @@ class DedupSpec extends SparkSuite {
     assert(nGatePass < nInc,
       s"gate prunes nothing at sf0.001 ($nGatePass of $nInc) — FP rate broken")
   }
+
+  test("d24 winnowing: the guarantee theorem, window-boundary counts, density bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // distinct token vocabularies so no accidental k-gram collisions
+    def toks(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val shared = toks("shared", 11)  // exactly k+W-1 = the theorem's bound
+    val docA = (toks("aa", 9) ++ shared ++ toks("az", 7)).mkString(" ")
+    val docB = (toks("ba", 13) ++ shared ++ toks("bz", 5)).mkString(" ")
+    val docC = toks("cc", 30).mkString(" ")           // no overlap with anyone
+    val docD = shared.mkString(" ")                    // exactly 11 tokens
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 4, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toSet))).toMap
+    // exact boundary arithmetic on the 11-token doc: 8 k-grams, 1
+    // window, 1 selected fingerprint
+    val (kg4, win4, f4) = fps(4L)
+    assert((kg4, win4, f4.size) == ((8L, 1L, 1)), s"got ${fps(4L)}")
+    // THE WINNOWING GUARANTEE: an 11-token shared run forces a shared
+    // fingerprint — regardless of the differing prefixes/suffixes and
+    // differing positions (9 vs 13 tokens in)
+    assert((fps(1L)._3 & fps(2L)._3).nonEmpty, "shared 11-token run produced no shared fingerprint")
+    assert((fps(1L)._3 & fps(4L)._3).nonEmpty)
+    // no spurious sharing with the disjoint doc
+    assert((fps(3L)._3 & fps(1L)._3).isEmpty)
+    assert((fps(3L)._3 & fps(2L)._3).isEmpty)
+    // density: selections can't exceed windows, and every doc selects ≥1
+    fps.values.foreach { case (kg, win, f) =>
+      assert(f.size.toLong <= win && f.nonEmpty && win == kg - 7)
+    }
+    // and the query surfaces the partnership: docs 1, 2, 4 mutually
+    // partnered, doc 3 partnerless
+    val dir = java.nio.file.Files.createTempDirectory("graft-d24").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("d24_winnow_fingerprint")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L && out(4L) == 2L && out(3L) == 0L,
+      s"partners: $out")
+  }
 }
