@@ -120,7 +120,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t23_chunk_windows" -> 64,         // measured 30 KB (ONE census row per doc — chunk text never moves; hashes computed scan-side, partials collapse map-side)
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
     "g10_personalized_pagerank" -> 4400, // measured 2.17 MB (g01's edge build + 3 rounds with the rst column riding each node row — personalization adds a fourth long per row, zero extra exchanges)
-    "m15_format_dispatch" -> 64)       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
+    "m15_format_dispatch" -> 64,       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
+    "d24_winnow_fingerprint" -> 200)   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
 
   private lazy val written = {
     val w = new LongAdder
