@@ -501,6 +501,47 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // PER-DOC KEYWORD EXTRACTION (TF-IDF top-5) — ranks WORDS within a
+    // document (topic tagging / domain labeling, the curation op that
+    // feeds c04/c10's source mixing), where t16's BM25 ranks DOCUMENTS
+    // for a query. Entirely integer-exact: score = tf · idfB with idfB =
+    // bitlen(N) − bitlen(df) (t16's established integer idf); ubiquitous
+    // words (df in N's bit-range) score 0 and drop — the stopword filter
+    // falls out of the arithmetic instead of a word list. Deterministic
+    // top-5 per doc by (score DESC, word).
+    //
+    // Scale shape: per-doc tf counts come out of the scan via the
+    // codegen'd WordCounts expression (no raw-word explode+groupBy —
+    // counts collapse per document before anything moves); df is one
+    // vocab-bounded agg BROADCAST back (t16's pattern), so the corpus
+    // exchanges only its (doc, word, tf) rows once for the per-doc
+    // window. At 100 TB prune df to the doc-frequency band that can
+    // score > 0 before broadcasting.
+    "t24_keyword_extraction" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs.select($"doc_id",
+          explode(graft.functions.WordCounts(split(trim($"text"), Tok.Ws)))
+            .as("wc"))
+        .select($"doc_id", $"wc.t".as("word"), $"wc.tf".as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"word", $"tf".cast("long").as("tf"),
+          $"df",
+          ($"tf" * (length(conv($"n_docs", 10, 2)) -
+            length(conv($"df", 10, 2)))).cast("long").as("score"))
+        .filter($"score" > 0)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"rank", $"word", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    },
+
     "t05_bpe_pair_counts" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -1270,6 +1311,26 @@ object TextAnalysis {
     // the whole KN ladder replays in integers: `//` here == `div` there
     // on positive BIGINTs, GREATEST floors match, bin() bit lengths
     // match conv(x,10,2); nll SUM cast from HUGEINT back to BIGINT
+    // the identical integer arithmetic: bitlen via length(bin(x)),
+    // score 0 rows excluded BEFORE ranking on both sides
+    "t24_keyword_extraction" ->
+      raw"""WITH w AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
+           |  FROM documents),
+           |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+           |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |sc AS (SELECT doc_id, word, tf, df,
+           |    tf * (length(bin(n_docs)) - length(bin(df))) AS score
+           |  FROM tf JOIN df USING (word) CROSS JOIN n),
+           |r AS (SELECT doc_id, word, tf, df, score,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, word) AS INTEGER) AS rank
+           |  FROM sc WHERE score > 0)
+           |SELECT doc_id, rank, word, CAST(tf AS BIGINT) AS tf,
+           |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     // DuckDB 1-based inclusive list slicing toks[a:b] mirrors Spark's
     // slice(toks, a, len) with b = a + len - 1; the nc arithmetic is the
     // identical GREATEST-guarded non-negative floor division

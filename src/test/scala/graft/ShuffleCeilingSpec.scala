@@ -121,7 +121,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
     "g10_personalized_pagerank" -> 4400, // measured 2.17 MB (g01's edge build + 3 rounds with the rst column riding each node row — personalization adds a fourth long per row, zero extra exchanges)
     "m15_format_dispatch" -> 64,       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
-    "d24_winnow_fingerprint" -> 200)   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
+    "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
+    "t24_keyword_extraction" -> 200)   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
 
   private lazy val written = {
     val w = new LongAdder

@@ -263,6 +263,27 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("t24 keywords: integer tf-idf ranks, ubiquitous words drop out of the arithmetic") {
+    import spark.implicits._
+    // N=4 -> bitlen 3. df=1 -> idfB 2; df=2,3 -> 1; df=4 -> 0 (drops).
+    val docs = Seq((1L, "aa aa bb cc dd"), (2L, "bb cc dd"),
+      (3L, "cc dd"), (4L, "dd")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t24").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.queries("t24_keyword_extraction")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(rows == List(
+      (1L, 1, "aa", 2L, 1L, 4L),   // tf 2 · idfB 2
+      (1L, 2, "bb", 1L, 2L, 1L),   // score tie with cc -> word tie-break
+      (1L, 3, "cc", 1L, 3L, 1L),
+      (2L, 1, "bb", 1L, 2L, 1L),
+      (2L, 2, "cc", 1L, 3L, 1L),
+      (3L, 1, "cc", 1L, 3L, 1L)),  // doc 4: only the df=4 word -> no rows
+      s"got $rows")
+  }
+
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
     import spark.implicits._
     // hand-constructed token counts around every boundary: 1, 63, 64
