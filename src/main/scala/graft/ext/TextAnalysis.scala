@@ -33,6 +33,34 @@ object TextAnalysis {
     size(filter(w, x => x.isin(Stop(lang): _*)))
 
   /** Punctuation-mark count over the raw text. */
+  /** t23's chunk census over any `documents(doc_id, text)` frame —
+    * narrow per-row ops + one per-doc partial agg, so the SAME
+    * definition runs on a batch table or a streaming scan (the
+    * StreamingParitySpec twin proves it). See the t23 entry's scaladoc
+    * for the window/stride semantics and the scale shape. */
+  private[graft] def chunkCensus(docs: DataFrame): DataFrame = {
+    val W = 64
+    val S = 48
+    val base = docs
+      .select(col("doc_id"), split(trim(col("text")), Tok.Ws).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc",
+        expr(s"CAST(1 + (GREATEST(n - $W, 0) + ${S - 1}) DIV $S AS INT)"))
+    base.select(col("doc_id"), col("n"), col("nc"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("i"))
+      .select(col("doc_id"), col("n"), col("nc"), col("i"),
+        conv(substring(md5(array_join(
+          slice(col("toks"), (col("i") * S + 1).cast("int"),
+            least(lit(W), col("n") - col("i") * S).cast("int")), " ")
+          .cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_toks"),
+        count(lit(1)).as("n_chunks"),
+        least(lit(W.toLong), max(col("n")) - (max(col("nc")) - 1) * S)
+          .cast("long").as("tail_len"),
+        sum(col("h") * (col("i") + 1)).cast("long").as("chunk_checksum"))
+  }
+
   private[graft] def punctCol(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
 
@@ -478,27 +506,7 @@ object TextAnalysis {
     // engines floor identically.
     "t23_chunk_windows" -> { (s, d) =>
       import s.implicits._
-      val W = 64
-      val S = 48
-      val base = Tables.documents(s, d)
-        .select($"doc_id", split(trim($"text"), Tok.Ws).as("toks"))
-        .withColumn("n", size($"toks").cast("long"))
-        .withColumn("nc",
-          expr(s"CAST(1 + (GREATEST(n - $W, 0) + ${S - 1}) DIV $S AS INT)"))
-      base.select($"doc_id", $"n", $"nc", $"toks",
-          explode(sequence(lit(0), $"nc" - 1)).as("i"))
-        .select($"doc_id", $"n", $"nc", $"i",
-          conv(substring(md5(array_join(
-            slice($"toks", ($"i" * S + 1).cast("int"),
-              least(lit(W), $"n" - $"i" * S).cast("int")), " ")
-            .cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
-        .groupBy($"doc_id")
-        .agg(max($"n").as("n_toks"),
-          count(lit(1)).as("n_chunks"),
-          least(lit(W.toLong), max($"n") - (max($"nc") - 1) * S)
-            .cast("long").as("tail_len"),
-          sum($"h" * ($"i" + 1)).cast("long").as("chunk_checksum"))
-        .orderBy($"doc_id")
+      chunkCensus(Tables.documents(s, d)).orderBy($"doc_id")
     },
 
     // PER-DOC KEYWORD EXTRACTION (TF-IDF top-5) — ranks WORDS within a

@@ -846,6 +846,32 @@ class StreamingParitySpec extends SparkSuite {
       s"streamed ledger ${ledger.size} rows != full recompute ${full.size}")
   }
 
+  test("streaming chunk census equals batch on a live document stream (t23)") {
+    // the RAG-ingest serving shape: documents arrive as a stream and the
+    // IDENTICAL chunkCensus definition (narrow per-row chunking + one
+    // per-doc partial agg) runs over the streaming scan in complete
+    // mode — per-doc rows must equal the batch query's exactly, chunk
+    // checksums included (chunking is per-doc, so arrival order and
+    // batch slicing cannot change anything; this twin pins that)
+    val batch = graft.ext.TextAnalysis.queries("t23_chunk_windows")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-chunk").toString + "/docs"
+      Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.ext.TextAnalysis.chunkCensus(
+        spark.readStream.schema(schema).parquet(docsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("parity_chunks")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_chunks did not finish within 120 s")
+    val streamed = spark.table("parity_chunks").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed census ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("SCD2 history maintained per micro-batch by foreachBatch equals a full-log rebuild (c24)") {
     // the STREAMING CDC-APPLY form of c24: tier-change events arrive as
     // a stream and every micro-batch runs the SAME scd2Merge the batch
