@@ -7,9 +7,19 @@ object Bench {
     // 1-minute load average sampled BEFORE this JVM ramps up: residual
     // machine load inflates bench numbers ~1.5x (see CLAUDE.md), so the
     // artifact must carry the evidence needed to judge its own validity
-    val loadAvg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // all three horizons: the r14 incident proved 1-min alone is not
+    // enough — a capture at 1-min 0.69 but 15-min 1.75 (the decaying
+    // tail of a just-finished test-suite run) inflated shared queries
+    // +19% while passing the 1-min gate; accept_bench_record.py gates
+    // on the 15-min figure, so the record must carry it
+    val loadFields =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
+      catch { case _: Throwable => Array("-1", "-1", "-1") }
+    def loadAt(i: Int): Double =
+      try loadFields(i).toDouble catch { case _: Throwable => -1.0 }
+    val loadAvg = loadAt(0)
+    val loadAvg5 = loadAt(1)
+    val loadAvg15 = loadAt(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -157,7 +167,7 @@ object Bench {
     // a breakage must never read as a speedup: "failed" is explicit, and the
     // headline total is -1 whenever any query failed
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"queries":$qs,"cpu_queries":$cpuQs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"load_avg_5":$loadAvg5,"load_avg_15":$loadAvg15,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"queries":$qs,"cpu_queries":$cpuQs,"sf":"$sfDir"}"""
     // durable full copy: the printed line competes with sbt noise for the
     // driver's tail capture; the file never does
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
@@ -182,6 +192,6 @@ object Bench {
     // Judges compare the ratio across rounds instead (it only drops when
     // another process steals the machine).
     val tainted = loadAvg > 1.5
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"tainted":$tainted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"load_avg":$loadAvg,"load_avg_15":$loadAvg15,"reps":$reps,"cpu_wall_ratio":${r3(cpuWallRatio)},"ratio_vs_idle":${r3(ratioVsIdle)},"tainted":$tainted,"sf":"$sfDir"}""")
   }
 }
