@@ -348,10 +348,31 @@ object Similarity {
     * loops probe it every hop. */
   private val knnMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private val knnMemoHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Lifecycle: entries are evicted when the owning session's context
+    * ends (a listener registered on first insert), so a long-lived JVM
+    * hosting many short sessions doesn't pin dead persisted/checkpointed
+    * frames forever. The build runs under a lock — TrieMap's
+    * getOrElseUpdate alone can race two first callers into building (and
+    * persisting) twice, orphaning one copy; builds are driver-side plan
+    * construction, so serializing them costs nothing. */
   private def knnMemoized(s: SparkSession, d: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = knnMemo.synchronized {
+    if (knnMemoHooked.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            knnMemo.keySet.filter(_._1 eq s).foreach(knnMemo.remove)
+            knnMemoHooked.remove(s)
+          }
+        })
+    }
     knnMemo.getOrElseUpdate((s, d, key), build)
+  }
 
   /** Memoized [[knnDirEdges]] over the memoized assignment. */
   private[graft] def knnEdges(s: SparkSession, d: String): DataFrame =

@@ -67,7 +67,9 @@ object ExactlyOnceSink {
 
   /** Apply one micro-batch's `partials` into the partitioned parquet
     * ledger at `root/roll`, exactly once per `batchId` even across
-    * crash-and-replay.
+    * crash-and-replay. A fresh root bootstraps: when `root/roll` does
+    * not exist yet (the first-ever batch), the merge runs against an
+    * empty ledger rather than failing on the missing path.
     *
     * @param root        sink root; the ledger lives at `root/roll`
     *                    (partitioned by `partitionCol`), stages at
@@ -76,9 +78,22 @@ object ExactlyOnceSink {
     * @param partials    this batch's mergeable partial states — must be
     *                    deterministic for a given batch (Spark replays
     *                    the same source rows, so any deterministic
-    *                    aggregation qualifies)
+    *                    aggregation qualifies). `partitionCol` values
+    *                    must be NON-NULL: a null cannot name a touched
+    *                    partition directory (enforced with a fast
+    *                    failure here, not a silent drop)
     * @param remerge     merges `ledgerRows ∪ partials` (both in ledger
-    *                    schema) back to one state row per key
+    *                    schema) back to one state row per key. CONTRACT:
+    *                    must emit at least one row for every touched
+    *                    partition — phase 2's dynamic overwrite can only
+    *                    rewrite partitions PRESENT in the stage, so a
+    *                    remerge that drops a touched partition entirely
+    *                    (tombstone/delete semantics) would leave the old
+    *                    partition's rows in the ledger. GroupBy-style
+    *                    merges satisfy this by construction (every
+    *                    touched key contributes a state row); a deleting
+    *                    merge needs explicit partition deletes instead
+    *                    of this sink
     * @param partitionCol ledger partition column (also the touched-
     *                    partition pruning key)
     */
@@ -98,12 +113,22 @@ object ExactlyOnceSink {
       // The touched list is a per-batch handful of partition keys (a
       // driver-side overwrite decision, same as s24's compaction list).
       spark.catalog.refreshByPath(rollPath)
-      val touched = partials.select(col(partitionCol).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      remerge(
-        spark.read.parquet(rollPath)
-          .filter(col(partitionCol).cast("string").isin(touched: _*))
-          .unionByName(partials))
+      val touchedRaw = partials.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(r => Option(r.getString(0))).toSeq
+      // a null partition value cannot name a touched partition dir —
+      // fail loudly rather than NPE or silently mis-route rows
+      require(touchedRaw.forall(_.isDefined),
+        s"ExactlyOnceSink: null value in partition column '$partitionCol'" +
+          s" of batch $batchId partials — partition keys must be non-null")
+      val touched = touchedRaw.flatten
+      // bootstrap: the first-ever batch has no ledger yet; merge
+      // against an empty frame of the same (ledger == partials) schema
+      val ledger =
+        if (fs.exists(new Path(rollPath)))
+          spark.read.parquet(rollPath)
+            .filter(col(partitionCol).cast("string").isin(touched: _*))
+        else partials.limit(0)
+      remerge(ledger.unionByName(partials))
         .write.mode("overwrite").parquet(stagePath)
       fs.create(marker, true).close() // commit point of the merge
       Merged

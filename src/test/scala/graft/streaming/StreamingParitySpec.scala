@@ -1179,4 +1179,40 @@ class StreamingParitySpec extends SparkSuite {
     assert(stages.size == 1 && stages.head == s"stage_${byRun2.last._1}",
       s"expected only the final batch's stage dir, got $stages")
   }
+
+  test("ExactlyOnceSink bootstraps a fresh root and rejects null partition keys") {
+    // the first-ever batch arrives before root/roll exists — the sink
+    // must merge against an empty ledger, not throw PATH_NOT_FOUND;
+    // and a replay of that very first batch must still take the
+    // idempotent path. A null partition value must fail loudly (it
+    // cannot name a partition directory), never NPE or silently drop.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e1-fresh").toString + "/sink"
+    def remerge(df: DataFrame): DataFrame = df
+      .groupBy(col("day")).agg(sum(col("n")).cast("long").as("n"))
+    val partials = Seq(("2024-01-01", 3L), ("2024-01-02", 4L))
+      .toDF("day", "n")
+    assert(ExactlyOnceSink.applyBatch(root, 0L, partials, remerge, "day")
+      == ExactlyOnceSink.Merged)
+    val once = spark.read.parquet(root + "/roll")
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(once == Set(Seq("2024-01-01", 3L), Seq("2024-01-02", 4L)),
+      s"bootstrap merge must equal the partials, got $once")
+    // crash-replay of the bootstrap batch: marker exists, merge skipped
+    assert(ExactlyOnceSink.applyBatch(root, 0L, partials, remerge, "day")
+      == ExactlyOnceSink.Replayed)
+    assert(spark.read.parquet(root + "/roll")
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet == once,
+      "replaying the bootstrap batch must not change the ledger")
+    // null partition key → fast, named failure
+    val nullKey = Seq((Option.empty[String], 1L), (Some("2024-01-03"), 2L))
+      .toDF("day", "n")
+    val ex = intercept[IllegalArgumentException] {
+      ExactlyOnceSink.applyBatch(root, 1L, nullKey, remerge, "day")
+    }
+    assert(ex.getMessage.contains("non-null"),
+      s"null-key failure must name the contract, got: ${ex.getMessage}")
+  }
 }
