@@ -62,6 +62,12 @@ final case class DispatchFeatures(
     width: Int, height: Int,
     r_sum: Long, g_sum: Long, b_sum: Long)
 
+final case class Y4mFeatures(
+    media_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int,
+    y_sum: Long, u_sum: Long, v_sum: Long,
+    y_weighted: Long, y_bright: Long, first_y: Int, last_v: Int)
+
 /** Multimodal-column plumbing: binary content + typed metadata, with
   * decode / feature-extract / resize / frame-sample implemented as
   * `mapPartitions` over a typed Dataset — the Scala analog of a Pandas-UDF
@@ -443,6 +449,70 @@ object Multimodal {
             .map(i => feat("png", i.width, i.height, i.samples))
             .getOrElse(bad("png"))
         else bad("unknown")
+      }
+    }.toDF()
+  }
+
+  private[graft] val Y4mW = 4
+  private[graft] val Y4mH = 4
+  private[graft] val Y4mFrameBytes = 3 * Y4mW * Y4mH // C444: 48
+
+  /** m16's media cut: each document's leading bytes become whole C444
+    * frames (48 bytes each = Y,U,V planes of a 4×4 frame), at most 8
+    * frames per doc — the video sibling of m09's 5-wide raster cut. */
+  private[graft] def y4mMedia(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val nf = least(floor(length(bin) / Y4mFrameBytes), lit(8)).cast("int")
+    docs.filter(length(bin) >= Y4mFrameBytes)
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        bin.substr(lit(1), nf * Y4mFrameBytes).as("content"))
+  }
+
+  /** m16's round-trip batch: the content bytes are sliced into C444
+    * frames, [[Y4m]]-encoded in the batch (header + FRAME lines are not
+    * column ops), strictly re-parsed, and featured from the PARSED
+    * planes: per-plane sums catch a plane-order swap, the frame-index-
+    * weighted luma sum catches a frame-boundary slip (plane sums alone
+    * are boundary-invariant), and the bright-luma census is the
+    * per-frame luma histogram a video-quality gate computes. Parse
+    * failure → sentinel (-1) row, the m06/m08 convention. */
+  def y4mFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fb = Y4mFrameBytes
+    val plane = Y4mW * Y4mH
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val nf = r.content.length / fb
+        val frames = Array.tabulate(nf)(f =>
+          java.util.Arrays.copyOfRange(r.content, f * fb, (f + 1) * fb))
+        val blob = Y4m.encode(Y4m.Video(Y4mW, Y4mH, frames))
+        Y4m.parse(blob) match {
+          case Some(v) if v.width == Y4mW && v.height == Y4mH
+              && v.frames.length == nf =>
+            var ys = 0L; var us = 0L; var vs = 0L
+            var yw = 0L; var yb = 0L
+            var f = 0
+            while (f < v.frames.length) {
+              val fr = v.frames(f)
+              var i = 0
+              while (i < fb) {
+                val b = fr(i) & 0xff
+                if (i < plane) {
+                  ys += b; yw += (f + 1).toLong * b
+                  if (b >= 64) yb += 1
+                } else if (i < 2 * plane) us += b
+                else vs += b
+                i += 1
+              }
+              f += 1
+            }
+            Y4mFeatures(r.media_id, r.kind, blob.length.toLong,
+              v.width, v.height, v.frames.length, ys, us, vs, yw, yb,
+              v.frames(0)(0) & 0xff, v.frames(nf - 1)(fb - 1) & 0xff)
+          case _ =>
+            Y4mFeatures(r.media_id, r.kind, -1L, -1, -1, -1,
+              -1L, -1L, -1L, -1L, -1L, -1, -1)
+        }
       }
     }.toDF()
   }
@@ -859,6 +929,25 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // The VIDEO container — YUV4MPEG2 through [[Y4m]]'s strict C444
+    // parser, completing image/audio/video with the same planted-blob
+    // oracle discipline (the m09/PPM argument applied to video: Y4M is
+    // header-plus-raw-planes, so DuckDB replays every decoded byte
+    // straight from the text). Text bytes become whole 4×4 C444 frames
+    // (48 bytes = Y,U,V planes), Y4M-encoded in the batch and strictly
+    // re-parsed; per-PLANE sums catch a plane-order swap, the
+    // frame-index-WEIGHTED luma sum catches a frame-boundary slip
+    // (plane sums alone are boundary-invariant), the bright-luma census
+    // is a video-quality gate's histogram bucket, and n_bytes IS
+    // SQL-predictable here (uncompressed container: 35-byte header +
+    // 54 bytes per frame) unlike the m10-m14 compressed codecs.
+    // Scale shape: encode+parse+feature is scan-side per-row batch
+    // work; the only exchange is the output sort (m-family rule).
+    "m16_y4m_frames" -> { (s, d) =>
+      y4mFeatures(s, y4mMedia(Tables.documents(s, d)))
+        .orderBy(col("media_id"))
+    },
+
     // The compressed-AUDIO arm — FLAC through [[Flac]]'s pure-JVM
     // Rice/fixed-predictor codec, m10's PNG story for sound: text bytes
     // become 8-bit mono PCM, FLAC-encoded in the batch (bit-packing is
@@ -1072,6 +1161,36 @@ object Multimodal {
            |    ELSE 'png' END AS format,
            |  CAST(5 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
            |  ${ch(0, "r_sum")}, ${ch(1, "g_sum")}, ${ch(2, "b_sum")}
+           |FROM t ORDER BY media_id""".stripMargin
+    },
+
+    // every decoded byte straight from the text: frame f's Y plane =
+    // positions with (i-1) % 48 < 16, U next 16, V last 16; the
+    // frame-weighted luma sum replays the (frame_index+1) multiplier
+    // from integer division; n_bytes from the fixed uncompressed
+    // container arithmetic (35-byte stream header + 54 bytes/frame)
+    "m16_y4m_frames" -> {
+      def plane(lo: Int, hi: Int, name: String) =
+        s"CAST(list_sum(list_transform(range(1, 48*nf + 1), i -> CASE WHEN (i - 1) % 48 >= $lo AND (i - 1) % 48 < $hi THEN ord(substr(text, i, 1)) ELSE 0 END)) AS BIGINT) AS $name"
+      raw"""WITH t AS (SELECT doc_id AS media_id, source AS kind, text,
+           |    least(length(text) // 48, 8) AS nf
+           |  FROM documents WHERE length(text) >= 48)
+           |SELECT media_id, kind,
+           |  CAST(35 + 54*nf AS BIGINT) AS n_bytes,
+           |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           |  CAST(nf AS INTEGER) AS n_frames,
+           |  ${plane(0, 16, "y_sum")}, ${plane(16, 32, "u_sum")},
+           |  ${plane(32, 48, "v_sum")},
+           |  CAST(list_sum(list_transform(range(1, 48*nf + 1),
+           |    i -> CASE WHEN (i - 1) % 48 < 16
+           |      THEN ((i - 1) // 48 + 1) * ord(substr(text, i, 1))
+           |      ELSE 0 END)) AS BIGINT) AS y_weighted,
+           |  CAST(list_sum(list_transform(range(1, 48*nf + 1),
+           |    i -> CASE WHEN (i - 1) % 48 < 16
+           |        AND ord(substr(text, i, 1)) >= 64
+           |      THEN 1 ELSE 0 END)) AS BIGINT) AS y_bright,
+           |  CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_y,
+           |  CAST(ord(substr(text, 48*nf, 1)) AS INTEGER) AS last_v
            |FROM t ORDER BY media_id""".stripMargin
     },
 

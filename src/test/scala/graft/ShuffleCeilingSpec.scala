@@ -121,6 +121,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
     "g10_personalized_pagerank" -> 4400, // measured 2.17 MB (g01's edge build + 3 rounds with the rst column riding each node row — personalization adds a fourth long per row, zero extra exchanges)
     "m15_format_dispatch" -> 64,       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
+    "m16_y4m_frames" -> 64,            // measured 30 KB (encode+parse+feature scan-side; only the 13-column feature rows cross for the output sort)
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200)   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
 
@@ -145,6 +146,15 @@ class ShuffleCeilingSpec extends SparkSuite {
       .write.format("noop").mode("overwrite").save()
     GraftShims.drainListeners(spark.sparkContext)
     written.sum / 1024.0
+  }
+
+  test("ceiling count matches SCALE.md's coverage footnote") {
+    // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
+    // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
+    // grew to 61) — pin it so adding a guard forces the doc update
+    assert(ceilingsKb.size == 62,
+      s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
+        "update SCALE.md's ceiling-coverage note (and this assertion)")
   }
 
   for ((name, kb) <- ceilingsKb) test(s"shuffle ceiling: $name <= $kb KB") {

@@ -16,10 +16,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     "Pgm" -> (Pgm.parse(_)), "Ppm" -> (Ppm.parse(_)), "Bmp" -> (Bmp.parse(_)),
     "Png" -> (Png.parse(_)), "Wav" -> (Wav.parse(_)),
     "Flac" -> (Flac.parse(_)), "Au" -> (Multimodal.parseAu(_)),
-    "Gif" -> (Gif.parse(_)), "Qoi" -> (Qoi.parse(_)), "Tga" -> (Tga.parse(_)))
+    "Gif" -> (Gif.parse(_)), "Qoi" -> (Qoi.parse(_)), "Tga" -> (Tga.parse(_)),
+    "Y4m" -> (Y4m.parse(_)))
 
   private val magics = Seq("P5\n", "P6\n", "BM", "\u0089PNG\r\n\u001a\n",
-    "RIFF", "AU\n", "GIF87a", "qoif")
+    "RIFF", "AU\n", "GIF87a", "qoif", "YUV4MPEG2 ")
 
   private val rawBytes: Gen[Array[Byte]] =
     Gen.chooseNum(0, 200).flatMap(n =>
@@ -40,7 +41,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       Wav.encode(8000, payload),
       Flac.encode(8000, payload),
       Gif.encode(n, 1, payload),
-      Qoi.encode(Qoi.Rgb(5, n / 15, java.util.Arrays.copyOf(payload, 15 * (n / 15)))))
+      Qoi.encode(Qoi.Rgb(5, n / 15, java.util.Arrays.copyOf(payload, 15 * (n / 15)))),
+      Y4m.encode(Y4m.Video(2, 2, Array(
+        java.util.Arrays.copyOf(payload, 12),
+        java.util.Arrays.copyOfRange(payload, 3, 15)))))
     mode <- Gen.chooseNum(0, 2)
     idx <- Gen.chooseNum(0, blob.length - 1)
     bit <- Gen.chooseNum(0, 7)
