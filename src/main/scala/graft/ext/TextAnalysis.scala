@@ -735,6 +735,104 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Tokenizer ROUND-TRIP proof — the property a pipeline actually
+    // relies on before training: decode(encode(x)) == x, driven through
+    // a REAL id vocabulary rather than string surgery. t14 encodes;
+    // nothing there proves the encoded ids can be decoded back. Here:
+    // t12's 3-round training replay produces the frozen merge table; the
+    // vocab assigns ids deterministically (base symbols sorted, then
+    // merged tokens in training order, cross-round-collision-deduped by
+    // min round); every word of every doc is encoded to an ID SEQUENCE
+    // through the token→id map and decoded back through the id→token
+    // map + concat. The oracle's sharpness comes from the identity
+    // itself: n_exact must equal n_words and the decoded-text checksum
+    // must equal the checksum of the ORIGINAL words — predictions DuckDB
+    // makes without ever seeing the ids, which Spark can only reproduce
+    // if the whole encode→id→decode chain is lossless (a vocab miss
+    // yields a null id, array_join drops it, and the shortened decode
+    // hash-mismatches loudly). vocab_size and n_tokens pin the vocab
+    // construction and the merge application to the training replay.
+    //
+    // Scale shape: training is t12's loop; the vocab is tiny
+    // (|distinct symbols| + |merges|) and rides as ONE broadcast map
+    // row, so encode+decode are scan-side per-word map work (the
+    // transform/element_at lambdas evaluate interpreted — fine here:
+    // per-word arrays are short and the alternative, exploding tokens
+    // to join the vocab, would put a corpus-sized exchange where a
+    // dictionary lookup belongs); the only exchange is the per-doc
+    // integer partials. At 100 TB a re-tokenize + integrity sweep stays
+    // scan-bound, which is why decode-verify can run on every corpus
+    // build rather than on samples.
+    "t25_bpe_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // training replay — identical statistics to t12/t14, winners only
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim($"text"), Tok.Ws)).as("word"))
+        .filter(length($"word") >= 2)
+        .select(regexp_replace($"word", "(.)", " $1 ").as("seq"))
+      def top1(w: DataFrame): DataFrame =
+        w.select(explode(graft.functions.ShingleArr(split(trim($"seq"), "  "), 2)).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair").limit(1).select($"pair")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def applyMerge(w: DataFrame, win: DataFrame): DataFrame =
+        w.crossJoin(broadcast(win.select($"pair".as("bp"))))
+          .withColumn("seq", expr(
+            "replace(seq, ' ' || replace(bp, ' ', '  ') || ' ', ' ' || replace(bp, ' ', '') || ' ')"))
+          .drop("bp")
+      val m1 = top1(words)
+      val w1 = applyMerge(words, m1)
+      val m2 = top1(w1)
+      val m3 = top1(applyMerge(w1, m2))
+      // every word of every doc, position-indexed (single-symbol words
+      // too — they encode to themselves)
+      val dw = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split(trim($"text"), Tok.Ws)).as(Seq("idx", "word")))
+        .select($"doc_id", $"idx", $"word",
+          regexp_replace($"word", "(.)", " $1 ").as("seq"))
+      // vocab: base symbols (the pre-merge segmentation's distinct
+      // tokens) sorted get ids 1..K; merged tokens follow in training
+      // order. Merged strings are >= 2 chars so they never collide with
+      // base symbols; two ROUNDS producing the same merged string
+      // dedupe to the earlier round. The row_number window is global
+      // but over a |symbols|+3-row frame — dictionary-sized by nature.
+      val base = dw.select(explode(split(trim($"seq"), "  ")).as("tok"))
+        .distinct().select($"tok", lit(0).as("r"))
+      def mergedTok(m: DataFrame, round: Int): DataFrame =
+        m.select(expr("replace(pair, ' ', '')").as("tok"), lit(round).as("r"))
+      val merged = mergedTok(m1, 1).unionByName(mergedTok(m2, 2))
+        .unionByName(mergedTok(m3, 3))
+        .groupBy($"tok").agg(min($"r").as("r"))
+      val vocab = base.unionByName(merged)
+        .withColumn("id", row_number().over(
+          Window.orderBy($"r", $"tok")).cast("long"))
+      val fmap = vocab.agg(map_from_entries(
+        collect_list(struct($"tok", $"id"))).as("fm"),
+        count(lit(1)).as("vsz"))
+      val rmap = vocab.agg(map_from_entries(
+        collect_list(struct($"id", $"tok"))).as("rm"))
+      applyMerge(applyMerge(applyMerge(dw, m1), m2), m3)
+        .crossJoin(broadcast(fmap)).crossJoin(broadcast(rmap))
+        .withColumn("toks", split(trim($"seq"), "  "))
+        .withColumn("ids", expr("transform(toks, t -> element_at(fm, t))"))
+        .withColumn("dec", expr(
+          "array_join(transform(ids, i -> element_at(rm, i)), '')"))
+        .select($"doc_id", $"vsz",
+          size($"toks").cast("long").as("n_tok"),
+          when($"dec" === $"word", lit(1L)).otherwise(lit(0L)).as("ok"),
+          conv(substring(md5(concat($"idx".cast("string"), lit(":"),
+            $"dec").cast("binary")), 1, 10), 16, 10)
+            .cast("long").as("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"n_tok").as("n_tokens"),
+          max($"vsz").as("vocab_size"),
+          sum($"ok").as("n_exact"),
+          sum($"h").as("dec_checksum"))
+        .orderBy($"doc_id")
+    },
+
     // Bigram-LM scoring with a train/score discipline — the CCNet-style
     // perplexity quality gate, made engine-exact: counts (bigram and
     // context) come from the c02 TRAIN split only, every doc in every
@@ -1480,6 +1578,63 @@ object TextAnalysis {
            |SELECT doc_id, n_words, n_chars, n_tokens,
            |  round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token,
            |  enc_checksum
+           |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // the identity IS the oracle: n_exact = n_words and dec_checksum
+    // over the ORIGINAL words — DuckDB never sees the ids; Spark can
+    // only reproduce these through a lossless encode→id→decode chain.
+    // n_tokens replays the merge application (t14's CTEs), vocab_size
+    // replays the vocab construction (distinct base symbols + merges
+    // deduped by min round)
+    "t25_bpe_roundtrip" -> {
+      def cnt(src: String, out: String) =
+        raw"""$out AS (SELECT pair, COUNT(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+             |    FROM (SELECT string_split(trim(seq), '  ') AS s FROM $src) WHERE len(s) >= 2) GROUP BY pair)""".stripMargin
+      def win(src: String, out: String) =
+        s"$out AS (SELECT pair FROM $src ORDER BY cnt DESC, pair LIMIT 1)"
+      def mrg(src: String, t: String, out: String, cols: String) =
+        raw"""$out AS (SELECT $cols replace(seq,
+             |         ' ' || replace((SELECT pair FROM $t), ' ', '  ') || ' ',
+             |         ' ' || replace((SELECT pair FROM $t), ' ', '') || ' ') AS seq FROM $src)""".stripMargin
+      raw"""WITH w0 AS (
+           |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS seq
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word FROM documents)
+           |  WHERE length(word) >= 2),
+           |${cnt("w0", "c1")},
+           |${win("c1", "t1")},
+           |${mrg("w0", "t1", "w1", "")},
+           |${cnt("w1", "c2")},
+           |${win("c2", "t2")},
+           |${mrg("w1", "t2", "w2", "")},
+           |${cnt("w2", "c3")},
+           |${win("c3", "t3")},
+           |dw AS (SELECT doc_id, unnest(list_transform(range(len(w)), i -> {'idx': i, 'word': w[i+1]})) AS z
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents)),
+           |e0 AS (SELECT doc_id, z.idx AS idx, z.word AS word,
+           |    regexp_replace(z.word, '(.)', ' \1 ', 'g') AS seq FROM dw),
+           |${mrg("e0", "t1", "e1", "doc_id, idx, word,")},
+           |${mrg("e1", "t2", "e2", "doc_id, idx, word,")},
+           |${mrg("e2", "t3", "e3", "doc_id, idx, word,")},
+           |base AS (SELECT DISTINCT unnest(string_split(trim(seq), '  ')) AS tok FROM e0),
+           |mrgtok AS (SELECT tok, MIN(r) AS r FROM (
+           |    SELECT replace((SELECT pair FROM t1), ' ', '') AS tok, 1 AS r
+           |    UNION ALL SELECT replace((SELECT pair FROM t2), ' ', ''), 2
+           |    UNION ALL SELECT replace((SELECT pair FROM t3), ' ', ''), 3) GROUP BY tok),
+           |vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM
+           |    (SELECT tok FROM base UNION ALL SELECT tok FROM mrgtok)),
+           |pw AS (SELECT doc_id,
+           |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok,
+           |    ('0x' || substr(md5(idx::VARCHAR || ':' || word), 1, 10))::BIGINT AS h
+           |  FROM e3),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |    CAST(SUM(h) AS BIGINT) AS dec_checksum
+           |  FROM pw GROUP BY doc_id)
+           |SELECT doc_id, n_words, n_tokens, (SELECT v FROM vsz) AS vocab_size,
+           |  n_exact, dec_checksum
            |FROM agg ORDER BY doc_id""".stripMargin
     },
 

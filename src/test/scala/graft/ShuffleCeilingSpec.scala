@@ -93,6 +93,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
     "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
     "t14_bpe_encode" -> 88,            // measured 40 KB (per-doc checksum partials)
+    "t25_bpe_roundtrip" -> 104,        // measured 50 KB (t14's training partials + per-doc identity partials; the vocab rides as one broadcast map row, decode never exchanges tokens)
     // codecs: encode/decode live scan-side; only the output sort exchanges
     "m12_gif_decode" -> 64,            // ~0: LZW round-trip never shuffles
     "m13_qoi_decode" -> 64,            // ~0: QOI round-trip never shuffles
@@ -152,7 +153,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 62,
+    assert(ceilingsKb.size == 63,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
   }

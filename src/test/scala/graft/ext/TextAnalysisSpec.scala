@@ -76,6 +76,39 @@ class TextAnalysisSpec extends SparkSuite {
     assert(syms(merge(merge(enc("her"), "e", "r"), "h", "er")) == Seq("her"))
   }
 
+  test("t25: decode(encode(x)) == x on real data, and a vocab hole breaks it") {
+    import spark.implicits._
+    // real-data arm: every word of every sf0.01 document survives the
+    // full encode->id->decode chain (this is the property a tokenizer
+    // pipeline relies on before training — t14 alone never proves it)
+    val rt = TextAnalysis.queries("t25_bpe_roundtrip")(spark, sf).collect()
+    assert(rt.nonEmpty)
+    rt.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == r.getAs[Long]("n_words"),
+        s"doc ${r.get(0)}: ${r.getAs[Long]("n_exact")} of " +
+          s"${r.getAs[Long]("n_words")} words round-tripped")
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_words") * 64,
+        "token counts must stay word-bounded")
+    }
+    // the merges actually fired: vocab is base symbols + 3 merged tokens,
+    // and some word must encode to fewer tokens than symbols — otherwise
+    // the identity held vacuously on an unmerged corpus
+    val vsz = rt.head.getAs[Long]("vocab_size")
+    assert(vsz > 3, s"vocab_size $vsz must include base symbols")
+
+    // teeth: the same decode expression over a vocab map with ONE id
+    // missing must NOT reproduce the word — proving n_exact == n_words
+    // is a property of the lossless chain, not of array_join shrugging
+    // off nulls
+    val row = Seq(("her", Seq(1L, 2L))).toDF("word", "ids")
+    def dec(mapExpr: String): String = row
+      .selectExpr(s"array_join(transform(ids, i -> element_at($mapExpr, i)), '') AS dec")
+      .head().getString(0)
+    assert(dec("map(1L, 'h', 2L, 'er')") == "her")
+    assert(dec("map(1L, 'h')") == "h", // id 2 missing -> null dropped
+      "a vocab hole must shorten the decode (and so fail the identity)")
+  }
+
   test("t12: round-1 census reconciles with t05 and merges are applied") {
     val t12 = TextAnalysis.queries("t12_bpe_merge_train")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4)))
