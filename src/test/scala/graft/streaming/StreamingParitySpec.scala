@@ -948,6 +948,72 @@ class StreamingParitySpec extends SparkSuite {
       s"streamed history ${streamed.size} rows != rebuild ${rebuilt.size}")
   }
 
+  test("point-in-time enrichment of a fact stream against static SCD2 history equals batch c25") {
+    // the ONLINE form of c25 — the enrichment join every production CDC
+    // pipeline runs as it serves: FACTS STREAM in, the SCD2 history is
+    // the static side (maintained by c24's streaming apply, stored in
+    // its bucket-partitioned layout), each fact resolves its key's
+    // version at the fact's own timestamp (equi-join on key + half-open
+    // range residual — never an interval cross), pre-history facts land
+    // in tier −1, and the running census must equal the batch c25 query
+    // row for row. This is the reference's consume-enrich-produce
+    // pattern (O14) at the temporal layer: the stream-static join plans
+    // the static side as a per-micro-batch lookup, so the serving query
+    // is the SAME declarative plan as the nightly batch — one
+    // definition, two execution modes, which is the engine's core
+    // promise.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-c25-stream").toString
+    // static side: the full tier history in c24's bucket-partitioned
+    // layout (what the c24 streaming-apply twin proves equal to this
+    // very build after any number of in-order merges)
+    graft.ext.Curation.scd2Build(graft.ext.Curation.tierEvents(spark, sf))
+      .withColumn("bucket", pmod(col("ck"), lit(8L)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(root + "/hist")
+    // fact stream: raw lineitem facts arrive; custkey enrichment (the
+    // orders dimension) and the temporal resolution both happen online
+    graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("ts"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(root + "/facts")
+    val schema = spark.read.parquet(root + "/facts").schema
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").as("fck"))
+    val hist = spark.read.parquet(root + "/hist").drop("bucket").as("h")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(root + "/facts")
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .as("f")
+      .join(hist,
+        col("fck") === col("h.ck") &&
+          col("ts") >= col("h.valid_from") && col("ts") < col("h.valid_to"),
+        "left")
+      .groupBy(coalesce(col("h.tier"), lit(-1)).as("tier"),
+        year(col("ts")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(coalesce(col("h.version"), lit(0))).cast("long")
+          .as("version_checksum"),
+        sum(col("fck")).cast("long").as("cust_checksum"),
+        sum(col("l_orderkey") * col("l_linenumber")).cast("long")
+          .as("line_checksum"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("c25_twin")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "c25 twin did not finish within 180 s")
+    val streamed = spark.table("c25_twin").collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("c25_scd2_pointintime")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream-static census ${streamed.size} rows != batch ${batch.size}")
+    // count preservation survived the streaming mode too: every fact is
+    // in exactly one census cell
+    val total = spark.table("c25_twin")
+      .agg(sum(col("n_items"))).head().getLong(0)
+    assert(total == graft.core.Tables.lineitem(spark, sf).count(),
+      "online enrichment must neither drop nor fan out facts")
+  }
+
   test("count-min sketch maintained per micro-batch merges to the batch grid (t20)") {
     // the STREAMING form of t20: CMS grids merge by ADDITION, so a
     // sketch maintained incrementally — each micro-batch's partial grid
