@@ -1020,6 +1020,58 @@ object Curation {
           sum($"fck").cast("long").as("cust_checksum"),
           sum($"l_orderkey" * $"l_linenumber").cast("long").as("line_checksum"))
         .orderBy($"tier", $"yr")
+    },
+
+    // SEMANTIC decontamination — the embedding-space sibling of c03/c16's
+    // lexical n-gram gates: a paraphrased or translated eval item shares
+    // no 13-gram with its training leak, but its embedding sits next to
+    // it (the Llama/GPT data-prep reports run exactly this second gate).
+    // Eval vectors (vec_id % 100 == 0, the held-out benchmark stand-in)
+    // are screened against the train corpus INSIDE their IVF cell only —
+    // the d12/SemDeDup cell-bounded discipline, so the screen never goes
+    // all-pairs — and the census is COUNT-PRESERVING over eval items: an
+    // eval vector with zero in-cell train neighbors still reports its
+    // row (n_train_cell = 0, sentinels), because a decontamination
+    // report that silently drops unscreenable items is how leaks ship.
+    // Output per eval item: its cell, the in-cell train population, the
+    // count over the contamination threshold, and the nearest train
+    // vector (similarity + id — the audit trail a leak investigation
+    // starts from).
+    //
+    // Scale shape: rides the SAME memoized cell assignment the
+    // s21/s28–s30 serving family materializes once per session
+    // (`Similarity.knnAssigned` — at 100 TB this is the written IVF
+    // layout, so decontamination is a read of an artifact that already
+    // exists); the eval side is benchmark-sized and broadcast, the
+    // in-cell join is corpus × (tiny eval) co-located by cell, and the
+    // census partials are per-eval integers. The threshold (0.25 on
+    // this synthetic corpus) is a parameter, not a claim.
+    "c26_semantic_decontamination" -> { (s, d) =>
+      import s.implicits._
+      val assigned = Similarity.knnAssigned(s, d)
+      val ev = assigned.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"),
+          $"cell")
+      val tr = assigned.filter($"vec_id" % 100 =!= 0)
+        .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"),
+          $"cell")
+      val cos = Similarity.cosineWithNorms($"ev", $"tv", $"enrm", $"tnrm")
+      val hits = tr.join(broadcast(ev), Seq("cell"))
+        .select($"eval_id", $"cell", $"train_id", cos.as("cos"))
+        .groupBy($"eval_id")
+        .agg(count(lit(1)).as("n_train_cell"),
+          sum(when($"cos" > 0.25, 1L).otherwise(0L)).as("n_contaminated"),
+          round(max($"cos"), 6).as("max_cos"),
+          max_by($"train_id", struct($"cos", (-$"train_id").as("tb")))
+            .as("nearest_train_id"))
+      ev.select($"eval_id", $"cell")
+        .join(hits, Seq("eval_id"), "left")
+        .select($"eval_id", $"cell",
+          coalesce($"n_train_cell", lit(0L)).as("n_train_cell"),
+          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+          coalesce($"max_cos", lit(-1.0)).as("max_cos"),
+          coalesce($"nearest_train_id", lit(-1L)).as("nearest_train_id"))
+        .orderBy($"eval_id")
     }
   )
 
@@ -1555,6 +1607,40 @@ object Curation {
            |  CAST(SUM(version) AS BIGINT) AS version_checksum,
            |  CAST(SUM(ck) AS BIGINT) AS cust_checksum,
            |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS line_checksum
-           |FROM m GROUP BY tier, yr ORDER BY tier, yr""".stripMargin
+           |FROM m GROUP BY tier, yr ORDER BY tier, yr""".stripMargin,
+
+    // d12's cell assignment replayed exactly (argmax cosine over the 8
+    // seed centroids, tie to the lower id), then the eval×train in-cell
+    // screen; identical in-order dot products keep every cosine double
+    // bit-equal, so the 0.25 threshold and the (cos DESC, id) ranking
+    // agree cross-engine; the LEFT join keeps zero-neighbor eval rows
+    "c26_semantic_decontamination" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${Similarity.sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |assigned AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |  SELECT vec_id, v, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac) t WHERE crn = 1),
+           |ev AS (SELECT vec_id AS eval_id, v, cell FROM assigned WHERE vec_id % 100 = 0),
+           |tr AS (SELECT vec_id AS train_id, v, cell FROM assigned WHERE vec_id % 100 <> 0),
+           |pairs AS (SELECT a.eval_id, a.cell, b.train_id,
+           |    ${Similarity.sqlCosine("a.v", "b.v")} AS cos
+           |  FROM ev a JOIN tr b ON a.cell = b.cell),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+           |    ORDER BY cos DESC, train_id) AS rn FROM pairs),
+           |per AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_cell,
+           |    CAST(SUM(CASE WHEN cos > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |    round(MAX(cos), 6) AS max_cos,
+           |    CAST(MAX(CASE WHEN rn = 1 THEN train_id END) AS BIGINT) AS nearest_train_id
+           |  FROM rk GROUP BY eval_id)
+           |SELECT e2.eval_id, CAST(e2.cell AS BIGINT) AS cell,
+           |  COALESCE(n_train_cell, 0) AS n_train_cell,
+           |  COALESCE(n_contaminated, 0) AS n_contaminated,
+           |  COALESCE(max_cos, -1.0) AS max_cos,
+           |  COALESCE(nearest_train_id, -1) AS nearest_train_id
+           |FROM ev e2 LEFT JOIN per ON e2.eval_id = per.eval_id
+           |ORDER BY e2.eval_id""".stripMargin
   )
 }
