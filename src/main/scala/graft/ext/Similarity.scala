@@ -649,6 +649,51 @@ object Similarity {
         .orderBy($"query_id", $"rn")
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-retrieval training-prep
+    // step (DPR/SBERT/FlagEmbedding pipelines): for each anchor, the
+    // top-3 most-similar corpus vectors whose LABEL DIFFERS (the
+    // negatives a random sampler would never find, and the ones that
+    // actually move a contrastive loss), alongside the anchor's best
+    // same-label positive and the TRIPLET MARGIN pos_cos − neg_cos —
+    // the number that decides whether the mined negative is hard
+    // (margin ≈ 0) or trivial. Anchors without any same-label positive
+    // mine no triplet (there is nothing to contrast against) — that is
+    // the semantics of triplet construction, not a dropped row.
+    //
+    // Scale shape: s01's discipline with a per-anchor DYNAMIC exclusion
+    // (label ≠ anchor's label — not a static predicate, so it rides the
+    // broadcast anchor row, not the scan filter): anchors broadcast,
+    // the corpus is scored in one narrow pass and never exchanged, the
+    // per-anchor top-3 goes through the salted two-phase TopK (5 anchor
+    // keys would otherwise funnel every candidate into 5 reducers), and
+    // the positives collapse map-side via the max_by argmax. At 100 TB
+    // this is exactly how a mining pass over a billion-vector corpus
+    // stays scan-bound.
+    "s31_hard_negative_mining" -> { (s, d) =>
+      import s.implicits._
+      val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("anchor_id"), $"label".as("albl"),
+          $"v".as("qv"), $"nrm".as("qnrm"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"anchor_id")
+        .select($"anchor_id", $"albl", $"vec_id", $"label",
+          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+      val negs = graft.operators.TopK.perKey(
+        scored.filter($"label" =!= $"albl"),
+        $"anchor_id", Seq($"cos".desc, $"vec_id"), 3, saltFrom = $"vec_id")
+      val pos = scored.filter($"label" === $"albl")
+        .groupBy($"anchor_id")
+        .agg(max_by(struct($"vec_id".as("pid"), $"cos".as("pcos")),
+          struct($"cos", (-$"vec_id").as("tb"))).as("p"))
+        .select($"anchor_id", $"p.pid".as("pid"), $"p.pcos".as("pcos"))
+      negs.join(broadcast(pos), Seq("anchor_id"))
+        .select($"anchor_id", $"rn".as("rank"), $"vec_id".as("neg_id"),
+          $"label".as("neg_label"), round($"cos", 6).as("neg_cos"),
+          $"pid".as("pos_id"), round($"pcos", 6).as("pos_cos"),
+          round($"pcos" - $"cos", 6).as("margin"))
+        .orderBy($"anchor_id", $"rank")
+    },
+
     // IVF-style ANN: assign every vector to its nearest of 8 deterministic
     // seed centroids (one coarse-quantization pass), then search only the
     // query's inverted list (cell). At 100 TB this is the standard
@@ -2004,6 +2049,32 @@ object Similarity {
            |  FROM c)
            |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim, rn
            |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // identical in-order dot products keep every cosine double bit-equal,
+    // so the (cos DESC, id) rankings on both arms and the margin
+    // arithmetic replay exactly; the positive JOIN (not LEFT) mirrors
+    // the query's no-positive-no-triplet semantics
+    "s31_hard_negative_mining" ->
+      raw"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS anchor_id, label AS albl, v AS qv
+           |  FROM e WHERE $SqlQueryPred),
+           |sc AS (SELECT anchor_id, albl, vec_id, label, ${sqlCosine("qv", "v")} AS cos
+           |  FROM e JOIN q ON vec_id <> anchor_id),
+           |negs AS (SELECT anchor_id, vec_id, label, cos,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+           |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           |  FROM sc WHERE label <> albl),
+           |pos AS (SELECT anchor_id, vec_id AS pos_id, cos AS pcos FROM (
+           |    SELECT anchor_id, vec_id, cos,
+           |      ROW_NUMBER() OVER (PARTITION BY anchor_id
+           |        ORDER BY cos DESC, vec_id) AS prn
+           |    FROM sc WHERE label = albl) t WHERE prn = 1)
+           |SELECT n.anchor_id, n.rn AS rank, n.vec_id AS neg_id,
+           |  CAST(n.label AS INTEGER) AS neg_label,
+           |  round(n.cos, 6) AS neg_cos, p.pos_id, round(p.pcos, 6) AS pos_cos,
+           |  round(p.pcos - n.cos, 6) AS margin
+           |FROM negs n JOIN pos p ON n.anchor_id = p.anchor_id
+           |WHERE n.rn <= 3 ORDER BY n.anchor_id, n.rn""".stripMargin,
 
     "s03_ann_ivf" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

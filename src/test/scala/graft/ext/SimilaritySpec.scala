@@ -359,4 +359,42 @@ class SimilaritySpec extends SparkSuite {
       assert(sh == expected(q), s"query $q: sum_ham $sh != replay ${expected(q)}")
     }
   }
+
+  test("s31: mined triplets are well-formed — cross-label negatives, same-label positive, exact margins") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.queries("s31_hard_negative_mining")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (a, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toList == List(1, 2, 3),
+        s"anchor $a must mine exactly ranks 1..3")
+      // negatives are genuinely cross-label; the positive is same-label
+      byRank.foreach { r =>
+        assert(r.getInt(3) != labels(a),
+          s"anchor $a (label ${labels(a)}): negative ${r.getLong(2)} " +
+            s"shares the label — not a negative")
+        assert(labels(r.getLong(5)) == labels(a),
+          s"anchor $a: positive ${r.getLong(5)} has a different label")
+        assert(r.getLong(5) != a, "the anchor cannot be its own positive")
+      }
+      // hardness ordering: rank-1 is the most similar negative, and the
+      // margin is exactly pos_cos - neg_cos at 6dp (so it SHRINKS as
+      // negatives get harder)
+      val negCos = byRank.map(_.getDouble(4))
+      assert(negCos.zip(negCos.tail).forall { case (x, y) => x >= y },
+        s"anchor $a: neg_cos must be non-increasing in rank, got ${negCos.toList}")
+      byRank.foreach { r =>
+        val m = BigDecimal(r.getDouble(6) - r.getDouble(4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(7) - m) <= 2e-6,
+          s"anchor $a rank ${r.getInt(1)}: margin ${r.getDouble(7)} != " +
+            s"pos_cos - neg_cos = $m")
+      }
+    }
+  }
 }
