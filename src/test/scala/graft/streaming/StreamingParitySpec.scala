@@ -734,6 +734,85 @@ class StreamingParitySpec extends SparkSuite {
       s"stream featured ${streamed.size} media vs batch ${batch.size}")
   }
 
+  test("Y4M video featuring of a media stream equals batch m16") {
+    // m16's twin, the m10 argument applied to video: the Y4M
+    // encode+parse+feature batch is PER-ROW work, so the same
+    // y4mMedia/y4mFeatures definitions run on a document stream
+    // unchanged, append-mode — each arriving blob's frames are decoded
+    // in the micro-batch that receives them and never outlive it.
+    import graft.ext.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val batch = Multimodal.y4mFeatures(spark, Multimodal.y4mMedia(docs))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch side featured no media")
+    val docsDir = {
+      val dir = Files.createTempDirectory("graft-docs-y4m").toString + "/docs"
+      docs.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val q = Multimodal.y4mFeatures(spark,
+        Multimodal.y4mMedia(spark.readStream.schema(schema).parquet(docsDir)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("parity_y4m")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_y4m did not finish within 120 s")
+    val streamed = spark.table("parity_y4m").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream featured ${streamed.size} media vs batch ${batch.size}")
+  }
+
+  test("semantic decontamination screens an eval-vector stream against the frozen corpus cells (c26)") {
+    // c26's ONLINE form — how a new benchmark actually gets screened:
+    // eval vectors ARRIVE (a stream), the train corpus's cell assignment
+    // is the frozen static side (the session-memoized IVF layout, here
+    // staged to parquet as production writes it), and each arriving
+    // eval vector joins only its own cell, aggregates its census row in
+    // the micro-batch, and must report exactly what the batch c26 query
+    // reports. Complete-mode aggregation because the census groups by
+    // eval id; the static side never rescans the corpus per batch.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-c26-stream").toString
+    val batch = SparkEntry.queries("c26_semantic_decontamination")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // stage the frozen layout (vec_id, v, nrm, cell) and the eval feed
+    val assigned = graft.ext.Similarity.knnAssigned(spark, sf)
+    assigned.filter(col("vec_id") % 100 =!= 0)
+      .write.mode("overwrite").parquet(root + "/train")
+    assigned.filter(col("vec_id") % 100 === 0)
+      .repartition(3).write.mode("overwrite").parquet(root + "/eval")
+    val schema = spark.read.parquet(root + "/eval").schema
+    val tr = spark.read.parquet(root + "/train")
+      .select(col("vec_id").as("train_id"), col("v").as("tv"),
+        col("nrm").as("tnrm"), col("cell"))
+    val cos = graft.ext.Similarity.cosineWithNorms(
+      col("ev"), col("tv"), col("enrm"), col("tnrm"))
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/eval")
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("enrm"), col("cell"))
+    val hits = evs.join(tr, Seq("cell"), "left")
+      .select(col("eval_id"), col("cell"), col("train_id"), cos.as("cos"))
+      .groupBy(col("eval_id"), col("cell"))
+      .agg(sum(when(col("train_id").isNotNull, 1L).otherwise(0L))
+          .as("n_train_cell"),
+        sum(when(col("cos") > 0.25, 1L).otherwise(0L)).as("n_contaminated"),
+        coalesce(round(max(col("cos")), 6), lit(-1.0)).as("max_cos"),
+        coalesce(max_by(col("train_id"),
+          struct(col("cos"), (-col("train_id")).as("tb"))), lit(-1L))
+          .as("nearest_train_id"))
+      .select(col("eval_id"), col("cell"), col("n_train_cell"),
+        col("n_contaminated"), col("max_cos"), col("nearest_train_id"))
+    val q = hits.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_c26")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_c26 did not finish within 120 s")
+    val streamed = spark.table("parity_c26").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"online screen ${streamed.size} rows != batch census ${batch.size}")
+  }
+
   test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
     // the serving shape of the pretraining packer: the global-prefix-sum
     // offset assignment is the frozen "index" (built in batch — it is
