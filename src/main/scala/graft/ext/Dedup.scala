@@ -346,6 +346,40 @@ object Dedup {
     * shingle-less doc would share one bucket (O(k²) bogus pairs) and the
     * band-key product would overflow. Current producers filter
     * `size(w) >= 3` already, so this changes nothing for them. */
+  /** d25's core on an arbitrary `documents`-shaped frame + its
+    * signatures: LSH candidates verified by exact DIRECTIONAL
+    * containment (|A∩B|/|A| and /|B|, document-local array_intersect —
+    * no shingle explode), verdict via the integer cross-product gate
+    * 10·common ≥ 8·n (containment ≥ 0.8, no float threshold). Factored
+    * so DedupSpec can plant the asymmetric case the harness corpus
+    * lacks (its dups are near-exact copies → 'mutual'); the d25 query
+    * passes the shared persisted [[minhashSigs]]. */
+  private[graft] def containmentReport(docs: DataFrame,
+                                       sigs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cand = lshCandidates(sigs)
+    val arrs = docs.select($"doc_id",
+      graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3).as("sarr"))
+    val inter = size(array_intersect(col("xa.sarr"), col("xb.sarr")))
+      .cast("long")
+    cand.join(arrs.as("xa"), $"doc_a" === col("xa.doc_id"))
+      .join(arrs.as("xb"), $"doc_b" === col("xb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(col("xa.sarr")).cast("long").as("n_a"),
+        size(col("xb.sarr")).cast("long").as("n_b"),
+        inter.as("common"))
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"common",
+        round($"common".cast("double") / $"n_a", 6).as("containment_a"),
+        round($"common".cast("double") / $"n_b", 6).as("containment_b"),
+        when($"common" * 10 >= $"n_a" * 8 && $"common" * 10 >= $"n_b" * 8,
+          lit("mutual"))
+          .when($"common" * 10 >= $"n_a" * 8, lit("a_in_b"))
+          .when($"common" * 10 >= $"n_b" * 8, lit("b_in_a"))
+          .otherwise(lit("none")).as("verdict"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   private def lshCandidates(sigs: DataFrame): DataFrame = {
     val bands = bandKeys(sigs)
     bands.as("a").join(bands.as("b"),
@@ -753,6 +787,28 @@ object Dedup {
           round(abs($"est_j" - $"c".cast("double") / ($"na" + $"nb" - $"c")), 6)
             .as("abs_err"))
         .orderBy($"doc_a", $"doc_b")
+    },
+
+    // CONTAINMENT dedup — the MassiveText/Gopher overlap rule symmetric
+    // Jaccard cannot express: a short doc EMBEDDED in a longer one has
+    // low Jaccard (the union is big) but containment |A∩B|/|A| ≈ 1 —
+    // the subset-duplicate that survives d02/d07 and is exactly what
+    // boilerplate-wrapped re-posts look like. Candidates come from the
+    // SAME LSH index every verifier here reuses (d07's discipline:
+    // corpus-wide work is the narrow signature pass, exact set math
+    // runs on candidates only, document-local via array_intersect — no
+    // shingle explode). Both directional containments are reported, and
+    // the verdict gate is the INTEGER cross-product 10·common ≥ 8·n
+    // (containment ≥ 0.8 with no float threshold to disagree on):
+    // 'a_in_b' / 'b_in_a' name the absorbed side, 'mutual' is the
+    // near-exact-dup both-ways case, 'none' is an LSH candidate the
+    // exact check rejects.
+    //
+    // Scale shape: identical to d14 — signature pass + band-key
+    // equi-join + per-candidate document-local set arithmetic; shuffle
+    // carries signatures, band keys, and (pair, counts), never text.
+    "d25_containment_dedup" -> { (s, d) =>
+      containmentReport(Tables.documents(s, d), minhashSigs(s, d))
     },
 
     // Cleaned-corpus MATERIALIZATION — the step every report-producing
@@ -1473,6 +1529,35 @@ object Dedup {
              |  round(abs(est_j - exact_j), 6) AS abs_err
              |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      // the d14 exact-set CTEs with BOTH directional containments; the
+      // verdict replays the integer cross-product gate, so no float
+      // threshold exists to disagree on; LEFT JOIN keeps zero-overlap
+      // LSH candidates as 'none' rows
+      "d25_containment_dedup" ->
+        raw"""WITH $sqlMinhashCtes,
+             |shd AS (SELECT DISTINCT doc_id, s FROM shr),
+             |cntd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+             |common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+             |  FROM cand
+             |  JOIN shd x ON doc_a = x.doc_id
+             |  JOIN shd y ON doc_b = y.doc_id AND x.s = y.s
+             |  GROUP BY doc_a, doc_b),
+             |p AS (SELECT cand.doc_a, cand.doc_b,
+             |    CAST(cx.n AS BIGINT) AS n_a, CAST(cy.n AS BIGINT) AS n_b,
+             |    CAST(COALESCE(cm.c, 0) AS BIGINT) AS common
+             |  FROM cand
+             |  JOIN cntd cx ON cand.doc_a = cx.doc_id
+             |  JOIN cntd cy ON cand.doc_b = cy.doc_id
+             |  LEFT JOIN common cm ON cand.doc_a = cm.doc_a AND cand.doc_b = cm.doc_b)
+             |SELECT doc_a, doc_b, n_a, n_b, common,
+             |  round(CAST(common AS DOUBLE) / n_a, 6) AS containment_a,
+             |  round(CAST(common AS DOUBLE) / n_b, 6) AS containment_b,
+             |  CASE WHEN common * 10 >= n_a * 8 AND common * 10 >= n_b * 8 THEN 'mutual'
+             |       WHEN common * 10 >= n_a * 8 THEN 'a_in_b'
+             |       WHEN common * 10 >= n_b * 8 THEN 'b_in_a'
+             |       ELSE 'none' END AS verdict
+             |FROM p ORDER BY doc_a, doc_b""".stripMargin,
 
       "d15_source_overlap" ->
         raw"""WITH w AS (SELECT doc_id, source,

@@ -54,6 +54,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "d03_dedup_minhash_lsh" -> 64,     // ~0: signature index build only
     "d11_dedup_simhash_blocks" -> 64,  // measured 20 KB (block keys)
     "d19_minhash_wide" -> 64,          // ~0: 128 perms stay narrow
+    "d25_containment_dedup" -> 64,     // ~0: signatures + band keys + (pair, count) partials only — text never exchanges (the d14 profile)
     "d18_substring_spans" -> 960,      // measured 470 KB (window hashes)
     "d20_boilerplate_removal" -> 320,  // measured 150 KB (hash partials)
     // curation: eval shingles broadcast; gates fuse into the scan
@@ -155,7 +156,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 65,
+    assert(ceilingsKb.size == 66,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
   }

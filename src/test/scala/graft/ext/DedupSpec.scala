@@ -406,4 +406,36 @@ class DedupSpec extends SparkSuite {
     assert(out(1L) == 2L && out(2L) == 2L && out(4L) == 2L && out(3L) == 0L,
       s"partners: $out")
   }
+
+  test("d25: a doc embedded in a longer doc is caught by asymmetric containment") {
+    // the case symmetric Jaccard misses and the harness corpus lacks
+    // (its planted dups are near-exact copies → 'mutual'): doc 1 IS
+    // doc 0 plus a suffix, so containment_a = 1 while Jaccard and
+    // containment_b sit below their gates. Also proves the exact arm
+    // rejects an LSH candidate with sub-gate overlap as 'none' rather
+    // than dropping it.
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = a + " eta theta"
+    val c = "alpha beta gamma omega psi chi phi"
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val rows = Dedup.containmentReport(docs, Dedup.sigsOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getString(7))).toMap
+    assert(rows.contains((0L, 1L)),
+      s"the contained pair must surface as an LSH candidate, got ${rows.keys}")
+    val (na, nb, common, ca, cb, verdict) = rows((0L, 1L))
+    assert(na == 4 && nb == 6 && common == 4,
+      s"shingle arithmetic: expected 4/6 sets with 4 common, got ($na,$nb,$common)")
+    assert(ca == 1.0, s"containment_a must be exactly 1.0, got $ca")
+    assert(math.abs(cb - 4.0 / 6.0) < 1e-6, s"containment_b must be 4/6, got $cb")
+    assert(verdict == "a_in_b",
+      s"asymmetric embedding must verdict a_in_b, got $verdict")
+    // the sub-gate candidate (shares 'alpha beta gamma' only) is kept
+    // and rejected, never dropped
+    rows.get((0L, 2L)).foreach { case (_, _, cm, _, _, v) =>
+      assert(cm == 1 && v == "none", s"sub-gate pair must be 'none', got $v ($cm)")
+    }
+  }
 }
