@@ -1192,6 +1192,42 @@ object RelationalQueries {
     // agreeing row-for-row is a stronger check than a shared one.
     // Decimal discipline: spend stays an exact DECIMAL(14,2) sum until
     // the final round-then-cast (CLAUDE.md parity rule).
+    // TPC-H Q21's shape (the benchmark's hardest decorrelation), adapted
+    // to the harness schema: suppliers who were the SOLE returned-item
+    // supplier on finalized multi-supplier orders. What it adds over
+    // q04/q07/q50 is the correlated EXISTS *and* NOT EXISTS against the
+    // SAME fact table with a ≠-key residual (l2.suppkey <> l1.suppkey) —
+    // the self-join correlation pattern that defeats naive subquery
+    // execution. Catalyst decorrelates both arms to LeftSemi/LeftAnti
+    // hash joins on l_orderkey with the ≠ residual as a join filter
+    // (PlanShapeSpec guards no-nested-loop), so at 100 TB each arm is
+    // one co-partitionable equi-join on the fact key — bucket lineitem
+    // by orderkey and all three sides co-locate. The SQL text is shared
+    // verbatim with the oracle (the q26/q50 discipline); deterministic
+    // (numwait DESC, unique s_name) total order.
+    "q56_waiting_suppliers" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q56")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q56")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q56")
+      s.sql(
+        """SELECT s.s_name, COUNT(*) AS numwait,
+          |  MIN(l1.l_orderkey) AS min_orderkey
+          |FROM lineitem_q56 l1
+          |JOIN orders_q56 o
+          |  ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+          |JOIN supplier_q56 s ON s.s_suppkey = l1.l_suppkey
+          |WHERE l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem_q56 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_q56 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s_name""".stripMargin)
+    },
+
     "q55_gapfill_spine" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1834,6 +1870,25 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY status, priority""".stripMargin,
+
+    // the identical SQL text (q26/q50 discipline), view suffixes dropped
+    "q56_waiting_suppliers" ->
+      """SELECT s.s_name, COUNT(*) AS numwait,
+        |  MIN(l1.l_orderkey) AS min_orderkey
+        |FROM lineitem l1
+        |JOIN orders o
+        |  ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     // deliberately the TEXTBOOK spine formulation (generate_series +
     // left join + last_value IGNORE NULLS) — an independent derivation

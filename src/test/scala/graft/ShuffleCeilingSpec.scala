@@ -83,6 +83,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
     "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back
     "q48_sketch_quantile" -> 2300,     // measured 1.12 MB (cents histogram + sketch)
+    "q56_waiting_suppliers" -> 64,     // measured 10 KB (semi+anti hash joins on l_orderkey; the residual rides the join — no nested loop, no fact rescan)
     // incremental / production-nightly family (round 13): the shapes a
     // nightly pipeline reruns forever — their asymmetry (increment moves,
     // base ledger keys only, base text NEVER) is the whole scale story
@@ -156,7 +157,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 66,
+    assert(ceilingsKb.size == 67,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
   }

@@ -518,6 +518,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), "the correlated EXISTS must become a semi join")
   }
 
+  test("q56: EXISTS + NOT EXISTS self-correlation decorrelates to semi + anti hash joins") {
+    // TPC-H Q21's shape: both subqueries correlate to the SAME fact
+    // table on the fact key with a ≠-key residual — naive execution is
+    // a per-row rescan of lineitem, twice. The plan must show one
+    // LeftSemi and one LeftAnti equi-join on l_orderkey (the residual
+    // rides as a join condition), and no nested loop anywhere.
+    val p = plan("q56_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "self-correlated EXISTS/NOT EXISTS must rewrite to hash joins")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+  }
+
   test("q53: LATERAL top-N decorrelates to a ranking join, not per-row re-execution") {
     val p = plan("q53_lateral_topn")
     assert(!p.contains("CartesianProduct"))
