@@ -1046,6 +1046,57 @@ object Curation {
     // in-cell join is corpus × (tiny eval) co-located by cell, and the
     // census partials are per-eval integers. The threshold (0.25 on
     // this synthetic corpus) is a parameter, not a claim.
+    // SNAPSHOT DIFF — the data-versioning report every nightly corpus
+    // build logs (Delta/DVC diff semantics over plain parquet): two
+    // corpus versions compared by key via ONE full-outer join on
+    // fingerprints, classifying every doc as added / removed / changed /
+    // unchanged, with per-source counts and id-sum checksums per class
+    // (the audit numbers a regression investigation starts from — "the
+    // de table lost 412 docs" is actionable; a diff that only says
+    // "something changed" is not). The two versions are derived
+    // deterministically from the harness table (old = id % 11 ≠ 0,
+    // new = id % 13 ≠ 0 with id % 7 == 0 docs edited), so both engines
+    // replay identical snapshots — the operator under test is the diff,
+    // not the versions.
+    //
+    // Scale shape: the join carries (id, source, 16-byte md5) — never
+    // text — and both sides prune to key+fingerprint at the scan; the
+    // census partials are (source, class) integers, map-side combined.
+    // At 100 TB both snapshots are bucketed by doc_id and the diff
+    // co-locates; this is c13's checksum idea applied across versions.
+    "c27_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val vOld = docs.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id", $"source".as("src_old"),
+          md5($"text".cast("binary")).as("h_old"))
+      val vNew = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"source".as("src_new"),
+          when($"doc_id" % 7 === 0,
+            md5(concat($"text", lit(" v2")).cast("binary")))
+            .otherwise(md5($"text".cast("binary"))).as("h_new"))
+      vOld.join(vNew, Seq("doc_id"), "full_outer")
+        .select($"doc_id", coalesce($"src_new", $"src_old").as("source"),
+          when($"h_old".isNull, lit("added"))
+            .when($"h_new".isNull, lit("removed"))
+            .when($"h_old" =!= $"h_new", lit("changed"))
+            .otherwise(lit("unchanged")).as("cls"))
+        .groupBy($"source")
+        .agg(
+          sum(when($"cls" === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when($"cls" === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"cls" === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when($"cls" === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"),
+          sum(when($"cls" === "added", $"doc_id").otherwise(0L))
+            .cast("long").as("added_ids"),
+          sum(when($"cls" === "removed", $"doc_id").otherwise(0L))
+            .cast("long").as("removed_ids"),
+          sum(when($"cls" === "changed", $"doc_id").otherwise(0L))
+            .cast("long").as("changed_ids"))
+        .orderBy($"source")
+    },
+
     "c26_semantic_decontamination" -> { (s, d) =>
       import s.implicits._
       val assigned = Similarity.knnAssigned(s, d)
@@ -1608,6 +1659,33 @@ object Curation {
            |  CAST(SUM(ck) AS BIGINT) AS cust_checksum,
            |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS line_checksum
            |FROM m GROUP BY tier, yr ORDER BY tier, yr""".stripMargin,
+
+    // identical snapshot derivations, identical md5 classification; the
+    // FULL OUTER join's null arms map to added/removed exactly as in
+    // the query
+    "c27_snapshot_diff" ->
+      raw"""WITH vold AS (SELECT doc_id, source AS src_old, md5(text) AS h_old
+           |  FROM documents WHERE doc_id % 11 <> 0),
+           |vnew AS (SELECT doc_id, source AS src_new,
+           |    CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+           |         ELSE md5(text) END AS h_new
+           |  FROM documents WHERE doc_id % 13 <> 0),
+           |j AS (SELECT COALESCE(vnew.doc_id, vold.doc_id) AS doc_id,
+           |    COALESCE(src_new, src_old) AS source,
+           |    CASE WHEN h_old IS NULL THEN 'added'
+           |         WHEN h_new IS NULL THEN 'removed'
+           |         WHEN h_old <> h_new THEN 'changed'
+           |         ELSE 'unchanged' END AS cls
+           |  FROM vold FULL OUTER JOIN vnew ON vold.doc_id = vnew.doc_id)
+           |SELECT source,
+           |  CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           |  CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |  CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           |  CAST(SUM(CASE WHEN cls = 'added' THEN doc_id ELSE 0 END) AS BIGINT) AS added_ids,
+           |  CAST(SUM(CASE WHEN cls = 'removed' THEN doc_id ELSE 0 END) AS BIGINT) AS removed_ids,
+           |  CAST(SUM(CASE WHEN cls = 'changed' THEN doc_id ELSE 0 END) AS BIGINT) AS changed_ids
+           |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // d12's cell assignment replayed exactly (argmax cosine over the 8
     // seed centroids, tie to the lower id), then the eval×train in-cell

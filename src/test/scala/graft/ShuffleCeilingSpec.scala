@@ -126,6 +126,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "m15_format_dispatch" -> 64,       // measured 20 KB (sniff + decode are scan-side batch work; only the 8-integer feature rows cross for the output sort)
     "m16_y4m_frames" -> 64,            // measured 30 KB (encode+parse+feature scan-side; only the 13-column feature rows cross for the output sort)
     "c26_semantic_decontamination" -> 464, // measured 230 KB (the shared knnAssigned cell-assignment partials — same exchange d12 pays; the eval side broadcasts and the in-cell screen adds only per-eval census partials)
+    "c27_snapshot_diff" -> 112,        // measured 50 KB ((id, source, 16-byte md5) rows cross for the full-outer diff — never text; census partials are (source, class) integers)
     "s31_hard_negative_mining" -> 64,  // measured 10 KB (anchors broadcast, corpus scored in one narrow pass; the exchange is the salted top-3 partials + 5 positive argmax rows)
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200)   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
@@ -157,7 +158,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 67,
+    assert(ceilingsKb.size == 68,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
   }
