@@ -161,6 +161,20 @@ class ShuffleCeilingSpec extends SparkSuite {
     assert(ceilingsKb.size == 68,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
+    // ...and check the footnote TEXT itself, so the doc can never drift
+    // from the spec again (the r14 verdict's ask #3, made mechanical):
+    // both the guarded count and the catalog size must appear verbatim
+    val scale = scala.io.Source.fromFile("/root/repo/SCALE.md", "UTF-8")
+    val txt = try scale.mkString finally scale.close()
+    val expected =
+      s"${ceilingsKb.size} of the ${SparkEntry.queries.size} queries " +
+        "carry a CI-enforced byte ceiling"
+    assert(txt.contains(expected),
+      s"SCALE.md's ceiling-coverage note must say '$expected' — " +
+        "it went stale against the spec/catalog")
+    assert(txt.contains(s"re-measures ${ceilingsKb.size} queries"),
+      s"SCALE.md's red-test paragraph must say 're-measures " +
+        s"${ceilingsKb.size} queries'")
   }
 
   for ((name, kb) <- ceilingsKb) test(s"shuffle ceiling: $name <= $kb KB") {
