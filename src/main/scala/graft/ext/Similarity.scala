@@ -388,6 +388,39 @@ object Similarity {
   private[graft] def knnAssigned(s: SparkSession, d: String): DataFrame =
     knnMemoized(s, d, "assigned")(knnAssignedImpl(s, d))
 
+  /** s31's core on arbitrary anchor/corpus frames (both in
+    * `(vec_id, label, v, nrm)` shape): per anchor, the top-3
+    * most-similar CROSS-LABEL corpus vectors, the best same-label
+    * positive, and the triplet margin. Factored so the serving twin can
+    * run the identical definition per micro-batch of ARRIVING anchors
+    * against the static corpus — each batch's anchors are independent
+    * (per-anchor ranking only), so the union over any batching equals
+    * the one-shot batch run. */
+  private[graft] def mineHardNegatives(anchors: DataFrame,
+                                       corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val q = anchors.select($"vec_id".as("anchor_id"), $"label".as("albl"),
+      $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = corpus.join(broadcast(q), $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"albl", $"vec_id", $"label",
+        cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
+    val negs = graft.operators.TopK.perKey(
+      scored.filter($"label" =!= $"albl"),
+      $"anchor_id", Seq($"cos".desc, $"vec_id"), 3, saltFrom = $"vec_id")
+    val pos = scored.filter($"label" === $"albl")
+      .groupBy($"anchor_id")
+      .agg(max_by(struct($"vec_id".as("pid"), $"cos".as("pcos")),
+        struct($"cos", (-$"vec_id").as("tb"))).as("p"))
+      .select($"anchor_id", $"p.pid".as("pid"), $"p.pcos".as("pcos"))
+    negs.join(broadcast(pos), Seq("anchor_id"))
+      .select($"anchor_id", $"rn".as("rank"), $"vec_id".as("neg_id"),
+        $"label".as("neg_label"), round($"cos", 6).as("neg_cos"),
+        $"pid".as("pos_id"), round($"pcos", 6).as("pos_cos"),
+        round($"pcos" - $"cos", 6).as("margin"))
+      .orderBy($"anchor_id", $"rank")
+  }
+
   private def knnAssignedImpl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
@@ -672,26 +705,7 @@ object Similarity {
     "s31_hard_negative_mining" -> { (s, d) =>
       import s.implicits._
       val e = vectors(s, d).withColumn("nrm", dot($"v", $"v"))
-      val q = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("anchor_id"), $"label".as("albl"),
-          $"v".as("qv"), $"nrm".as("qnrm"))
-      val scored = e.join(broadcast(q), $"vec_id" =!= $"anchor_id")
-        .select($"anchor_id", $"albl", $"vec_id", $"label",
-          cosineWithNorms($"qv", $"v", $"qnrm", $"nrm").as("cos"))
-      val negs = graft.operators.TopK.perKey(
-        scored.filter($"label" =!= $"albl"),
-        $"anchor_id", Seq($"cos".desc, $"vec_id"), 3, saltFrom = $"vec_id")
-      val pos = scored.filter($"label" === $"albl")
-        .groupBy($"anchor_id")
-        .agg(max_by(struct($"vec_id".as("pid"), $"cos".as("pcos")),
-          struct($"cos", (-$"vec_id").as("tb"))).as("p"))
-        .select($"anchor_id", $"p.pid".as("pid"), $"p.pcos".as("pcos"))
-      negs.join(broadcast(pos), Seq("anchor_id"))
-        .select($"anchor_id", $"rn".as("rank"), $"vec_id".as("neg_id"),
-          $"label".as("neg_label"), round($"cos", 6).as("neg_cos"),
-          $"pid".as("pos_id"), round($"pcos", 6).as("pos_cos"),
-          round($"pcos" - $"cos", 6).as("margin"))
-        .orderBy($"anchor_id", $"rank")
+      mineHardNegatives(e.filter($"vec_id" < 5), e)
     },
 
     // IVF-style ANN: assign every vector to its nearest of 8 deterministic

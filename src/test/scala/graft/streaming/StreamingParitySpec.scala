@@ -813,6 +813,48 @@ class StreamingParitySpec extends SparkSuite {
       s"online screen ${streamed.size} rows != batch census ${batch.size}")
   }
 
+  test("hard-negative mining serves a stream of arriving anchors against the static corpus (s31)") {
+    // s31's serving form — how mining actually runs in a training-data
+    // service: anchor vectors ARRIVE (new queries to build triplets
+    // for), the corpus is static, and each micro-batch mines with the
+    // IDENTICAL mineHardNegatives definition. Per-anchor ranking makes
+    // batches independent, so the union over any batching must equal
+    // the one-shot batch run — the foreachBatch twin pattern (c21/c24)
+    // at the similarity layer.
+    import spark.implicits._
+    import graft.ext.Similarity
+    val root = Files.createTempDirectory("graft-s31-stream").toString
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+    val batch = Similarity.mineHardNegatives(
+      corpus.filter(col("vec_id") < 5), corpus)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    corpus.filter(col("vec_id") < 5).repartition(3)
+      .write.mode("overwrite").parquet(root + "/anchors")
+    val schema = spark.read.parquet(root + "/anchors").schema
+    val mined = scala.collection.mutable.Set[Seq[Any]]()
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/anchors")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          val out = Similarity.mineHardNegatives(b, corpus).collect()
+          mined.synchronized { mined ++= out.map(_.toSeq) }
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "s31 twin did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    assert(mined.toSet == batch,
+      s"served triplets ${mined.size} != batch ${batch.size}")
+  }
+
   test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
     // the serving shape of the pretraining packer: the global-prefix-sum
     // offset assignment is the frozen "index" (built in batch — it is
