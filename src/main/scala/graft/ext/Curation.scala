@@ -1106,25 +1106,42 @@ object Curation {
       val tr = assigned.filter($"vec_id" % 100 =!= 0)
         .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"),
           $"cell")
-      val cos = Similarity.cosineWithNorms($"ev", $"tv", $"enrm", $"tnrm")
-      val hits = tr.join(broadcast(ev), Seq("cell"))
-        .select($"eval_id", $"cell", $"train_id", cos.as("cos"))
-        .groupBy($"eval_id")
-        .agg(count(lit(1)).as("n_train_cell"),
-          sum(when($"cos" > 0.25, 1L).otherwise(0L)).as("n_contaminated"),
-          round(max($"cos"), 6).as("max_cos"),
-          max_by($"train_id", struct($"cos", (-$"train_id").as("tb")))
-            .as("nearest_train_id"))
-      ev.select($"eval_id", $"cell")
-        .join(hits, Seq("eval_id"), "left")
-        .select($"eval_id", $"cell",
-          coalesce($"n_train_cell", lit(0L)).as("n_train_cell"),
-          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
-          coalesce($"max_cos", lit(-1.0)).as("max_cos"),
-          coalesce($"nearest_train_id", lit(-1L)).as("nearest_train_id"))
-        .orderBy($"eval_id")
+      semanticScreen(ev, tr)
     }
   )
+
+  /** c26's screen on arbitrary pre-shaped frames — `ev` as
+    * `(eval_id, ev, enrm, cell)`, `tr` as `(train_id, tv, tnrm, cell)` —
+    * factored so the adversarial streaming-parity arms can drive it on
+    * constructed layouts (e.g. an eval vector whose cell is EMPTY in
+    * the corpus). Each eval vector compares only within its own IVF
+    * cell (the SemDeDup discipline); the left join back to `ev`
+    * guarantees a census row for EVERY eval vector — an eval landing in
+    * an empty cell reports `n_train_cell = 0, max_cos = -1,
+    * nearest_train_id = -1`, never silently vanishes (a vanished row
+    * would read as "screened clean" when it was never screened at
+    * all). */
+  private[graft] def semanticScreen(ev: DataFrame, tr: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val cos = Similarity.cosineWithNorms($"ev", $"tv", $"enrm", $"tnrm")
+    val hits = tr.join(broadcast(ev), Seq("cell"))
+      .select($"eval_id", $"cell", $"train_id", cos.as("cos"))
+      .groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_train_cell"),
+        sum(when($"cos" > 0.25, 1L).otherwise(0L)).as("n_contaminated"),
+        round(max($"cos"), 6).as("max_cos"),
+        max_by($"train_id", struct($"cos", (-$"train_id").as("tb")))
+          .as("nearest_train_id"))
+    ev.select($"eval_id", $"cell")
+      .join(hits, Seq("eval_id"), "left")
+      .select($"eval_id", $"cell",
+        coalesce($"n_train_cell", lit(0L)).as("n_train_cell"),
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        coalesce($"max_cos", lit(-1.0)).as("max_cos"),
+        coalesce($"nearest_train_id", lit(-1L)).as("nearest_train_id"))
+      .orderBy($"eval_id")
+  }
 
   /** The order-as-CDC-event derivation shared by c24 (history build +
     * merge) and c25 (point-in-time join): each order updates its

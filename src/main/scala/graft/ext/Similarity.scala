@@ -346,32 +346,53 @@ object Similarity {
     * equi-join on cell is what keeps pair generation off O(n²)),
     * persisted because s21's mutual join reads it twice and the serving
     * loops probe it every hop. */
+  /** One memo slot. The lazy val gives PER-KEY build serialization for
+    * free (the JVM initializes it under this cell's own monitor): two
+    * first callers racing on the same key both evaluate the one cell
+    * that won `putIfAbsent`, so the build still runs exactly once —
+    * without a global lock. That matters because the "g" entry's build
+    * is NOT pure plan construction: its eager `localCheckpoint()` runs a
+    * full Spark job, and under the previous global `synchronized` it
+    * serialized every session's first build behind it. */
+  private final class MemoCell(build: () => DataFrame) {
+    lazy val value: DataFrame = build()
+  }
+
   private val knnMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), MemoCell]()
   private val knnMemoHooked =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Evict every memo entry owned by `s`. Called automatically when the
+    * owning SparkContext ends; call it explicitly when tearing down a
+    * SESSION whose shared context lives on (e.g. `newSession()` pools) —
+    * there is no session-end listener in Spark, so without the explicit
+    * call a stopped session's persisted/checkpointed frames stay pinned
+    * until the context dies. */
+  private[graft] def evictKnnMemo(s: SparkSession): Unit = {
+    knnMemo.keySet.filter(_._1 eq s).foreach(knnMemo.remove)
+    knnMemoHooked.remove(s)
+  }
+
   /** Lifecycle: entries are evicted when the owning session's context
-    * ends (a listener registered on first insert), so a long-lived JVM
-    * hosting many short sessions doesn't pin dead persisted/checkpointed
-    * frames forever. The build runs under a lock — TrieMap's
-    * getOrElseUpdate alone can race two first callers into building (and
-    * persisting) twice, orphaning one copy; builds are driver-side plan
-    * construction, so serializing them costs nothing. */
-  private def knnMemoized(s: SparkSession, d: String, key: String)(
-      build: => DataFrame): DataFrame = knnMemo.synchronized {
+    * ends (a listener registered on first insert); see [[evictKnnMemo]]
+    * for session-level teardown under a shared context. Build-once is
+    * guaranteed by [[MemoCell]]'s per-key lazy initialization — only the
+    * cheap putIfAbsent races globally; the (possibly job-running) build
+    * itself never holds a lock any other key's caller waits on. */
+  private[graft] def knnMemoized(s: SparkSession, d: String, key: String)(
+      build: => DataFrame): DataFrame = {
     if (knnMemoHooked.add(s)) {
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            knnMemo.keySet.filter(_._1 eq s).foreach(knnMemo.remove)
-            knnMemoHooked.remove(s)
-          }
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictKnnMemo(s)
         })
     }
-    knnMemo.getOrElseUpdate((s, d, key), build)
+    val fresh = new MemoCell(() => build)
+    knnMemo.putIfAbsent((s, d, key), fresh).getOrElse(fresh).value
   }
 
   /** Memoized [[knnDirEdges]] over the memoized assignment. */

@@ -89,7 +89,12 @@ object ExactlyOnceSink {
     *                    rewrite partitions PRESENT in the stage, so a
     *                    remerge that drops a touched partition entirely
     *                    (tombstone/delete semantics) would leave the old
-    *                    partition's rows in the ledger. GroupBy-style
+    *                    partition's rows in the ledger. ENFORCED: after
+    *                    staging, the staged partition set is checked to
+    *                    cover every touched partition and the batch
+    *                    fails loudly (before the merge's commit point,
+    *                    so a replay re-fails rather than half-applying)
+    *                    on violation. GroupBy-style
     *                    merges satisfy this by construction (every
     *                    touched key contributes a state row); a deleting
     *                    merge needs explicit partition deletes instead
@@ -130,6 +135,24 @@ object ExactlyOnceSink {
         else partials.limit(0)
       remerge(ledger.unionByName(partials))
         .write.mode("overwrite").parquet(stagePath)
+      // must-emit contract check BEFORE the commit point: phase 2 can
+      // only rewrite partitions present in the stage, so a remerge that
+      // dropped a touched partition would silently leave that
+      // partition's stale rows in the ledger — exactly the failure the
+      // contract paragraph warns about. Checked against the staged
+      // FILES (what phase 2 will actually read), not the remerge plan.
+      val staged = spark.read.parquet(stagePath)
+        .select(col(partitionCol).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0))).toSet
+      require(!staged.contains(None),
+        s"ExactlyOnceSink: remerge of batch $batchId produced a NULL " +
+          s"'$partitionCol' partition value — partition keys must be non-null")
+      val dropped = touched.toSet.diff(staged.flatten)
+      require(dropped.isEmpty,
+        s"ExactlyOnceSink: remerge of batch $batchId emitted no rows for " +
+          s"touched partition(s) ${dropped.mkString(", ")} — every touched " +
+          "partition must appear in the staged output (a deleting merge " +
+          "needs explicit partition deletes, not this sink)")
       fs.create(marker, true).close() // commit point of the merge
       Merged
     } else Replayed

@@ -42,6 +42,24 @@ class ContractSpec extends SparkSuite {
     assert(ghost.isEmpty, s"QUERIES.md rows without a query: $ghost")
   }
 
+  test("README.md stays in sync: relational and total query counts") {
+    // The README's prose counts have gone stale twice (r13 "54", r15 "55");
+    // pin them to SparkEntry the way QUERIES.md's header is pinned above.
+    val readme = scala.util.Using.resource(
+      scala.io.Source.fromFile("README.md", "UTF-8"))(_.mkString)
+    val relational = SparkEntry.queries.keySet.count(_.matches("q\\d+.*"))
+    val relSentence = "(\\d+) relational queries".r
+    val rel = relSentence.findFirstMatchIn(readme)
+      .getOrElse(fail("README lost its 'N relational queries' sentence"))
+    assert(rel.group(1).toInt == relational,
+      s"README says ${rel.group(1)} relational queries; SparkEntry has $relational")
+    val totalSentence = "(\\d+)-query catalog".r
+    val tot = totalSentence.findFirstMatchIn(readme)
+      .getOrElse(fail("README lost its 'N-query catalog' sentence"))
+    assert(tot.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${tot.group(1)}-query catalog; SparkEntry has ${SparkEntry.queries.size}")
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -164,7 +164,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // ...and check the footnote TEXT itself, so the doc can never drift
     // from the spec again (the r14 verdict's ask #3, made mechanical):
     // both the guarded count and the catalog size must appear verbatim
-    val scale = scala.io.Source.fromFile("/root/repo/SCALE.md", "UTF-8")
+    val scale = scala.io.Source.fromFile("SCALE.md", "UTF-8")
     val txt = try scale.mkString finally scale.close()
     val expected =
       s"${ceilingsKb.size} of the ${SparkEntry.queries.size} queries " +

@@ -855,6 +855,140 @@ class StreamingParitySpec extends SparkSuite {
       s"served triplets ${mined.size} != batch ${batch.size}")
   }
 
+  test("s31 adversarial: slicing-invariance holds for the real miner and FAILS for a deliberately batch-dependent one") {
+    // The s31 twin above asserts streamed == batch under ONE slicing of
+    // the anchors — a happy path a batch-DEPENDENT refactor could
+    // survive by luck. Two hardening arms:
+    //  1. the same anchor set sliced two DIFFERENT ways (the first
+    //     anchor arriving alone vs inside a bigger micro-batch) must
+    //     both union to the one-shot run;
+    //  2. teeth: a plausibly-broken miner (per-batch negative dedup —
+    //     "each corpus vector serves at most one anchor per batch", a
+    //     real triplet-mining variant someone might graft on) VIOLATES
+    //     slicing-invariance on a corpus constructed so the best
+    //     cross-label negative is shared. If that counterfactual ever
+    //     stops diverging, the parity assertion has lost its teeth.
+    import spark.implicits._
+    import graft.ext.Similarity
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+    val anchors = corpus.filter(col("vec_id") < 5)
+    val oneShot = Similarity.mineHardNegatives(anchors, corpus)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty)
+    val slicings = Seq(
+      Seq(Seq(0L), Seq(1L, 2L, 3L, 4L)),
+      Seq(Seq(0L, 1L, 2L), Seq(3L, 4L)))
+    slicings.zipWithIndex.foreach { case (slices, i) =>
+      val union = slices.map { ids =>
+        Similarity.mineHardNegatives(
+          anchors.filter(col("vec_id").isin(ids: _*)), corpus)
+          .collect().map(_.toSeq).toSet
+      }.reduce(_ ++ _)
+      assert(union == oneShot,
+        s"slicing #$i diverged from the one-shot mine — per-anchor " +
+          "independence is broken")
+    }
+
+    // counterfactual corpus: two label-0 anchors whose top cross-label
+    // negatives are the SAME four label-1 vectors, so a per-batch
+    // negative dedup must steal rows from one anchor when they share a
+    // micro-batch but not when they arrive alone
+    val synth = Seq(
+      (0L, 0, Array(1.0, 0.0)), (1L, 0, Array(0.98, 0.199)),
+      (2L, 0, Array(0.9, -0.1)), // same-label positive for both anchors
+      (10L, 1, Array(0.995, 0.0999)), (11L, 1, Array(-1.0, 0.0)),
+      (12L, 1, Array(0.0, 1.0)), (13L, 1, Array(-0.5, -0.5)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+    val synthAnchors = synth.filter(col("vec_id") < 2)
+    def brokenMine(b: DataFrame): Set[Seq[Any]] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("neg_id"))
+        .orderBy(col("neg_cos").desc, col("anchor_id"))
+      Similarity.mineHardNegatives(b, synth)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(_.toSeq).toSet
+    }
+    val brokenJoint = brokenMine(synthAnchors)
+    val brokenSingles = Seq(0L, 1L).map(id =>
+      brokenMine(synthAnchors.filter(col("vec_id") === id))).reduce(_ ++ _)
+    assert(brokenJoint != brokenSingles,
+      "the deliberately batch-dependent miner did NOT diverge across " +
+        "slicings — the invariance assertion above has no teeth")
+    // and per-anchor slicing of the broken miner equals the REAL miner
+    // (dedup within a single-anchor batch is a no-op), pinning that the
+    // divergence comes from cross-anchor batch state alone
+    assert(brokenSingles == Similarity.mineHardNegatives(synthAnchors, synth)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("c26 adversarial: an eval vector landing in a corpus-EMPTY cell gets a sentinel census row, online == batch") {
+    // The c26 twin screens against the full harness layout, where every
+    // cell happens to hold train vectors — so a left→inner join refactor
+    // (dropping unmatched evals) would pass it silently. Here one cell is
+    // emptied of ALL train vectors while its eval vector remains: the
+    // screen must still emit that eval's census row with the documented
+    // sentinels (n_train_cell=0, max_cos=-1, nearest_train_id=-1) — a
+    // vanished row would read as "screened clean" for a vector that was
+    // never screened — and the online run must equal the batch
+    // `Curation.semanticScreen` on the same constructed layout.
+    import graft.ext.{Curation, Similarity}
+    val root = Files.createTempDirectory("graft-c26-adv").toString
+    val assigned = Similarity.knnAssigned(spark, sf)
+    val evAll = assigned.filter(col("vec_id") % 100 === 0)
+    val emptiedCell = evAll.orderBy(col("vec_id")).select(col("cell"))
+      .head().getLong(0)
+    val ev = evAll
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("enrm"), col("cell"))
+    val tr = assigned
+      .filter(col("vec_id") % 100 =!= 0 && col("cell") =!= emptiedCell)
+      .select(col("vec_id").as("train_id"), col("v").as("tv"),
+        col("nrm").as("tnrm"), col("cell"))
+    val batch = Curation.semanticScreen(ev, tr)
+      .collect().map(_.toSeq).toSet
+    val sentinelRows = batch.filter(r =>
+      r(1) == emptiedCell && r(2) == 0L && r(4) == -1.0 && r(5) == -1L)
+    assert(sentinelRows.nonEmpty,
+      s"no sentinel census row for emptied cell $emptiedCell — the arm " +
+        "constructed no empty-cell eval, or the screen dropped it")
+
+    // online form: identical stream-side derivation to the c26 twin,
+    // over the constructed layout staged to parquet
+    ev.repartition(3).write.mode("overwrite").parquet(root + "/eval")
+    tr.write.mode("overwrite").parquet(root + "/train")
+    val trS = spark.read.parquet(root + "/train")
+    val schema = spark.read.parquet(root + "/eval").schema
+    val cos = Similarity.cosineWithNorms(
+      col("ev"), col("tv"), col("enrm"), col("tnrm"))
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/eval")
+    val hits = evs.join(trS, Seq("cell"), "left")
+      .select(col("eval_id"), col("cell"), col("train_id"), cos.as("cos"))
+      .groupBy(col("eval_id"), col("cell"))
+      .agg(sum(when(col("train_id").isNotNull, 1L).otherwise(0L))
+          .as("n_train_cell"),
+        sum(when(col("cos") > 0.25, 1L).otherwise(0L)).as("n_contaminated"),
+        coalesce(round(max(col("cos")), 6), lit(-1.0)).as("max_cos"),
+        coalesce(max_by(col("train_id"),
+          struct(col("cos"), (-col("train_id")).as("tb"))), lit(-1L))
+          .as("nearest_train_id"))
+      .select(col("eval_id"), col("cell"), col("n_train_cell"),
+        col("n_contaminated"), col("max_cos"), col("nearest_train_id"))
+    val q = hits.writeStream.outputMode("complete")
+      .format("memory").queryName("parity_c26_adv")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "parity_c26_adv did not finish")
+    val streamed = spark.table("parity_c26_adv").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"online screen ${streamed.size} rows != batch ${batch.size} on the " +
+        "empty-cell layout")
+  }
+
   test("sequence packing censuses a doc stream against frozen token offsets (c14)") {
     // the serving shape of the pretraining packer: the global-prefix-sum
     // offset assignment is the frozen "index" (built in batch — it is
@@ -1401,5 +1535,121 @@ class StreamingParitySpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("non-null"),
       s"null-key failure must name the contract, got: ${ex.getMessage}")
+  }
+
+  test("ExactlyOnceSink: crash mid-FIRST-batch on a fresh root converges from every crash point") {
+    // The bootstrap test above replays the first batch only AFTER a
+    // clean apply. This arm combines fresh-root bootstrap with the
+    // crash-mid-batch window for the FIRST batch ever — the one case
+    // where the replay must bootstrap AND recognize partial transaction
+    // state at once. Three on-disk crash points, each followed by a
+    // replay of batch 0 that must converge to the once-applied ledger:
+    //   1. mid-merge (remerge throws): nothing staged, no marker, no
+    //      ledger — replay remerges from scratch (Merged);
+    //   2. post-stage / pre-marker: stage dir exists, marker missing,
+    //      ledger missing — replay recomputes the stage over the still-
+    //      absent ledger (Merged), never trusts an unmarked stage;
+    //   3. post-marker / pre-swap: marker exists, ledger missing —
+    //      replay skips the merge (Replayed) and materializes the
+    //      ledger purely from the frozen stage.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-e1-first").toString
+    val partials = Seq(("2024-02-01", 5L), ("2024-02-02", 7L))
+      .toDF("day", "n")
+    val expected = Set(Seq("2024-02-01", 5L), Seq("2024-02-02", 7L))
+    def ledgerRows(root: String): Set[Seq[Any]] =
+      spark.read.parquet(root + "/roll")
+        .select(col("day").cast("string"), col("n"))
+        .collect().map(_.toSeq).toSet
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // crash point 1: the merge itself dies on the first-ever batch
+    @volatile var armed = true
+    def remerge(df: DataFrame): DataFrame = {
+      if (armed) throw new RuntimeException("injected crash mid-merge")
+      df.groupBy(col("day")).agg(sum(col("n")).cast("long").as("n"))
+    }
+    val r1 = base + "/cp1"
+    intercept[RuntimeException] {
+      ExactlyOnceSink.applyBatch(r1, 0L, partials, remerge, "day")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(r1 + "/roll")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(r1 + "/stage_0/_GRAFT_STAGED")),
+      "mid-merge crash must leave no ledger and no committed stage")
+    armed = false
+    assert(ExactlyOnceSink.applyBatch(r1, 0L, partials, remerge, "day")
+      == ExactlyOnceSink.Merged)
+    assert(ledgerRows(r1) == expected)
+
+    // crash point 2: stage written, marker and swap lost (on-disk state
+    // identical to a crash between the stage write and the marker
+    // create on a fresh root)
+    val r2 = base + "/cp2"
+    ExactlyOnceSink.applyBatch(r2, 0L, partials, remerge, "day")
+    fs.delete(new org.apache.hadoop.fs.Path(r2 + "/stage_0/_GRAFT_STAGED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(r2 + "/roll"), true)
+    assert(ExactlyOnceSink.applyBatch(r2, 0L, partials, remerge, "day")
+      == ExactlyOnceSink.Merged,
+      "an unmarked stage must be recomputed, never trusted")
+    assert(ledgerRows(r2) == expected)
+
+    // crash point 3: merge committed (marker present), swap lost
+    val r3 = base + "/cp3"
+    ExactlyOnceSink.applyBatch(r3, 0L, partials, remerge, "day")
+    fs.delete(new org.apache.hadoop.fs.Path(r3 + "/roll"), true)
+    assert(ExactlyOnceSink.applyBatch(r3, 0L, partials, remerge, "day")
+      == ExactlyOnceSink.Replayed,
+      "a marked stage must replay through the idempotent swap")
+    assert(ledgerRows(r3) == expected)
+  }
+
+  test("ExactlyOnceSink refuses a remerge that empties a touched partition — before the commit point") {
+    // The must-emit contract: phase 2's dynamic overwrite can only
+    // rewrite partitions PRESENT in the stage, so a remerge with
+    // tombstone semantics (dropping a touched day outright) would leave
+    // that day's stale rows in the ledger forever — silently. The sink
+    // must fail loudly INSTEAD of committing, the failure must land
+    // before the marker (so the batch stays replayable), and a
+    // corrected remerge of the same batchId must then succeed.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e1-mustemit").toString + "/s"
+    def goodMerge(df: DataFrame): DataFrame =
+      df.groupBy(col("day")).agg(sum(col("n")).cast("long").as("n"))
+    ExactlyOnceSink.applyBatch(root, 0L,
+      Seq(("2024-03-01", 1L), ("2024-03-02", 2L)).toDF("day", "n"),
+      goodMerge, "day")
+    val before = spark.read.parquet(root + "/roll")
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet
+
+    // batch 1 touches 2024-03-01 but its remerge deletes the day
+    val b1 = Seq(("2024-03-01", 10L)).toDF("day", "n")
+    def deletingMerge(df: DataFrame): DataFrame =
+      goodMerge(df).filter(col("day") =!= "2024-03-01")
+    val ex = intercept[IllegalArgumentException] {
+      ExactlyOnceSink.applyBatch(root, 1L, b1, deletingMerge, "day")
+    }
+    assert(ex.getMessage.contains("2024-03-01") &&
+      ex.getMessage.contains("touched partition"),
+      s"refusal must name the dropped partition, got: ${ex.getMessage}")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(root + "/stage_1/_GRAFT_STAGED")),
+      "the refusal must land BEFORE the merge's commit point")
+    assert(spark.read.parquet(root + "/roll")
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet == before,
+      "a refused batch must leave the ledger untouched")
+
+    // the same batchId replays cleanly once the remerge honors the
+    // contract — the failure was recoverable, not a poisoned state
+    assert(ExactlyOnceSink.applyBatch(root, 1L, b1, goodMerge, "day")
+      == ExactlyOnceSink.Merged)
+    assert(spark.read.parquet(root + "/roll")
+      .select(col("day").cast("string"), col("n"))
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq("2024-03-01", 11L), Seq("2024-03-02", 2L)))
   }
 }

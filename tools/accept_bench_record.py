@@ -46,9 +46,12 @@ A record is copied into bench_records/ ONLY if ALL conditions hold
                            both with the bad capture at ~1.19+.
                            Overridable per-invocation with
                            --max-median-drift (echoed in output) when a
-                           drift has been adjudicated as real; skipped
-                           (with a warning) when fewer than 20 shared
-                           queries exist.
+                           drift has been adjudicated as real. Fewer
+                           than 20 shared queries vs the baseline is a
+                           REJECT (a renamed/shrunk catalog would
+                           otherwise bypass this condition entirely)
+                           unless --allow-small-overlap is passed
+                           explicitly.
 
 Anything else: REJECT — re-run later at true idle rather than
 hand-committing. `tools/test_accept_gate.py` replays the known-bad r14
@@ -88,6 +91,7 @@ def main() -> int:
     baseline_path = None
     max_median = 1.15
     dry_run = False
+    allow_small_overlap = False
     pos = []
     i = 0
     while i < len(args):
@@ -97,6 +101,8 @@ def main() -> int:
             max_median = float(args[i + 1]); i += 2
         elif args[i] == "--dry-run":
             dry_run = True; i += 1
+        elif args[i] == "--allow-small-overlap":
+            allow_small_overlap = True; i += 1
         else:
             pos.append(args[i]); i += 1
     if len(pos) != 2:
@@ -139,8 +145,19 @@ def main() -> int:
         shared = [k for k in cand
                   if k in prior and prior[k] > 0 and cand[k] > 0]
         if len(shared) < 20:
-            print(f"WARN: only {len(shared)} shared queries vs "
-                  f"{baseline_path} — drift check skipped")
+            # A capture against a heavily renamed/shrunk catalog would
+            # otherwise bypass gate condition 5 entirely; require an
+            # explicit, visible opt-out instead of a silent downgrade.
+            if allow_small_overlap:
+                print(f"WARN: only {len(shared)} shared queries vs "
+                      f"{baseline_path} — drift check skipped "
+                      "(--allow-small-overlap)")
+            else:
+                errs.append(
+                    f"only {len(shared)} shared queries vs {baseline_path} "
+                    "(< 20): drift check impossible — pass "
+                    "--allow-small-overlap if the catalog legitimately "
+                    "changed this much")
         else:
             ratios = sorted(cand[k] / prior[k] for k in shared)
             med = statistics.median(ratios)

@@ -67,6 +67,25 @@ def main() -> int:
                       "--baseline", COMMITTED)
         if rc != 0:
             failures.append(f"committed record: expected ACCEPT rc=0, got {rc}\n{out}")
+        # a capture whose catalog shares <20 queries with the baseline
+        # must REJECT (drift check impossible) unless the opt-out flag
+        # is passed — a renamed catalog must not silently bypass check 5
+        shrunk = dict(good2)
+        shrunk["queries"] = dict(list(good2["queries"].items())[:10])
+        shrunk["value"] = round(sum(shrunk["queries"].values()), 3)
+        shrunk_p = os.path.join(td, "shrunk.json")
+        with open(shrunk_p, "w") as f:
+            json.dump(shrunk, f)
+        rc, out = run(shrunk_p, os.path.join(td, "r15_default_idle.json"),
+                      "--baseline", COMMITTED)
+        if rc != 1 or "drift check impossible" not in out:
+            failures.append(f"shrunk catalog: expected REJECT on small "
+                            f"overlap, got rc={rc}\n{out}")
+        rc, out = run(shrunk_p, os.path.join(td, "r15_default_idle.json"),
+                      "--baseline", COMMITTED, "--allow-small-overlap")
+        if rc != 0:
+            failures.append(f"shrunk catalog with --allow-small-overlap: "
+                            f"expected ACCEPT, got rc={rc}\n{out}")
         # a legacy record (no load_avg_15) must be rejected, not accepted
         legacy_p = os.path.join(td, "legacy.json")
         with open(legacy_p, "w") as f:
