@@ -278,7 +278,16 @@ object TextAnalysis {
     * the plan has NO exchange at all. This is the precompute
     * impact-ordered retrieval indexes bake in; measured here 5.8 s →
     * 1.3 s at sf0.1. */
-  private[graft] def bm25Impacts(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bm25Impacts(s: SparkSession, docs: DataFrame): DataFrame =
+    bm25ImpactsIdf(s, docs, (nTrain, df) =>
+      (length(conv(nTrain, 10, 2)) - length(conv(df, 10, 2))).cast("double"))
+
+  /** [[bm25Impacts]] generalized over the idf form — t16 keeps the integer
+    * bit-length idf; t26's sqrt-compressed idf rides the SAME postings/df/
+    * stats build (one definition of the index shape, two weighting
+    * schemes). The idf builder receives the `n_train` and `df` columns. */
+  private[graft] def bm25ImpactsIdf(s: SparkSession, docs: DataFrame,
+                                    idf: (Column, Column) => Column): DataFrame = {
     import s.implicits._
     val tf = Tables.spread(s, docs.filter(!Curation.isEvalDoc($"doc_id")))
       .select($"doc_id".as("train_id"), split(trim($"text"), Tok.Ws).as("w"))
@@ -290,15 +299,13 @@ object TextAnalysis {
     val stats = dls.agg(count(lit(1)).as("n_train"), sum($"dl").as("sum_dl"))
     val dft = tf.groupBy($"t").agg(count(lit(1)).as("df"))
     val avgdl = $"sum_dl".cast("double") / $"n_train".cast("double")
-    val idfB = (length(conv($"n_train", 10, 2)) - length(conv($"df", 10, 2)))
-      .cast("double")
     val tfn = ($"tf".cast("double") * lit(2.2)) /
       ($"tf".cast("double") + lit(1.2) *
         (lit(0.25) + lit(0.75) * $"dl".cast("double") / avgdl))
     tf.join(broadcast(dft), "t")
       .crossJoin(broadcast(stats))
       .select($"t", $"train_id",
-        round(idfB * tfn * lit(1e6)).cast("long").as("fx"))
+        round(idf($"n_train", $"df") * tfn * lit(1e6)).cast("long").as("fx"))
   }
 
   /** Distinct query terms per probe item (ShingleArr width 1):
@@ -896,6 +903,94 @@ object TextAnalysis {
           scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 3, saltFrom = $"train_id")
         .select($"eval_id", $"rn".as("rank"), $"train_id",
           round($"sfx".cast("double") / lit(1e6), 6).as("bm25"))
+        .orderBy($"eval_id", $"rank")
+    },
+
+    // Hybrid retrieve-then-rerank — the stage the retrieval family was
+    // missing: t16 retrieves lexically, s31 mines by embedding; the
+    // standard pipeline ends with a RERANK of the top-k lexical
+    // candidates by a joint score (the cheap cross-encoder stand-in:
+    // min-max-normalized lexical score blended 1:1 with embedding
+    // cosine). Per eval probe: top-10 candidates by BM25-with-sqrt-idf,
+    // then top-5 of those by `blend = norm(bm25) + cos`. The sqrt idf —
+    // sqrt(N/df) instead of t16's bit-length quantization — matters at
+    // harness scale: with n_train=450 every df lands in n_train's
+    // bit-length bucket, so t16's idf degenerates to 0 and ranks by
+    // tie-break; sqrt(N/df) discriminates at ANY corpus size and stays
+    // engine-exact because IEEE sqrt is correctly rounded in both
+    // engines (the same guarantee every cosine here already leans on) —
+    // no float log enters. Parity discipline: the lexical arm is t16's
+    // fixed-point 1e-6 integer sum; the cosine arm is the in-order
+    // DotProduct fold rounded to a 1e-6 fixed-point integer; min-max
+    // normalization divides exact integer differences (identical
+    // doubles both engines); the blend is an INTEGER sum of the two
+    // fixed-point arms, so ranking compares longs, never accumulated
+    // doubles. Candidates are linked to vectors by the harness
+    // convention vec_id == doc_id; the join is INNER — a candidate
+    // without an embedding cannot be cross-encoded and drops from the
+    // rerank (at sf0.1 the embeddings table covers only doc_id < 2000;
+    // both engines agree by the same join).
+    //
+    // Scale shape: stage 1 is exactly t16's (doc-local postings via the
+    // codegen'd WordCounts scan expression, broadcast vocab-bounded df,
+    // broadcast probe terms, salted TopK — the corpus never shuffles);
+    // stage 2 touches ONLY n_eval × 10 candidate rows — the whole point
+    // of retrieve-then-rerank is that the expensive joint scoring runs
+    // on a candidate set ~6 orders of magnitude smaller than the
+    // corpus. The candidate list broadcasts INTO the embeddings scan
+    // (corpus embeddings never exchange), the eval vectors and
+    // candidate-local min-max stats broadcast likewise, and the final
+    // top-5 is the salted TopK over ≤10 rows per key.
+    "t26_hybrid_rerank" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsIdf(s, docs,
+        (nTrain, df) => sqrt(nTrain.cast("double") / df.cast("double")))
+      val q = bm25ProbeTerms(docs)
+      // persisted for the same reason as t16 (TopK's exchange replays
+      // its input once more than you'd expect under the final orderBy's
+      // range-partitioner sampling job)
+      val scored = bm25Scores(post, q)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // stage-1 cut: top-10 lexical candidates per probe — referenced
+      // three times below (embedding fetch, min-max stats), so persist
+      // the 10·n_eval-row frame rather than replay the retrieval
+      val cand = graft.operators.TopK.perKey(
+          scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
+          saltFrom = $"train_id")
+        .select($"eval_id", $"train_id", $"sfx")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // candidate-local min-max over the retrieved set (NOT the corpus:
+      // rerank normalizers must come from the slate actually shown)
+      val mm = cand.groupBy($"eval_id")
+        .agg(min($"sfx").as("mn"), max($"sfx").as("mx"))
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      val ev = e.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"))
+      val te = e.join(broadcast(cand), $"vec_id" === $"train_id")
+        .select($"eval_id", $"train_id", $"sfx", $"v".as("tv"),
+          $"nrm".as("tnrm"))
+      val cfx = round(
+          Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm") *
+            lit(1e6)).cast("long")
+      val nbFx = when($"mx" > $"mn",
+          round(($"sfx" - $"mn").cast("double") /
+            ($"mx" - $"mn").cast("double") * lit(1e6)).cast("long"))
+        .otherwise(lit(500000L))
+      val blended = te.join(broadcast(ev), Seq("eval_id"))
+        .select($"eval_id", $"train_id", $"sfx", cfx.as("cfx"))
+        .join(broadcast(mm), Seq("eval_id"))
+        .select($"eval_id", $"train_id", $"sfx", $"cfx",
+          (nbFx + $"cfx").as("bfx"))
+      graft.operators.TopK.perKey(
+          blended, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
+          saltFrom = $"train_id")
+        .select($"eval_id", $"rn".as("rank"), $"train_id",
+          round($"sfx".cast("double") / lit(1e6), 6).as("bm25"),
+          round($"cfx".cast("double") / lit(1e6), 6).as("cos_sim"),
+          round($"bfx".cast("double") / lit(1e6), 6).as("blend"))
         .orderBy($"eval_id", $"rank")
     },
 
@@ -1685,6 +1780,51 @@ object TextAnalysis {
            |  FROM agg)
            |SELECT eval_id, rank, train_id, round(CAST(sfx AS DOUBLE) / 1000000.0, 6) AS bm25
            |FROM r WHERE rank <= 3 ORDER BY eval_id, rank""".stripMargin,
+
+    // t16's lexical pipeline with the sqrt(N/df) idf (IEEE sqrt is
+    // correctly rounded in both engines), then the rerank arms: cosine
+    // as a 1e-6 fixed-point integer, min-max normalization over exact
+    // integer differences, and an integer blend — every ranking
+    // comparison is on BIGINTs, never accumulated doubles
+    "t26_hybrid_rerank" ->
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx
+           |  FROM sc GROUP BY eval_id, train_id),
+           |r AS (SELECT eval_id, train_id, sfx,
+           |    ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank
+           |  FROM agg),
+           |cand AS (SELECT eval_id, train_id, sfx FROM r WHERE rrank <= 10),
+           |mm AS (SELECT eval_id, MIN(sfx) AS mn, MAX(sfx) AS mx FROM cand GROUP BY eval_id),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc2 AS (SELECT c.eval_id, c.train_id, c.sfx, mm.mn, mm.mx,
+           |    CAST(round(list_dot_product(te.v, ee.v)
+           |      / sqrt(list_dot_product(te.v, te.v) * list_dot_product(ee.v, ee.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM cand c JOIN e te ON te.vec_id = c.train_id
+           |              JOIN e ee ON ee.vec_id = c.eval_id
+           |              JOIN mm ON mm.eval_id = c.eval_id),
+           |bl AS (SELECT eval_id, train_id, sfx, cfx,
+           |    (CASE WHEN mx > mn THEN CAST(round(CAST(sfx - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) * 1000000.0) AS BIGINT)
+           |          ELSE 500000 END) + cfx AS bfx
+           |  FROM sc2),
+           |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY bfx DESC, train_id) AS INTEGER) AS rank FROM bl)
+           |SELECT eval_id, rank, train_id,
+           |  round(CAST(sfx AS DOUBLE) / 1000000.0, 6) AS bm25,
+           |  round(CAST(cfx AS DOUBLE) / 1000000.0, 6) AS cos_sim,
+           |  round(CAST(bfx AS DOUBLE) / 1000000.0, 6) AS blend
+           |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin,
 
     // same planting, same regexes (RE2 == Java regex on this subset),
     // same scrub order; regexp_replace needs the 'g' flag (DuckDB

@@ -317,6 +317,61 @@ class TextAnalysisSpec extends SparkSuite {
       s"got $rows")
   }
 
+  test("t26 rerank: blend reorders the lexical slate, unembedded candidates drop, flat-slate fallback") {
+    import spark.implicits._
+    // Eval 0 probes {x, y}; train slate by lexical score (sqrt-idf BM25,
+    // df(x)=3 via docs 1/2/5, df(y)=1 via doc 3): doc3 ("y", rare term)
+    // > doc1 ("x x x") > doc5 ("x x") > doc2 ("x"); doc4 ("z") shares no
+    // term and must never appear. Embeddings then INVERT the slate:
+    // doc2 (slate minimum, nb=0) is parallel to the probe (cos 1) ->
+    // blend exactly 1.0 and rank 1; doc3 (slate maximum, nb=1) is
+    // anti-parallel (cos -1) -> blend exactly 0.0 and rank 3; doc1 is
+    // orthogonal (cos 0) -> blend = its nb alone, rank 2. doc5 has NO
+    // embedding, so the inner join must drop it from the rerank.
+    // Eval 100 probes {w} against two lexically IDENTICAL docs (6, 7):
+    // mn == mx, so the fallback nb = 0.5 applies and cosine alone ranks.
+    val docs = Seq(
+      (0L, "x y"), (100L, "w"),
+      (1L, "x x x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "x x"),
+      (6L, "w"), (7L, "w")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(1.0f, 1.0f)),
+      // no row for doc 5: an unembedded candidate is not cross-encodable
+      (6L, Array(0.0f, 1.0f)), (7L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t26").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = TextAnalysis.queries("t26_hybrid_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    val eval0 = rows.filter(_._1 == 0L)
+    // the blend fully INVERTS the lexical order 3 > 1 > 2; the
+    // unembedded candidate (5) and the no-overlap doc (4) are absent
+    assert(eval0.map(x => (x._2, x._3)) == List((1, 2L), (2, 1L), (3, 3L)),
+      s"eval 0 slate: $eval0")
+    assert(eval0.map(_._5) == List(1.0, 0.0, -1.0), s"cosines: $eval0")
+    // the slate minimum (nb = 0) with cos 1 blends to EXACTLY 1.0 and
+    // the slate maximum (nb = 1) with cos -1 to EXACTLY 0.0 — pins the
+    // fixed-point blend arithmetic, not just the ordering
+    assert(eval0.head._6 == 1.0, s"rank-1 blend: ${eval0.head}")
+    assert(eval0.last._6 == 0.0, s"rank-3 blend: ${eval0.last}")
+    // the bm25 column reports stage 1, so it must still show the
+    // ORIGINAL lexical order 3 > 1 > 2 (distinct scores)
+    val bySlate = eval0.sortBy(x => -x._4).map(_._3)
+    assert(bySlate == List(3L, 1L, 2L), s"lexical order: $eval0")
+    assert(eval0.map(_._4).distinct.size == 3, s"sfx collision: $eval0")
+    // flat slate: identical lexical scores -> nb = 0.5 both, cosine
+    // decides, and the blend values are exactly 1.5 / 0.5
+    val eval100 = rows.filter(_._1 == 100L)
+    assert(eval100.map(x => (x._2, x._3, x._5, x._6)) ==
+      List((1, 6L, 1.0, 1.5), (2, 7L, 0.0, 0.5)), s"eval 100: $eval100")
+    assert(eval100.map(_._4).distinct.size == 1, s"sfx not flat: $eval100")
+  }
+
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
     import spark.implicits._
     // hand-constructed token counts around every boundary: 1, 63, 64
