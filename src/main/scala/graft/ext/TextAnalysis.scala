@@ -332,6 +332,73 @@ object TextAnalysis {
       .agg(sum(col("fx")).as("sfx"))
   }
 
+  /** t26's sqrt-compressed idf — sqrt(N/df), ONE definition shared by the
+    * query and its serving twin. IEEE sqrt is correctly rounded in both
+    * engines (the guarantee every cosine here leans on), so no float log
+    * enters; unlike t16's bit-length bucket — degenerate when every df
+    * shares n_train's bit length — it discriminates at any corpus size. */
+  private[graft] val sqrtIdf: (Column, Column) => Column =
+    (nTrain, df) => sqrt(nTrain.cast("double") / df.cast("double"))
+
+  /** t26's rerank on arbitrary pre-shaped frames — `probeTerms` as
+    * `(eval_id, t)` (from [[bm25ProbeTerms]]), `post` a FROZEN impacts
+    * index `(t, train_id, fx)`, `emb` as `(vec_id, v, nrm)` — factored so
+    * the serving twin can run the identical definition per micro-batch of
+    * ARRIVING probe documents against the static index + embedding table.
+    * Every per-probe quantity (slate, min-max normalizer, blend) derives
+    * only from that probe's own rows, so the union over any probe
+    * batching equals the one-shot batch run. */
+  private[graft] def hybridRerank(probeTerms: DataFrame, post: DataFrame,
+                                  emb: DataFrame): DataFrame = {
+    val s = post.sparkSession
+    import s.implicits._
+    // persisted for the same reason as t16 (TopK's exchange replays its
+    // input once more than you'd expect under the final orderBy's
+    // range-partitioner sampling job)
+    val scored = bm25Scores(post, probeTerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage-1 cut: top-10 lexical candidates per probe — referenced
+    // three times below (embedding fetch, eval-id set, min-max stats),
+    // so persist the 10·n_eval-row frame rather than replay retrieval
+    val cand = graft.operators.TopK.perKey(
+        scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"train_id", $"sfx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate-local min-max PER PROBE (not the corpus, not the batch:
+    // rerank normalizers must come from the slate actually shown — a
+    // batch-pooled normalizer would make output depend on which probes
+    // happen to arrive together; the twin's adversarial arm proves it)
+    val mm = cand.groupBy($"eval_id")
+      .agg(min($"sfx").as("mn"), max($"sfx").as("mx"))
+    val ev = emb.join(broadcast(cand.select($"eval_id").distinct()),
+        $"vec_id" === $"eval_id")
+      .select($"eval_id", $"v".as("ev"), $"nrm".as("enrm"))
+    val te = emb.join(broadcast(cand), $"vec_id" === $"train_id")
+      .select($"eval_id", $"train_id", $"sfx", $"v".as("tv"),
+        $"nrm".as("tnrm"))
+    val cfx = round(
+        Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm") *
+          lit(1e6)).cast("long")
+    val nbFx = when($"mx" > $"mn",
+        round(($"sfx" - $"mn").cast("double") /
+          ($"mx" - $"mn").cast("double") * lit(1e6)).cast("long"))
+      .otherwise(lit(500000L))
+    val blended = te.join(broadcast(ev), Seq("eval_id"))
+      .select($"eval_id", $"train_id", $"sfx", cfx.as("cfx"))
+      .join(broadcast(mm), Seq("eval_id"))
+      .select($"eval_id", $"train_id", $"sfx", $"cfx",
+        (nbFx + $"cfx").as("bfx"))
+    graft.operators.TopK.perKey(
+        blended, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"rn".as("rank"), $"train_id",
+        round($"sfx".cast("double") / lit(1e6), 6).as("bm25"),
+        round($"cfx".cast("double") / lit(1e6), 6).as("cos_sim"),
+        round($"bfx".cast("double") / lit(1e6), 6).as("blend"))
+      .orderBy($"eval_id", $"rank")
+  }
+
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
     * hash) set, hashed IN THE SCAN STAGE so the one corpus-wide distinct
     * exchanges fixed 8-byte keys, never shingle text (t09's scaladoc has
@@ -944,54 +1011,11 @@ object TextAnalysis {
     "t26_hybrid_rerank" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val post = bm25ImpactsIdf(s, docs,
-        (nTrain, df) => sqrt(nTrain.cast("double") / df.cast("double")))
-      val q = bm25ProbeTerms(docs)
-      // persisted for the same reason as t16 (TopK's exchange replays
-      // its input once more than you'd expect under the final orderBy's
-      // range-partitioner sampling job)
-      val scored = bm25Scores(post, q)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // stage-1 cut: top-10 lexical candidates per probe — referenced
-      // three times below (embedding fetch, min-max stats), so persist
-      // the 10·n_eval-row frame rather than replay the retrieval
-      val cand = graft.operators.TopK.perKey(
-          scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
-          saltFrom = $"train_id")
-        .select($"eval_id", $"train_id", $"sfx")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // candidate-local min-max over the retrieved set (NOT the corpus:
-      // rerank normalizers must come from the slate actually shown)
-      val mm = cand.groupBy($"eval_id")
-        .agg(min($"sfx").as("mn"), max($"sfx").as("mx"))
-      val e = Tables.embeddings(s, d)
+      val post = bm25ImpactsIdf(s, docs, sqrtIdf)
+      val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      val ev = e.filter($"vec_id" % 100 === 0)
-        .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"))
-      val te = e.join(broadcast(cand), $"vec_id" === $"train_id")
-        .select($"eval_id", $"train_id", $"sfx", $"v".as("tv"),
-          $"nrm".as("tnrm"))
-      val cfx = round(
-          Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm") *
-            lit(1e6)).cast("long")
-      val nbFx = when($"mx" > $"mn",
-          round(($"sfx" - $"mn").cast("double") /
-            ($"mx" - $"mn").cast("double") * lit(1e6)).cast("long"))
-        .otherwise(lit(500000L))
-      val blended = te.join(broadcast(ev), Seq("eval_id"))
-        .select($"eval_id", $"train_id", $"sfx", cfx.as("cfx"))
-        .join(broadcast(mm), Seq("eval_id"))
-        .select($"eval_id", $"train_id", $"sfx", $"cfx",
-          (nbFx + $"cfx").as("bfx"))
-      graft.operators.TopK.perKey(
-          blended, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
-          saltFrom = $"train_id")
-        .select($"eval_id", $"rn".as("rank"), $"train_id",
-          round($"sfx".cast("double") / lit(1e6), 6).as("bm25"),
-          round($"cfx".cast("double") / lit(1e6), 6).as("cos_sim"),
-          round($"bfx".cast("double") / lit(1e6), 6).as("blend"))
-        .orderBy($"eval_id", $"rank")
+      hybridRerank(bm25ProbeTerms(docs), post, emb)
     },
 
     // PII detection + redaction census — the scrubbing pass every

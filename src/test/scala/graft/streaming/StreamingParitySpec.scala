@@ -926,6 +926,141 @@ class StreamingParitySpec extends SparkSuite {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("hybrid rerank serves arriving probe docs per micro-batch against the frozen index + embeddings (t26)") {
+    // t26's serving form: the sqrt-idf impacts index and the embedding
+    // table are FROZEN (built in batch, as in production retrieval);
+    // probe DOCUMENTS arrive live and each micro-batch runs the
+    // identical hybridRerank definition. Every per-probe quantity
+    // (slate, min-max normalizer, blend) derives only from the probe's
+    // own rows, so the union over any batching equals the one-shot run.
+    import graft.ext.{Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = TextAnalysis.hybridRerank(
+        TextAnalysis.bm25ProbeTerms(docs), post, emb)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch reranked no probes at sf0.001")
+    val root = Files.createTempDirectory("graft-t26-stream").toString
+    docs.filter(col("doc_id") % 100 === 0).repartition(3)
+      .write.mode("overwrite").parquet(root + "/probes")
+    val schema = spark.read.parquet(root + "/probes").schema
+    val served = scala.collection.mutable.Set[Seq[Any]]()
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          val out = TextAnalysis.hybridRerank(
+            TextAnalysis.bm25ProbeTerms(b), post, emb).collect()
+          served.synchronized { served ++= out.map(_.toSeq) }
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "t26 twin did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    assert(served.toSet == batch,
+      s"served rerank rows ${served.size} != batch ${batch.size}")
+  }
+
+  test("t26 adversarial: slicing-invariance holds for the real rerank and FAILS for a batch-pooled normalizer") {
+    // The twin above asserts streamed == batch under ONE slicing — a
+    // batch-DEPENDENT refactor could survive it by luck. Two arms:
+    //  1. the same probe set sliced two different ways must both union
+    //     to the one-shot run;
+    //  2. teeth: a plausibly-broken rerank that min-max-normalizes over
+    //     the BATCH's pooled candidate scores (instead of per-probe —
+    //     the classic leakage bug in rerank normalization) DIVERGES
+    //     across slicings, and degenerates to the real rerank when each
+    //     probe arrives alone — pinning that the divergence comes from
+    //     cross-probe batch state alone. If the counterfactual stops
+    //     diverging, the invariance assertion has lost its teeth.
+    import graft.ext.{Similarity, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+      .persist(MEMORY_AND_DISK)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    def rerank(p: DataFrame): Set[Seq[Any]] =
+      TextAnalysis.hybridRerank(TextAnalysis.bm25ProbeTerms(p), post, emb)
+        .collect().map(_.toSeq).toSet
+    val oneShot = rerank(probes)
+    assert(oneShot.nonEmpty)
+    val evalIds = probes.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(evalIds.length >= 3, s"need >= 3 probes, got ${evalIds.toSeq}")
+    val slicings = Seq(
+      Seq(Seq(evalIds.head), evalIds.tail.toSeq),
+      Seq(evalIds.take(2).toSeq, evalIds.drop(2).toSeq))
+    slicings.zipWithIndex.foreach { case (slices, i) =>
+      val union = slices.map(ids =>
+        rerank(probes.filter(col("doc_id").isin(ids: _*)))).reduce(_ ++ _)
+      assert(union == oneShot,
+        s"slicing #$i diverged from the one-shot rerank — per-probe " +
+          "independence is broken")
+    }
+
+    // the counterfactual: pool the min-max over every candidate in the
+    // batch — same stages otherwise (same slate, same cosine arm)
+    def brokenRerank(p: DataFrame): Set[Seq[Any]] = {
+      val scored = TextAnalysis.bm25Scores(post, TextAnalysis.bm25ProbeTerms(p))
+      val cand = graft.operators.TopK.perKey(
+          scored, col("eval_id"), Seq(col("sfx").desc, col("train_id")), 10,
+          saltFrom = col("train_id"))
+        .select(col("eval_id"), col("train_id"), col("sfx"))
+        .persist(MEMORY_AND_DISK)
+      val mm = cand.agg(min(col("sfx")).as("mn"), max(col("sfx")).as("mx"))
+      val ev = emb.join(broadcast(cand.select(col("eval_id")).distinct()),
+          col("vec_id") === col("eval_id"))
+        .select(col("eval_id"), col("v").as("ev"), col("nrm").as("enrm"))
+      val te = emb.join(broadcast(cand), col("vec_id") === col("train_id"))
+        .select(col("eval_id"), col("train_id"), col("sfx"),
+          col("v").as("tv"), col("nrm").as("tnrm"))
+      val cfx = round(Similarity.cosineWithNorms(
+        col("tv"), col("ev"), col("tnrm"), col("enrm")) * lit(1e6)).cast("long")
+      val nbFx = when(col("mx") > col("mn"),
+          round((col("sfx") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * lit(1e6)).cast("long"))
+        .otherwise(lit(500000L))
+      val blended = te.join(broadcast(ev), Seq("eval_id"))
+        .select(col("eval_id"), col("train_id"), col("sfx"), cfx.as("cfx"))
+        .crossJoin(broadcast(mm))
+        .select(col("eval_id"), col("train_id"), col("sfx"), col("cfx"),
+          (nbFx + col("cfx")).as("bfx"))
+      val out = graft.operators.TopK.perKey(
+          blended, col("eval_id"), Seq(col("bfx").desc, col("train_id")), 5,
+          saltFrom = col("train_id"))
+        .select(col("eval_id"), col("rn").as("rank"), col("train_id"),
+          round(col("sfx").cast("double") / lit(1e6), 6).as("bm25"),
+          round(col("cfx").cast("double") / lit(1e6), 6).as("cos_sim"),
+          round(col("bfx").cast("double") / lit(1e6), 6).as("blend"))
+        .collect().map(_.toSeq).toSet
+      cand.unpersist()
+      out
+    }
+    val brokenJoint = brokenRerank(probes)
+    val brokenSingles = evalIds.map(id =>
+      brokenRerank(probes.filter(col("doc_id") === id))).reduce(_ ++ _)
+    assert(brokenJoint != brokenSingles,
+      "the batch-pooled normalizer did NOT diverge across slicings — " +
+        "the invariance assertion above has no teeth")
+    // alone, the pooled normalizer degenerates to per-probe min-max, so
+    // the broken rerank on single-probe batches equals the REAL rerank
+    assert(brokenSingles == oneShot,
+      "single-probe broken rerank should equal the real rerank — the " +
+        "divergence must come from cross-probe batch state alone")
+  }
+
   test("c26 adversarial: an eval vector landing in a corpus-EMPTY cell gets a sentinel census row, online == batch") {
     // The c26 twin screens against the full harness layout, where every
     // cell happens to hold train vectors — so a left→inner join refactor
