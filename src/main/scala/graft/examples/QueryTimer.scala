@@ -26,9 +26,19 @@ object QueryTimer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    // process CPU per rep alongside wall (Bench's osBean trick): isolated
+    // idle adjudications of a bench-record CPU drift need the subsidy-free
+    // cpu-seconds, not just wall — wall hides scheduling/JIT effects that
+    // only show up as burned CPU at equal wall
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     (0 to reps).foreach { i =>
       // fresh plan each rep; persisted intermediates are cleared so every
       // rep pays the full cost
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val n =
@@ -36,7 +46,9 @@ object QueryTimer {
           df.write.format("noop").mode("overwrite").save(); -1L
         } else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"rep=$i rows=$n time=$dt%.3f s" + (if (i == 0) " (warmup)" else ""))
+      val dc = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
+      println(f"rep=$i rows=$n time=$dt%.3f s cpu=$dc%.3f s" +
+        (if (i == 0) " (warmup)" else ""))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
