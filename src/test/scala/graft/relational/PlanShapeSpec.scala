@@ -384,6 +384,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "no posting-side sort-merge join")
   }
 
+  test("t26: candidates broadcast into the embeddings scan — the corpus side never sort-merge-joins") {
+    // the rerank's scale contract: stage 2 touches only the n_eval × 10
+    // candidate slate, so BOTH embedding fetches (candidate vectors and
+    // eval vectors) must plan as broadcast joins against the embeddings
+    // scan — a lost broadcast silently exchanges the corpus embedding
+    // table, which at 100 TB is the difference between a slate-sized
+    // rerank and a full-corpus shuffle (ShuffleCeilingSpec bounds the
+    // bytes at sf0.01; this names the failing join shape)
+    val p = plan("t26_hybrid_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate/eval/min-max lookups must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "no embedding-side sort-merge join — the corpus must never exchange")
+    assert(p.contains("word_counts"),
+      "stage 1 must stay t16's doc-local postings build")
+    assert(p.contains("partial"),
+      "per-(eval, doc) sums must partial-aggregate map-side")
+  }
+
   test("m04: pair curation has no quadratic stage — gates are aggs, alignment equi-joins") {
     val p = plan("m04_pair_curation")
     assert(!p.contains("CartesianProduct"))
