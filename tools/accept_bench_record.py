@@ -109,8 +109,27 @@ def main() -> int:
         print(__doc__)
         return 2
     src, dst = pos
+    # Bench prints TWO "metric" lines (the full record and a short
+    # trailing summary without per-query maps); a capture made with
+    # `grep '"metric"'` carries both and strict json.load rejects the
+    # concatenation. Accept line-delimited JSON and pick the record
+    # that actually has the per-query map — never the summary.
     with open(src) as f:
-        d = json.load(f)
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    cands = []
+    for ln in lines:
+        try:
+            j = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(j, dict):
+            cands.append(j)
+    full = [j for j in cands if "queries" in j]
+    if len(full) != 1:
+        print(f"REJECT: {src} holds {len(full)} record(s) with a "
+              f"'queries' map ({len(cands)} JSON lines) — need exactly 1")
+        return 1
+    d = full[0]
     load = d.get("load_avg", -1)
     load15 = d.get("load_avg_15", None)
     ratio = d.get("ratio_vs_idle", -1)
