@@ -40,6 +40,19 @@ class ContractSpec extends SparkSuite {
     // and the reverse: a documented row for a deleted/renamed query is stale
     val ghost = documented.diff(SparkEntry.queries.keySet)
     assert(ghost.isEmpty, s"QUERIES.md rows without a query: $ghost")
+    // section headers carry each family's id range — pin the upper bound
+    // to the catalog (headers went stale across four families by r16)
+    val maxByPrefix = SparkEntry.queries.keySet.groupBy(_.take(1))
+      .map { case (p, names) =>
+        p -> names.map(_.drop(1).takeWhile(_.isDigit).toInt).max }
+    val hdr = "\\(([a-z])\\d+–[a-z](\\d+)\\)".r
+    lines.filter(_.startsWith("## ")).foreach { h =>
+      hdr.findFirstMatchIn(h).foreach { m =>
+        val (p, hi) = (m.group(1), m.group(2).toInt)
+        assert(hi == maxByPrefix(p),
+          s"header '$h' says $p-family tops out at $hi; catalog max is ${maxByPrefix(p)}")
+      }
+    }
   }
 
   test("README.md stays in sync: relational and total query counts") {
