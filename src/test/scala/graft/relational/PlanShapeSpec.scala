@@ -521,6 +521,37 @@ class PlanShapeSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  // The same silent-fallback failure mode threatens every query whose
+  // fused stages carry many codegen'd expressions — compile each one's
+  // stages the way WholeStageCodegenExec would, so a refactor that blows
+  // the 64 KB method budget anywhere in this risk set turns red instead
+  // of quietly running the stage unfused (grep-the-logs was the only
+  // detection before the s13 guard; this extends it to the family).
+  for (name <- Seq("s15_pq_trained", "s12_kmeans_lloyd3", "s25_maxsim_late_interaction",
+                   "s11_pq_adc_search", "t26_hybrid_rerank", "d08_simhash64_signatures",
+                   "g04_cooccurrence_bitmap", "t16_bm25_retrieval"))
+    test(s"$name: every fused stage compiles under the codegen method limit") {
+      import org.apache.spark.sql.execution.WholeStageCodegenExec
+      import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val exec = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val stages = exec.collect { case w: WholeStageCodegenExec => w }
+        assert(stages.nonEmpty, "plan must contain fused stages")
+        val limit = spark.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+        stages.foreach { w =>
+          val (_, code) = w.doCodeGen()
+          val (_, stats) = CodeGenerator.compile(code)
+          assert(stats.maxMethodCodeSize <= limit,
+            s"generated method ${stats.maxMethodCodeSize} bytes exceeds the " +
+              s"$limit fallback threshold — stage would run unfused:\n" +
+              w.treeString.linesIterator.take(20).mkString("\n"))
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+
   test("t15: LM tables broadcast to the scoring scan — the corpus never shuffles for the lookup") {
     val p = plan("t15_lm_bits")
     assert(!p.contains("SortMergeJoin"),
