@@ -698,10 +698,15 @@ object Graph {
   }
 
   val oracle: Map[String, String] = {
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference — g05's
+    // unrolled rounds reference ed once per round and each l(k-1) three
+    // times, so the inlined chain recomputed the edge build ~3^rounds
+    // times (measured: an 80 GB spill-to-disk failure at sf0.1; the
+    // g06 oracle documents the same DuckDB-only hint)
     val edgeCtes =
-      """ed0 AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+      """ed0 AS MATERIALIZED (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |ed AS (SELECT c AS u, s AS v FROM ed0 UNION ALL SELECT s, c FROM ed0),
+        |ed AS MATERIALIZED (SELECT c AS u, s AS v FROM ed0 UNION ALL SELECT s, c FROM ed0),
         |deg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u)""".stripMargin
 
     Map(
@@ -761,7 +766,10 @@ object Graph {
       "g05_labelprop_converged" -> {
         val rounds = 6
         val roundCtes = (1 to rounds).map { k =>
-          raw"""l$k AS (SELECT n.u, LEAST(n.lbl, MIN(p.lbl)) AS lbl
+          // MATERIALIZED per round: l(k-1) is referenced three times (the
+          // n and p arms plus d(k)'s diff) — inlining recomputes the whole
+          // prior chain per reference, ~3^rounds edge builds by l6
+          raw"""l$k AS MATERIALIZED (SELECT n.u, LEAST(n.lbl, MIN(p.lbl)) AS lbl
                |  FROM l${k - 1} n JOIN ed e ON e.u = n.u JOIN l${k - 1} p ON p.u = e.v
                |  GROUP BY n.u, n.lbl),
                |d$k AS (SELECT $k AS r, COUNT(*) AS ch
