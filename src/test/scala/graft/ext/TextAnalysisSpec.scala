@@ -330,8 +330,16 @@ class TextAnalysisSpec extends SparkSuite {
     // embedding, so the inner join must drop it from the rerank.
     // Eval 100 probes {w} against two lexically IDENTICAL docs (6, 7):
     // mn == mx, so the fallback nb = 0.5 applies and cosine alone ranks.
+    // Eval 200 probes {x} but has NO embedding of its own: the rerank
+    // requires the probe vector, so the whole probe drops — t26's
+    // documented INNER-join semantics on the eval side too (at sf0.1,
+    // eval doc_ids >= 2000 have no vector; a production variant that
+    // wants a lexical-only fallback would LEFT-join and coalesce cos
+    // to 0 — pinning the drop makes that a deliberate future change,
+    // not a silent one; contrast c26, whose screen emits sentinels
+    // because "never screened" and "screened clean" must not conflate).
     val docs = Seq(
-      (0L, "x y"), (100L, "w"),
+      (0L, "x y"), (100L, "w"), (200L, "x"),
       (1L, "x x x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "x x"),
       (6L, "w"), (7L, "w")).toDF("doc_id", "text")
     val emb = Seq(
@@ -370,6 +378,11 @@ class TextAnalysisSpec extends SparkSuite {
     assert(eval100.map(x => (x._2, x._3, x._5, x._6)) ==
       List((1, 6L, 1.0, 1.5), (2, 7L, 0.0, 0.5)), s"eval 100: $eval100")
     assert(eval100.map(_._4).distinct.size == 1, s"sfx not flat: $eval100")
+    // an UNEMBEDDED probe cannot be cross-encoded: eval 200 retrieved a
+    // slate ("x" matches docs 1/2/5) but has no vector, so it emits
+    // nothing at all — the pinned inner-join-on-the-eval-side decision
+    assert(!rows.exists(_._1 == 200L),
+      s"unembedded probe must drop entirely: ${rows.filter(_._1 == 200L)}")
   }
 
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
