@@ -93,6 +93,28 @@ class SchemaCanarySpec extends SparkSuite {
     }
   }
 
+  test("canary: every eval doc_id has an embedding (vec_id == doc_id convention)") {
+    // t26's rerank (and its DuckDB oracle) link candidates to vectors by
+    // the harness convention vec_id == doc_id, and every eval probe
+    // (doc_id % 100 == 0) must be embeddable at the SFs the oracle gate
+    // runs at — sf0.1 is deliberately EXCLUDED (embeddings there stop at
+    // vec_id 1999; the unembedded-probe drop is pinned behavior). A
+    // regeneration that breaks the id alignment must fail HERE with one
+    // clear message, not as a t26 hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val missing = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 0).select(col("doc_id"))
+        .join(Tables.embeddings(spark, dir),
+          col("doc_id") === col("vec_id"), "left_anti")
+        .count()
+      assert(missing === 0L,
+        s"$missing eval doc(s) in $dir lack an embedding at vec_id == " +
+          "doc_id — the alignment convention t26 relies on has been broken")
+    }
+  }
+
   test("canary: Tables.events normalizes ts to TimestampType") {
     val dt = Tables.events(spark, sf).schema("ts").dataType
     assert(dt === TimestampType || dt === TimestampNTZType,
