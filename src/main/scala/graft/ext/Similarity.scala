@@ -380,7 +380,12 @@ object Similarity {
     * for session-level teardown under a shared context. Build-once is
     * guaranteed by [[MemoCell]]'s per-key lazy initialization — only the
     * cheap putIfAbsent races globally; the (possibly job-running) build
-    * itself never holds a lock any other key's caller waits on. */
+    * itself never holds a lock any other key's caller waits on.
+    *
+    * Generic beyond kNN: any frame several catalog queries derive from
+    * the same (session, dataset) rides this map under its own `key` —
+    * the kNN-graph entries below and t16/t26's shared BM25 tf frame
+    * ([[TextAnalysis.bm25TfMemo]]). */
   private[graft] def knnMemoized(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame = {
     if (knnMemoHooked.add(s)) {

@@ -958,8 +958,13 @@ class StreamingParitySpec extends SparkSuite {
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           batches += 1
-          val out = TextAnalysis.hybridRerank(
-            TextAnalysis.bm25ProbeTerms(b), post, emb).collect()
+          // managed form: a long-running serving loop must unpersist the
+          // per-call intermediate frames once the batch is materialized,
+          // or they accumulate across micro-batches (r16 ADVICE)
+          val (df, cleanup) = TextAnalysis.hybridRerankManaged(
+            TextAnalysis.bm25ProbeTerms(b), post, emb)
+          val out = df.collect()
+          cleanup()
           served.synchronized { served ++= out.map(_.toSeq) }
         }
         ()
