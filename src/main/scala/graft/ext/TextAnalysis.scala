@@ -395,6 +395,30 @@ object TextAnalysis {
       emb: DataFrame): (DataFrame, () => Unit) = {
     val s = post.sparkSession
     import s.implicits._
+    val (joint, cleanup) = rerankJointScores(probeTerms, post, emb)
+    val out = graft.operators.TopK.perKey(
+        joint, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"rn".as("rank"), $"train_id",
+        round($"sfx".cast("double") / lit(1e6), 6).as("bm25"),
+        round($"cfx".cast("double") / lit(1e6), 6).as("cos_sim"),
+        round($"bfx".cast("double") / lit(1e6), 6).as("blend"))
+      .orderBy($"eval_id", $"rank")
+    (out, cleanup)
+  }
+
+  /** The per-candidate joint-scoring frame both t26 and t27 rank over:
+    * `(eval_id, train_id, sfx, cfx, bfx)` for each of the ≤10 stage-1
+    * candidates per probe — lexical fixed-point sum, cosine fixed-point,
+    * and the min-max-normalized integer blend. Factored out of
+    * [[hybridRerankManaged]] so the recall census can rank the SAME rows
+    * two ways (by blend = the slate, by cosine alone = the in-slate
+    * ground truth) without duplicating the scoring definition. */
+  private[graft] def rerankJointScores(
+      probeTerms: DataFrame, post: DataFrame,
+      emb: DataFrame): (DataFrame, () => Unit) = {
+    val s = post.sparkSession
+    import s.implicits._
     // persisted for the same reason as t16 (TopK's exchange replays its
     // input once more than you'd expect under the final orderBy's
     // range-partitioner sampling job)
@@ -432,15 +456,86 @@ object TextAnalysis {
       .join(broadcast(mm), Seq("eval_id"))
       .select($"eval_id", $"train_id", $"sfx", $"cfx",
         (nbFx + $"cfx").as("bfx"))
-    val out = graft.operators.TopK.perKey(
-        blended, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
+    (blended, () => { scored.unpersist(false); cand.unpersist(false); () })
+  }
+
+  /** t27's recall census for the hybrid pipeline — the standard ablation
+    * t26 was missing: how much of the exact cosine ranking does the
+    * blended slate recover? Two arms per embedded eval probe:
+    *
+    *  - `corpus_recall`: recall@5 of t26's slate vs the BRUTE-FORCE
+    *    cosine top-5 over every embedded train vector — the corpus-wide
+    *    ground truth (s06's recall discipline applied to the hybrid).
+    *    On the harness's random synthetic embeddings this is honestly
+    *    ~0: a lexically-anchored slate almost never intersects the
+    *    global cosine top-5 of 1800 random vectors.
+    *  - `cand_recall`: recall@5 of the slate vs the cosine-only top-5 of
+    *    the SAME candidate set — what the rerank stage itself does to
+    *    the cosine order (nonzero and varied here, so the hash check on
+    *    the hits machinery has teeth that the corpus arm's all-zero
+    *    column cannot provide).
+    *
+    * Probe universe: embedded eval probes (`vec_id % 100 = 0`; the
+    * vec_id == doc_id convention is canary-pinned, embeddings ⊆
+    * documents) — LEFT-joined so a probe whose candidates all lack
+    * embeddings still gets its `n_slate=0, recall=0` row (c26's
+    * sentinel-row lesson: a vanished row reads as "not measured").
+    *
+    * Scale shape: the slate arms touch only the ≤10-rows-per-probe joint
+    * frame (persisted once, ranked twice). The exact arm is s01's proven
+    * brute-force shape — the n_eval probe vectors broadcast into ONE
+    * scan of the embedded train corpus, per-probe top-5 via the salted
+    * TopK; the corpus never shuffles and nothing here is quadratic in
+    * corpus size (probes × corpus is the irreducible exact-ground-truth
+    * cost, embarrassingly scan-parallel). */
+  private[graft] def rerankRecall(probeTerms: DataFrame, post: DataFrame,
+                                  emb: DataFrame): DataFrame = {
+    val s = post.sparkSession
+    import s.implicits._
+    // ≤10 rows per probe, ranked twice below — persist the tiny frame
+    // rather than replay stage-1 retrieval per ranking
+    val joint = rerankJointScores(probeTerms, post, emb)._1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slate = graft.operators.TopK.perKey(
+        joint, $"eval_id", Seq($"bfx".desc, $"train_id"), 5,
         saltFrom = $"train_id")
-      .select($"eval_id", $"rn".as("rank"), $"train_id",
-        round($"sfx".cast("double") / lit(1e6), 6).as("bm25"),
-        round($"cfx".cast("double") / lit(1e6), 6).as("cos_sim"),
-        round($"bfx".cast("double") / lit(1e6), 6).as("blend"))
-      .orderBy($"eval_id", $"rank")
-    (out, () => { scored.unpersist(false); cand.unpersist(false); () })
+      .select($"eval_id", $"train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candTop = graft.operators.TopK.perKey(
+        joint, $"eval_id", Seq($"cfx".desc, $"train_id"), 5,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"train_id")
+    val evV = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"))
+    val trV = emb.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+    // same fixed-point cosine discipline as the rerank's cfx arm, so the
+    // ground truth and the slate rank in the same integer space
+    val exact = graft.operators.TopK.perKey(
+        trV.crossJoin(broadcast(evV))
+          .select($"eval_id", $"train_id",
+            round(Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm")
+              * lit(1e6)).cast("long").as("cfx")),
+        $"eval_id", Seq($"cfx".desc, $"train_id"), 5, saltFrom = $"train_id")
+      .select($"eval_id", $"train_id")
+    val ns = slate.groupBy($"eval_id").agg(count(lit(1)).as("n_slate"))
+    val hc = slate.join(exact, Seq("eval_id", "train_id"))
+      .groupBy($"eval_id").agg(count(lit(1)).as("corpus_hits"))
+    val hk = slate.join(candTop, Seq("eval_id", "train_id"))
+      .groupBy($"eval_id").agg(count(lit(1)).as("cand_hits"))
+    evV.select($"eval_id").distinct()
+      .join(ns, Seq("eval_id"), "left")
+      .join(hc, Seq("eval_id"), "left")
+      .join(hk, Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_slate", lit(0L)).as("n_slate"),
+        coalesce($"corpus_hits", lit(0L)).as("corpus_hits"),
+        round(coalesce($"corpus_hits", lit(0L)).cast("double") / lit(5.0), 6)
+          .as("corpus_recall"),
+        coalesce($"cand_hits", lit(0L)).as("cand_hits"),
+        round(coalesce($"cand_hits", lit(0L)).cast("double") / lit(5.0), 6)
+          .as("cand_recall"))
+      .orderBy($"eval_id")
   }
 
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
@@ -1064,6 +1159,24 @@ object TextAnalysis {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
       hybridRerank(bm25ProbeTerms(docs), post, emb)
+    },
+
+    // Recall census for the hybrid retrieve-then-rerank pipeline — the
+    // quality ablation every two-stage retriever ships with: per
+    // embedded eval probe, recall@5 of t26's blended slate vs (a) the
+    // corpus-wide brute-force cosine top-5 and (b) the cosine-only
+    // top-5 of the slate's own candidate set. See [[rerankRecall]] for
+    // the full framing (why the corpus arm is honestly ~0 on random
+    // synthetic embeddings and the candidate arm carries the hash
+    // teeth).
+    "t27_rerank_recall" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      rerankRecall(bm25ProbeTerms(docs), post, emb)
     },
 
     // PII detection + redaction census — the scrubbing pass every
@@ -1897,6 +2010,71 @@ object TextAnalysis {
            |  round(CAST(cfx AS DOUBLE) / 1000000.0, 6) AS cos_sim,
            |  round(CAST(bfx AS DOUBLE) / 1000000.0, 6) AS blend
            |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin,
+
+    // t26's CTE chain replayed, then both recall arms: MATERIALIZED on
+    // the reused heavy CTEs (cand/e/sc2/slate) — DuckDB inlines plain
+    // CTEs per reference (the g05 lesson), and slate/sc2 are each read
+    // twice here
+    "t27_rerank_recall" ->
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx
+           |  FROM sc GROUP BY eval_id, train_id),
+           |r AS (SELECT eval_id, train_id, sfx,
+           |    ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank
+           |  FROM agg),
+           |cand AS MATERIALIZED (SELECT eval_id, train_id, sfx FROM r WHERE rrank <= 10),
+           |mm AS (SELECT eval_id, MIN(sfx) AS mn, MAX(sfx) AS mx FROM cand GROUP BY eval_id),
+           |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc2 AS MATERIALIZED (SELECT c.eval_id, c.train_id, c.sfx, mm.mn, mm.mx,
+           |    CAST(round(list_dot_product(te.v, ee.v)
+           |      / sqrt(list_dot_product(te.v, te.v) * list_dot_product(ee.v, ee.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM cand c JOIN e te ON te.vec_id = c.train_id
+           |              JOIN e ee ON ee.vec_id = c.eval_id
+           |              JOIN mm ON mm.eval_id = c.eval_id),
+           |bl AS (SELECT eval_id, train_id, sfx, cfx,
+           |    (CASE WHEN mx > mn THEN CAST(round(CAST(sfx - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) * 1000000.0) AS BIGINT)
+           |          ELSE 500000 END) + cfx AS bfx
+           |  FROM sc2),
+           |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY bfx DESC, train_id) AS rank FROM bl),
+           |slate AS MATERIALIZED (SELECT eval_id, train_id FROM rk WHERE rank <= 5),
+           |extc AS (SELECT eval_id, train_id FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cfx DESC, train_id) AS r2 FROM sc2)
+           |  WHERE r2 <= 5),
+           |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 100 = 0),
+           |tr AS (SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0),
+           |ex AS (SELECT ev.eval_id, tr.train_id,
+           |    CAST(round(list_dot_product(tr.v, ev.v)
+           |      / sqrt(list_dot_product(tr.v, tr.v) * list_dot_product(ev.v, ev.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM ev CROSS JOIN tr),
+           |exact AS (SELECT eval_id, train_id FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cfx DESC, train_id) AS r3 FROM ex)
+           |  WHERE r3 <= 5),
+           |ns AS (SELECT eval_id, COUNT(*) AS n_slate FROM slate GROUP BY 1),
+           |hc AS (SELECT s.eval_id, COUNT(*) AS corpus_hits FROM slate s JOIN exact USING (eval_id, train_id) GROUP BY 1),
+           |hk AS (SELECT s.eval_id, COUNT(*) AS cand_hits FROM slate s JOIN extc USING (eval_id, train_id) GROUP BY 1)
+           |SELECT u.eval_id,
+           |  CAST(COALESCE(ns.n_slate, 0) AS BIGINT) AS n_slate,
+           |  CAST(COALESCE(hc.corpus_hits, 0) AS BIGINT) AS corpus_hits,
+           |  round(CAST(COALESCE(hc.corpus_hits, 0) AS DOUBLE) / 5.0, 6) AS corpus_recall,
+           |  CAST(COALESCE(hk.cand_hits, 0) AS BIGINT) AS cand_hits,
+           |  round(CAST(COALESCE(hk.cand_hits, 0) AS DOUBLE) / 5.0, 6) AS cand_recall
+           |FROM (SELECT DISTINCT eval_id FROM ev) u
+           |LEFT JOIN ns USING (eval_id) LEFT JOIN hc USING (eval_id) LEFT JOIN hk USING (eval_id)
+           |ORDER BY eval_id""".stripMargin,
 
     // same planting, same regexes (RE2 == Java regex on this subset),
     // same scrub order; regexp_replace needs the 'g' flag (DuckDB

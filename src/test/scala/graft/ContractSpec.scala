@@ -45,12 +45,21 @@ class ContractSpec extends SparkSuite {
     val maxByPrefix = SparkEntry.queries.keySet.groupBy(_.take(1))
       .map { case (p, names) =>
         p -> names.map(_.drop(1).takeWhile(_.isDigit).toInt).max }
-    val hdr = "\\(([a-z])\\d+–[a-z](\\d+)\\)".r
+    val hdr = "\\(([a-z])\\d+–([a-z])(\\d+)\\)".r
     lines.filter(_.startsWith("## ")).foreach { h =>
       hdr.findFirstMatchIn(h).foreach { m =>
-        val (p, hi) = (m.group(1), m.group(2).toInt)
-        assert(hi == maxByPrefix(p),
-          s"header '$h' says $p-family tops out at $hi; catalog max is ${maxByPrefix(p)}")
+        val (p, p2, hi) = (m.group(1), m.group(2), m.group(3).toInt)
+        // a range like '(q01–t45)' would otherwise check q's max against
+        // t's header bound (r16 ADVICE)
+        assert(p == p2,
+          s"header '$h' spans two families ($p vs $p2) — ranges are " +
+            "per-family")
+        val catalogMax = maxByPrefix.get(p)
+        assert(catalogMax.isDefined,
+          s"header '$h' names family '$p' but the catalog has no " +
+            s"'$p'-prefixed queries")
+        assert(catalogMax.contains(hi),
+          s"header '$h' says $p-family tops out at $hi; catalog max is ${catalogMax.get}")
       }
     }
   }
