@@ -95,6 +95,113 @@ def main() -> int:
         if rc != 1 or "lacks load_avg_15" not in out:
             failures.append(f"legacy record: expected REJECT on missing "
                             f"load_avg_15, got rc={rc}\n{out}")
+        # a pretty-printed multi-line single record must parse (it is
+        # still one JSON object), not be rejected as zero JSON lines
+        pretty_p = os.path.join(td, "pretty.json")
+        with open(pretty_p, "w") as f:
+            json.dump(good2, f, indent=2)
+        rc, out = run(pretty_p, os.path.join(td, "r15_default_idle.json"),
+                      "--baseline", COMMITTED)
+        if rc != 0:
+            failures.append(f"pretty-printed record: expected ACCEPT via "
+                            f"whole-file JSON fallback, got rc={rc}\n{out}")
+
+    # --- rolling cpu_wall band: replay the committed r13-r16 history ---
+    # The gate must accept/reject the record history exactly as the
+    # human adjudications did: every committed record accepts against
+    # the band of its predecessors (including the r14 reps3 ratio DIP
+    # 5.2 -> 4.6 from de-duplicated parallel work, and the r16 default
+    # 6.23 after 5.00 that was hand-adjudicated as cold-parallelism
+    # variance with the scalar recalibration declined), while a starved
+    # co-tenant capture (uniform cpu_wall collapse, loadavg clean — the
+    # r13 94 s -> 281 s incident's shape) rejects.
+    records_dir = os.path.join(HERE, "bench_records")
+
+    def load_committed(name):
+        with open(os.path.join(records_dir, name)) as f:
+            for ln in f.read().splitlines():
+                try:
+                    j = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(j, dict) and "queries" in j:
+                    return j
+        raise AssertionError(f"no record with queries in {name}")
+
+    def idle_patched(rec):
+        r = dict(rec)
+        r["load_avg"], r["load_avg_5"], r["load_avg_15"] = 0.2, 0.2, 0.2
+        return r
+
+    committed = sorted(os.listdir(records_dir))
+    for mode in ("default_idle", "reps3_idle"):
+        rounds = sorted(int(f.split("_")[0][1:]) for f in committed
+                        if f.endswith(f"_{mode}.json"))
+        for n in (14, 15, 16):
+            if n not in rounds:
+                continue
+            with tempfile.TemporaryDirectory() as td:
+                for m in rounds:
+                    if m < n:
+                        src_f = os.path.join(records_dir, f"r{m}_{mode}.json")
+                        with open(src_f) as f:
+                            body = f.read()
+                        with open(os.path.join(td, f"r{m}_{mode}.json"),
+                                  "w") as f:
+                            f.write(body)
+                cand = idle_patched(load_committed(f"r{n}_{mode}.json"))
+                cand_p = os.path.join(td, "cand.json")
+                with open(cand_p, "w") as f:
+                    json.dump(cand, f)
+                rc, out = run(cand_p, os.path.join(td, f"r{n}_{mode}.json"))
+                if rc != 0:
+                    failures.append(
+                        f"history replay r{n} {mode}: expected ACCEPT "
+                        f"(the committed record was accepted by "
+                        f"adjudication), got rc={rc}\n{out}")
+
+    # the r16 declined-recalibration case, made mechanical: a clean
+    # 5.00-cpu_wall capture right after the 6.23 one (non-monotonic
+    # swing inside the historical band) must accept with NO scalar
+    # recalibration — a freshly-recalibrated-to-6.23 scalar ref would
+    # have wrongly rejected it at ratio 0.80
+    with tempfile.TemporaryDirectory() as td:
+        for m in (13, 14, 15, 16):
+            with open(os.path.join(records_dir,
+                                   f"r{m}_default_idle.json")) as f:
+                body = f.read()
+            with open(os.path.join(td, f"r{m}_default_idle.json"),
+                      "w") as f:
+                f.write(body)
+        r16 = load_committed("r16_default_idle.json")
+        swing = idle_patched(r16)
+        swing["cpu_wall_ratio"] = 4.996  # r15's clean value
+        swing_p = os.path.join(td, "swing.json")
+        with open(swing_p, "w") as f:
+            json.dump(swing, f)
+        rc, out = run(swing_p, os.path.join(td, "r17_default_idle.json"))
+        if rc != 0:
+            failures.append(f"non-monotonic swing inside the band: "
+                            f"expected ACCEPT, got rc={rc}\n{out}")
+        # and the starved-co-tenant shape must still reject: uniform
+        # effective-core collapse (cpu_wall 0.70x the band min) at
+        # clean loadavg
+        starved = idle_patched(r16)
+        starved["cpu_wall_ratio"] = round(0.70 * 4.996, 3)
+        starved_p = os.path.join(td, "starved.json")
+        with open(starved_p, "w") as f:
+            json.dump(starved, f)
+        rc, out = run(starved_p, os.path.join(td, "r17_default_idle.json"))
+        if rc != 1 or "below the rolling band floor" not in out:
+            failures.append(f"starved capture: expected REJECT on the "
+                            f"band floor, got rc={rc}\n{out}")
+        # the adjudication escape hatch: --min-cpu-wall lowers the floor
+        # for a drop that was investigated and is real
+        rc, out = run(starved_p, os.path.join(td, "r17_default_idle.json"),
+                      "--min-cpu-wall", "3.0")
+        if rc != 0 or "overridden" not in out:
+            failures.append(f"--min-cpu-wall override: expected ACCEPT, "
+                            f"got rc={rc}\n{out}")
 
     if failures:
         print("FAIL")
