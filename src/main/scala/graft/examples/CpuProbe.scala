@@ -17,7 +17,19 @@ import org.apache.spark.sql.SparkSession
   */
 object CpuProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args(0).split(",").forall(_.trim.isEmpty)) {
+      System.err.println(
+        "usage: runMain graft.examples.CpuProbe q1,q2,... [sfDir] [reps]")
+      sys.exit(2)
+    }
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown query name(s): ${unknown.mkString(", ")} — names are " +
+          "SparkEntry.queries keys (e.g. t16_bm25_retrieval)")
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,13 +56,15 @@ object CpuProbe {
         val dc = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
         println(f"rep=$rep $name%-28s rows=$n%-8d wall=$dt%7.3f s cpu=$dc%8.3f s")
         val (w0, p0) = acc.getOrElse(name, (Double.MaxValue, Double.MaxValue))
-        acc(name) = (math.min(w0, dt), math.min(p0, dc))
+        // a -1 cpu sentinel (no com.sun bean) must not win the min fold
+        acc(name) = (math.min(w0, dt), if (dc < 0) p0 else math.min(p0, dc))
       }
     }
     println("--- min per query (Bench's rule) ---")
     names.foreach { n =>
       val (w, c) = acc(n)
-      println(f"$n%-28s wall=$w%7.3f s cpu=$c%8.3f s")
+      val cpuTxt = if (c == Double.MaxValue) "     n/a" else f"$c%8.3f s"
+      println(f"$n%-28s wall=$w%7.3f s cpu=$cpuTxt")
     }
     spark.stop()
   }
