@@ -1179,6 +1179,71 @@ object TextAnalysis {
       rerankRecall(bm25ProbeTerms(docs), post, emb)
     },
 
+    // Reciprocal-rank fusion — the OTHER standard hybrid-search
+    // combiner (the default in the big hybrid-search engines): where
+    // t26 blends SCORES (min-max lexical + cosine), RRF fuses RANKS —
+    // score = Σ_arms 1/(k + rank_arm), k = 60, over the lexical top-10
+    // (t16's sqrt-idf retrieval) and the vector top-10 (brute-force
+    // cosine over the embedded train corpus; at 100 TB this arm is the
+    // served ANN index — s13/s22/s28 — same (eval, train, rank) shape).
+    // Rank-space fusion needs no score normalization at all, which is
+    // why it wins operationally: arms with incomparable score scales
+    // fuse without a calibration step. Engine-exact trivially: ranks
+    // are integers with the (score DESC, train_id) total tie-break, and
+    // 1/(60+r) lands as the INTEGER quotient 1e9 div (60+r) (Spark
+    // `div` == DuckDB `//` on positive BIGINTs), so the fused score is
+    // an integer sum — no float division reaches the ranking. A doc
+    // present in only one arm contributes only that arm (FULL OUTER
+    // fusion, rank sentinel 0 = absent); probes without an embedding
+    // still fuse their lexical arm alone — nothing vanishes.
+    //
+    // Scale shape: the lexical arm is t16's (corpus never shuffles);
+    // the vector arm is s01's broadcast-probes-into-one-scan; the
+    // fusion full-outer join touches two ≤10-rows-per-probe frames and
+    // the final top-5 is the salted TopK over ≤20 rows per key.
+    "t28_rrf_fusion" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
+      // persisted for t16's reason: TopK's range-partitioner sampling
+      // replays its input once more than you'd expect
+      val scored = bm25Scores(post, bm25ProbeTerms(docs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lex = graft.operators.TopK.perKey(
+          scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
+          saltFrom = $"train_id")
+        .select($"eval_id", $"train_id", $"rn".cast("long").as("lex_rank"))
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      val evV = emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"))
+      val trV = emb.filter($"vec_id" % 10 =!= 0)
+        .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+      val vec = graft.operators.TopK.perKey(
+          trV.crossJoin(broadcast(evV))
+            .select($"eval_id", $"train_id",
+              round(Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm")
+                * lit(1e6)).cast("long").as("cfx")),
+          $"eval_id", Seq($"cfx".desc, $"train_id"), 10,
+          saltFrom = $"train_id")
+        .select($"eval_id", $"train_id", $"rn".cast("long").as("vec_rank"))
+      val fused = lex.join(vec, Seq("eval_id", "train_id"), "full_outer")
+        .select($"eval_id", $"train_id",
+          coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+          coalesce($"vec_rank", lit(0L)).as("vec_rank"),
+          (when($"lex_rank".isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + lex_rank)")) +
+           when($"vec_rank".isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + vec_rank)"))).as("rrf_fx"))
+      graft.operators.TopK.perKey(
+          fused, $"eval_id", Seq($"rrf_fx".desc, $"train_id"), 5,
+          saltFrom = $"train_id")
+        .select($"eval_id", $"rn".as("rank"), $"train_id",
+          $"lex_rank", $"vec_rank", $"rrf_fx")
+        .orderBy($"eval_id", $"rank")
+    },
+
     // PII detection + redaction census — the scrubbing pass every
     // public-web training pipeline runs before anything else (emails,
     // phone numbers, IP addresses → typed placeholder tokens). The
@@ -2075,6 +2140,49 @@ object TextAnalysis {
            |FROM (SELECT DISTINCT eval_id FROM ev) u
            |LEFT JOIN ns USING (eval_id) LEFT JOIN hc USING (eval_id) LEFT JOIN hk USING (eval_id)
            |ORDER BY eval_id""".stripMargin,
+
+    // rank-space fusion is integer-exact by construction: ranks carry
+    // the (score DESC, train_id) total tie-break and 1/(60+r) lands as
+    // the integer quotient (DuckDB // == Spark div on positive BIGINTs)
+    "t28_rrf_fusion" ->
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx FROM sc GROUP BY eval_id, train_id),
+           |lex AS MATERIALIZED (SELECT eval_id, train_id, rrank AS lex_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank FROM agg)
+           |  WHERE rrank <= 10),
+           |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 100 = 0),
+           |tr AS (SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0),
+           |ex AS (SELECT ev.eval_id, tr.train_id,
+           |    CAST(round(list_dot_product(tr.v, ev.v)
+           |      / sqrt(list_dot_product(tr.v, tr.v) * list_dot_product(ev.v, ev.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM ev CROSS JOIN tr),
+           |vec AS MATERIALIZED (SELECT eval_id, train_id, r2 AS vec_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cfx DESC, train_id) AS r2 FROM ex)
+           |  WHERE r2 <= 10),
+           |fused AS (SELECT COALESCE(l.eval_id, v.eval_id) AS eval_id,
+           |    COALESCE(l.train_id, v.train_id) AS train_id,
+           |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           |    CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+           |    (CASE WHEN l.lex_rank IS NULL THEN 0 ELSE 1000000000 // (60 + l.lex_rank) END)
+           |    + (CASE WHEN v.vec_rank IS NULL THEN 0 ELSE 1000000000 // (60 + v.vec_rank) END) AS rrf_fx
+           |  FROM lex l FULL OUTER JOIN vec v ON l.eval_id = v.eval_id AND l.train_id = v.train_id),
+           |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS INTEGER) AS rank FROM fused)
+           |SELECT eval_id, rank, train_id, lex_rank, vec_rank, CAST(rrf_fx AS BIGINT) AS rrf_fx
+           |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin,
 
     // same planting, same regexes (RE2 == Java regex on this subset),
     // same scrub order; regexp_replace needs the 'g' flag (DuckDB

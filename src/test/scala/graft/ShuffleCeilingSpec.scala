@@ -67,6 +67,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "t16_bm25_retrieval" -> 256,       // measured 120 KB (df + score partials)
     "t26_hybrid_rerank" -> 384,        // measured ~170 KB (t16's retrieval exchanges + the 10·n_eval-row candidate TopK; embeddings never exchange — candidates broadcast into their scan)
     "t27_rerank_recall" -> 512,        // measured ~440 KB (t26's stages ranked twice + the brute-force exact arm: probes broadcast into ONE embedded-train scan, per-probe top-5 TopK partials — corpus never exchanges)
+    "t28_rrf_fusion" -> 448,           // measured ~370 KB (t16's lexical retrieval exchanges + the s01-shape vector arm's TopK partials; the fusion full-outer join touches two <=10-rows-per-probe frames)
     // similarity: codebooks/queries broadcast, corpus never exchanges
     "s02_ann_buckets" -> 64,           // ~0: bucket equi-join, queries broadcast
     "s12_kmeans_lloyd3" -> 160,        // measured 70 KB (3 rounds of fixed-point partials)
@@ -160,7 +161,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 70,
+    assert(ceilingsKb.size == 71,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
     // ...and check the footnote TEXT itself, so the doc can never drift
