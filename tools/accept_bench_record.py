@@ -276,8 +276,12 @@ def main() -> int:
         print("WARN: no prior committed record of this mode found — "
               "shared-query drift check skipped (first record)")
     else:
-        with open(baseline_path) as f:
-            prior = json.load(f).get("queries", {})
+        prior_rec = load_record(baseline_path)
+        if prior_rec is None:
+            print(f"REJECT: baseline {baseline_path} holds no parseable "
+                  "record with a 'queries' map")
+            return 1
+        prior = prior_rec.get("queries", {})
         cand = d.get("queries", {})
         shared = [k for k in cand
                   if k in prior and prior[k] > 0 and cand[k] > 0]
