@@ -538,6 +538,57 @@ object TextAnalysis {
       .orderBy($"eval_id")
   }
 
+  /** t28's reciprocal-rank fusion on arbitrary pre-shaped frames —
+    * `probeTerms` as `(eval_id, t)`, `post` a FROZEN impacts index,
+    * `emb` as `(vec_id, v, nrm)` — factored like [[hybridRerank]] so a
+    * serving twin can run the identical definition per micro-batch of
+    * arriving probes against the static index + embedding table. Both
+    * arms rank PER PROBE (the lexical TopK and the vector TopK each
+    * partition by eval_id), so the union over any probe batching equals
+    * the one-shot batch run — rank-space fusion has no cross-probe
+    * state at all, not even a normalizer. */
+  private[graft] def rrfFusion(probeTerms: DataFrame, post: DataFrame,
+                               emb: DataFrame): DataFrame = {
+    val s = post.sparkSession
+    import s.implicits._
+    // persisted for t16's reason: TopK's range-partitioner sampling
+    // replays its input once more than you'd expect
+    val scored = bm25Scores(post, probeTerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lex = graft.operators.TopK.perKey(
+        scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"train_id", $"rn".cast("long").as("lex_rank"))
+    val evV = emb.join(
+        broadcast(probeTerms.select($"eval_id").distinct()),
+        $"vec_id" === $"eval_id")
+      .select($"eval_id", $"v".as("ev"), $"nrm".as("enrm"))
+    val trV = emb.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"))
+    val vec = graft.operators.TopK.perKey(
+        trV.crossJoin(broadcast(evV))
+          .select($"eval_id", $"train_id",
+            round(Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm")
+              * lit(1e6)).cast("long").as("cfx")),
+        $"eval_id", Seq($"cfx".desc, $"train_id"), 10,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"train_id", $"rn".cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("eval_id", "train_id"), "full_outer")
+      .select($"eval_id", $"train_id",
+        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+        coalesce($"vec_rank", lit(0L)).as("vec_rank"),
+        (when($"lex_rank".isNull, lit(0L))
+          .otherwise(expr("1000000000 div (60 + lex_rank)")) +
+         when($"vec_rank".isNull, lit(0L))
+          .otherwise(expr("1000000000 div (60 + vec_rank)"))).as("rrf_fx"))
+    graft.operators.TopK.perKey(
+        fused, $"eval_id", Seq($"rrf_fx".desc, $"train_id"), 5,
+        saltFrom = $"train_id")
+      .select($"eval_id", $"rn".as("rank"), $"train_id",
+        $"lex_rank", $"vec_rank", $"rrf_fx")
+      .orderBy($"eval_id", $"rank")
+  }
+
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
     * hash) set, hashed IN THE SCAN STAGE so the one corpus-wide distinct
     * exchanges fixed 8-byte keys, never shingle text (t09's scaladoc has
@@ -1205,43 +1256,10 @@ object TextAnalysis {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
-      // persisted for t16's reason: TopK's range-partitioner sampling
-      // replays its input once more than you'd expect
-      val scored = bm25Scores(post, bm25ProbeTerms(docs))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lex = graft.operators.TopK.perKey(
-          scored, $"eval_id", Seq($"sfx".desc, $"train_id"), 10,
-          saltFrom = $"train_id")
-        .select($"eval_id", $"train_id", $"rn".cast("long").as("lex_rank"))
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      val evV = emb.filter($"vec_id" % 100 === 0)
-        .select($"vec_id".as("eval_id"), $"v".as("ev"), $"nrm".as("enrm"))
-      val trV = emb.filter($"vec_id" % 10 =!= 0)
-        .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"))
-      val vec = graft.operators.TopK.perKey(
-          trV.crossJoin(broadcast(evV))
-            .select($"eval_id", $"train_id",
-              round(Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm")
-                * lit(1e6)).cast("long").as("cfx")),
-          $"eval_id", Seq($"cfx".desc, $"train_id"), 10,
-          saltFrom = $"train_id")
-        .select($"eval_id", $"train_id", $"rn".cast("long").as("vec_rank"))
-      val fused = lex.join(vec, Seq("eval_id", "train_id"), "full_outer")
-        .select($"eval_id", $"train_id",
-          coalesce($"lex_rank", lit(0L)).as("lex_rank"),
-          coalesce($"vec_rank", lit(0L)).as("vec_rank"),
-          (when($"lex_rank".isNull, lit(0L))
-            .otherwise(expr("1000000000 div (60 + lex_rank)")) +
-           when($"vec_rank".isNull, lit(0L))
-            .otherwise(expr("1000000000 div (60 + vec_rank)"))).as("rrf_fx"))
-      graft.operators.TopK.perKey(
-          fused, $"eval_id", Seq($"rrf_fx".desc, $"train_id"), 5,
-          saltFrom = $"train_id")
-        .select($"eval_id", $"rn".as("rank"), $"train_id",
-          $"lex_rank", $"vec_rank", $"rrf_fx")
-        .orderBy($"eval_id", $"rank")
+      rrfFusion(bm25ProbeTerms(docs), post, emb)
     },
 
     // PII detection + redaction census — the scrubbing pass every

@@ -385,6 +385,105 @@ class TextAnalysisSpec extends SparkSuite {
       s"unembedded probe must drop entirely: ${rows.filter(_._1 == 200L)}")
   }
 
+  test("t27 recall census: hand-computed arms, sentinel row for an unembeddable slate, unembedded probe excluded") {
+    import spark.implicits._
+    // Embedded train corpus {1, 2, 3, 11, 12, 13} with cosines vs eval
+    // 0's (1,0): d1 = 1.0, d2 ≈ 0.994, d11 ≈ 0.970, d12 ≈ 0.919,
+    // d13 ≈ 0.832, d3 = -1 — the corpus-wide exact top-5 is
+    // {1, 2, 11, 12, 13}. Eval 0's lexical slate (docs containing "x")
+    // is {1, 2, 3}, so corpus_hits = |{1,2,3} ∩ top5| = 2 -> recall 0.4
+    // and cand_hits = 3 (a ≤5-candidate slate trivially matches its own
+    // cosine top-5). Eval 100's ONLY lexical match (doc 6) has no
+    // embedding: the rerank's inner join empties the slate, and the
+    // census must still emit the SENTINEL row (n_slate = 0, recalls 0)
+    // — c26's vanished-row lesson: "nothing measurable" and "measured
+    // zero" must not conflate. Eval 200 has no embedding of its own:
+    // it is outside the census universe entirely (t26 cannot serve it,
+    // so there is no slate to grade — distinct from eval 100, whose
+    // PROBE is servable but whose slate is empty).
+    val docs = Seq(
+      (0L, "x"), (100L, "q"), (200L, "x"),
+      (1L, "x x"), (2L, "x"), (3L, "x x x"), (6L, "q"),
+      (11L, "z"), (12L, "z"), (13L, "z")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)), (13L, Array(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t27").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = TextAnalysis.queries("t27_rerank_recall")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(rows == List(
+      (0L, 3L, 2L, 0.4, 3L, 0.6),
+      (100L, 0L, 0L, 0.0, 0L, 0.0)),
+      s"census rows: $rows")
+  }
+
+  test("t28 RRF: hand-computed fusion — one-arm docs fuse, unembedded probe keeps its lexical arm, integer quotients") {
+    import spark.implicits._
+    // Same synthetic tables as t27's arrangement, graded by hand in
+    // rank space. Eval 0 (embedded, probes "x"): lexical ranks over
+    // {1, 2, 3} by sfx desc — doc 3 ("x x x") > 1 ("x x") > 2 ("x");
+    // vector ranks over the embedded train corpus — 1, 2, 11, 12, 13,
+    // 3. RRF with k = 60 (integer quotients of 1e9):
+    //   doc 1: lex 2 + vec 1 -> 16129032 + 16393442 = 32522474 (rank 1)
+    //   doc 2: lex 3 + vec 2 -> 15873015 + 16129032 = 32002047 (rank 2)
+    //   doc 3: lex 1 + vec 6 -> 16393442 + 15151515 = 31544957 (rank 3)
+    //   doc 11: vec 3 only   -> 15873015                       (rank 4)
+    //   doc 12: vec 4 only   -> 15625000                       (rank 5)
+    // — a vector-only doc (11) outranks nothing fused but still makes
+    // the slate (FULL OUTER), and doc 13 (vec 5 -> 15384615) is cut at
+    // rank 5. Eval 200 has NO embedding: its vector arm is empty and
+    // the lexical arm alone must survive (lex ranks 3 > 1 > 2, each
+    // scoring only its lexical quotient). Eval 100's only lexical
+    // match (6) is unembedded: it fuses lexical-only at rank 1 while
+    // the vector arm contributes the embedded corpus by cosine.
+    val docs = Seq(
+      (0L, "x"), (100L, "q"), (200L, "x"),
+      (1L, "x x"), (2L, "x"), (3L, "x x x"), (6L, "q"),
+      (11L, "z"), (12L, "z"), (13L, "z")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)), (13L, Array(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t28").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = TextAnalysis.queries("t28_rrf_fusion")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    val eval0 = rows.filter(_._1 == 0L)
+    assert(eval0 == List(
+      (0L, 1, 1L, 2L, 1L, 32522474L),
+      (0L, 2, 2L, 3L, 2L, 32002047L),
+      (0L, 3, 3L, 1L, 6L, 31544957L),
+      (0L, 4, 11L, 0L, 3L, 15873015L),
+      (0L, 5, 12L, 0L, 4L, 15625000L)),
+      s"eval 0 fusion: $eval0")
+    // unembedded probe: lexical arm alone, ordered 3 > 1 > 2
+    val eval200 = rows.filter(_._1 == 200L)
+    assert(eval200.map(x => (x._2, x._3, x._4, x._5)) == List(
+      (1, 3L, 1L, 0L), (2, 1L, 2L, 0L), (3, 2L, 3L, 0L)),
+      s"eval 200 fusion: $eval200")
+    assert(eval200.map(_._6) == List(16393442L, 16129032L, 15873015L),
+      s"eval 200 quotients: $eval200")
+    // unembedded CANDIDATE fuses lexical-only while embedded
+    // vector-arm docs fill the rest of the slate
+    val eval100 = rows.filter(_._1 == 100L)
+    assert(eval100.headOption.map(x => (x._2, x._3, x._4, x._5))
+      .contains((1, 6L, 1L, 0L)), s"eval 100 fusion: $eval100")
+    assert(eval100.size == 5 && eval100.tail.forall(_._4 == 0L),
+      s"eval 100 tail must be vector-only docs: $eval100")
+  }
+
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
     import spark.implicits._
     // hand-constructed token counts around every boundary: 1, 63, 64

@@ -1066,6 +1066,113 @@ class StreamingParitySpec extends SparkSuite {
         "divergence must come from cross-probe batch state alone")
   }
 
+  test("RRF fusion serves arriving probe docs per micro-batch against the frozen index + embeddings (t28)") {
+    // t28's serving form, same frame as the t26 twin: the sqrt-idf
+    // impacts index and embedding table are FROZEN; probe documents
+    // arrive live and each micro-batch runs the identical rrfFusion
+    // definition. Both rank arms partition by eval_id — rank-space
+    // fusion carries no cross-probe state at all (not even a
+    // normalizer), so the union over any batching equals the one-shot
+    // batch run.
+    import graft.ext.{Similarity, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+      .persist(MEMORY_AND_DISK)
+    def fuse(p: DataFrame): Set[Seq[Any]] =
+      TextAnalysis.rrfFusion(TextAnalysis.bm25ProbeTerms(p), post, emb)
+        .collect().map(_.toSeq).toSet
+    val oneShot = fuse(docs)
+    assert(oneShot.nonEmpty, "one-shot fusion produced no rows")
+    val root = Files.createTempDirectory("graft-t28-stream").toString
+    docs.filter(col("doc_id") % 100 === 0).repartition(3)
+      .write.mode("overwrite").parquet(root + "/probes")
+    val schema = spark.read.parquet(root + "/probes").schema
+    val served = scala.collection.mutable.Set[Seq[Any]]()
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          val out = TextAnalysis.rrfFusion(
+            TextAnalysis.bm25ProbeTerms(b), post, emb).collect()
+          served.synchronized { served ++= out.map(_.toSeq) }
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "t28 twin did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    assert(served.toSet == oneShot,
+      s"served fusion rows ${served.size} != batch ${oneShot.size}")
+
+    // adversarial teeth: the classic RRF implementation bug — ranking
+    // an arm over the POOLED batch (a lost PARTITION BY eval_id) —
+    // diverges across slicings, and degenerates to the real fusion
+    // when each probe arrives alone, pinning that the divergence comes
+    // from cross-probe batch state alone
+    def brokenFuse(p: DataFrame): Set[Seq[Any]] = {
+      val probeTerms = TextAnalysis.bm25ProbeTerms(p)
+      val scored = TextAnalysis.bm25Scores(post, probeTerms)
+        .persist(MEMORY_AND_DISK)
+      val lex = graft.operators.TopK.perKey(
+          scored, col("eval_id"), Seq(col("sfx").desc, col("train_id")), 10,
+          saltFrom = col("train_id"))
+        .select(col("eval_id"), col("train_id"),
+          col("rn").cast("long").as("lex_rank"))
+      val evV = emb.join(
+          broadcast(probeTerms.select(col("eval_id")).distinct()),
+          col("vec_id") === col("eval_id"))
+        .select(col("eval_id"), col("v").as("ev"), col("nrm").as("enrm"))
+      val trV = emb.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("v").as("tv"),
+          col("nrm").as("tnrm"))
+      val pooled = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cfx").desc, col("eval_id"), col("train_id"))
+      val vec = trV.crossJoin(broadcast(evV))
+        .select(col("eval_id"), col("train_id"),
+          round(Similarity.cosineWithNorms(col("tv"), col("ev"),
+            col("tnrm"), col("enrm")) * lit(1e6)).cast("long").as("cfx"))
+        .withColumn("vec_rank", row_number().over(pooled).cast("long"))
+        .filter(col("vec_rank") <= 10)
+        .select(col("eval_id"), col("train_id"), col("vec_rank"))
+      val fused = lex.join(vec, Seq("eval_id", "train_id"), "full_outer")
+        .select(col("eval_id"), col("train_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          (when(col("lex_rank").isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + lex_rank)")) +
+           when(col("vec_rank").isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + vec_rank)"))).as("rrf_fx"))
+      val out = graft.operators.TopK.perKey(
+          fused, col("eval_id"), Seq(col("rrf_fx").desc, col("train_id")), 5,
+          saltFrom = col("train_id"))
+        .select(col("eval_id"), col("rn").as("rank"), col("train_id"),
+          col("lex_rank"), col("vec_rank"), col("rrf_fx"))
+        .collect().map(_.toSeq).toSet
+      scored.unpersist()
+      out
+    }
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val evalIds = probes.select("doc_id").collect().map(_.getLong(0)).sorted
+    val brokenJoint = brokenFuse(probes)
+    val brokenSingles = evalIds.map(id =>
+      brokenFuse(probes.filter(col("doc_id") === id))).reduce(_ ++ _)
+    assert(brokenJoint != brokenSingles,
+      "the pooled-rank fusion did NOT diverge across slicings — the " +
+        "invariance assertion above has no teeth")
+    assert(brokenSingles == oneShot,
+      "single-probe broken fusion should equal the real fusion — the " +
+        "divergence must come from cross-probe batch state alone")
+    post.unpersist(); emb.unpersist()
+  }
+
   test("t26 rerank served through ExactlyOnceSink: crash-mid-batch replay converges to the once-applied slate ledger") {
     // The flagship serving composition (r16 verdict ask #4): the t26
     // twin proves slicing-invariance to a MEMORY sink; ExactlyOnceSink
