@@ -105,6 +105,29 @@ def main() -> int:
         if rc != 0:
             failures.append(f"pretty-printed record: expected ACCEPT via "
                             f"whole-file JSON fallback, got rc={rc}\n{out}")
+        # an IDENTICAL duplicated full record (a double-paste — the r17
+        # verdict nit) must collapse to one with a WARN and still
+        # accept, not flip the one-record check into a REJECT
+        dup_p = os.path.join(td, "dup.json")
+        with open(dup_p, "w") as f:
+            line = json.dumps(good2)
+            f.write(line + "\n" + line + "\n")
+        rc, out = run(dup_p, os.path.join(td, "r15_default_idle.json"),
+                      "--baseline", COMMITTED)
+        if rc != 0 or "duplicated paste collapsed" not in out:
+            failures.append(f"duplicated record: expected ACCEPT with a "
+                            f"dedupe WARN, got rc={rc}\n{out}")
+        # but two DIFFERENT full records in one file stay a REJECT
+        two_p = os.path.join(td, "two.json")
+        other = dict(good2)
+        other["value"] = good2["value"] + 1.0
+        with open(two_p, "w") as f:
+            f.write(json.dumps(good2) + "\n" + json.dumps(other) + "\n")
+        rc, out = run(two_p, os.path.join(td, "r15_default_idle.json"),
+                      "--baseline", COMMITTED)
+        if rc != 1 or "DISTINCT record" not in out:
+            failures.append(f"two distinct records: expected REJECT, "
+                            f"got rc={rc}\n{out}")
 
     # --- rolling cpu_wall band: replay the committed r13-r16 history ---
     # The gate must accept/reject the record history exactly as the
@@ -202,6 +225,53 @@ def main() -> int:
         if rc != 0 or "overridden" not in out:
             failures.append(f"--min-cpu-wall override: expected ACCEPT, "
                             f"got rc={rc}\n{out}")
+
+    # --- the ratchet alarm (r17 ADVICE): three consecutive borderline
+    # captures walk the rolling floor down with each one individually
+    # inside the band — the gate must WARN when the band min has
+    # declined > 15% from the all-time same-mode max, so the creep gets
+    # adjudicated instead of silently re-centering the band
+    with tempfile.TemporaryDirectory() as td:
+        r16 = load_committed("r16_default_idle.json")
+        walked = [6.0, 5.1, 4.4]  # each >= 0.85 * previous min, yet -27%
+        for m, cw in zip((13, 14, 15), walked):
+            rec = idle_patched(r16)
+            rec["cpu_wall_ratio"] = cw
+            with open(os.path.join(td, f"r{m}_default_idle.json"),
+                      "w") as f:
+                json.dump(rec, f)
+        creep = idle_patched(r16)
+        creep["cpu_wall_ratio"] = 3.8  # >= 0.85 * 4.4 = 3.74: inside band
+        creep_p = os.path.join(td, "creep.json")
+        with open(creep_p, "w") as f:
+            json.dump(creep, f)
+        rc, out = run(creep_p, os.path.join(td, "r16_default_idle.json"),
+                      "--baseline",
+                      os.path.join(td, "r15_default_idle.json"))
+        if rc != 0:
+            failures.append(f"creeping capture inside the band: expected "
+                            f"ACCEPT (the WARN is an alarm, not a "
+                            f"reject), got rc={rc}\n{out}")
+        if "declined" not in out or "all-time same-mode max" not in out:
+            failures.append(f"creeping band: decline WARN did not fire\n{out}")
+        # control: a stable history must NOT warn
+        for m, cw in zip((13, 14, 15), (6.0, 5.8, 6.1)):
+            rec = idle_patched(r16)
+            rec["cpu_wall_ratio"] = cw
+            with open(os.path.join(td, f"r{m}_default_idle.json"),
+                      "w") as f:
+                json.dump(rec, f)
+        stable = idle_patched(r16)
+        stable["cpu_wall_ratio"] = 5.9
+        stable_p = os.path.join(td, "stable.json")
+        with open(stable_p, "w") as f:
+            json.dump(stable, f)
+        rc, out = run(stable_p, os.path.join(td, "r16_default_idle.json"),
+                      "--baseline",
+                      os.path.join(td, "r15_default_idle.json"))
+        if rc != 0 or "declined" in out:
+            failures.append(f"stable band history: expected ACCEPT with "
+                            f"no decline WARN, got rc={rc}\n{out}")
 
     if failures:
         print("FAIL")
