@@ -424,7 +424,7 @@ class TextAnalysisSpec extends SparkSuite {
       s"census rows: $rows")
   }
 
-  test("t28 RRF: hand-computed fusion — one-arm docs fuse, unembedded probe keeps its lexical arm, integer quotients") {
+  test("t28 RRF: hand-computed fusion — one-arm docs fuse, unembedded probe keeps its lexical arm, null-text probe keeps its vector arm, integer quotients") {
     import spark.implicits._
     // Same synthetic tables as t27's arrangement, graded by hand in
     // rank space. Eval 0 (embedded, probes "x"): lexical ranks over
@@ -443,12 +443,22 @@ class TextAnalysisSpec extends SparkSuite {
     // scoring only its lexical quotient). Eval 100's only lexical
     // match (6) is unembedded: it fuses lexical-only at rank 1 while
     // the vector arm contributes the embedded corpus by cosine.
+    // Eval 300 has an embedding but NULL text: it tokenizes to ZERO
+    // probe terms (explode of a null shingle array drops the row), so a
+    // fusion that derived its vector-arm probe universe from probe
+    // TERMS would silently drop the probe — the r17 ADVICE hole. The
+    // fixed definition derives the universe from probe IDS: eval 300
+    // must fuse vector-only, ranking the embedded train corpus by
+    // cosine vs (0,1): 13 (.5547) > 12 (.3939) > 11 (.2425) > 2
+    // (.1104) > {1, 3} (cfx 0 both, train_id tie-break -> 1).
     val docs = Seq(
       (0L, "x"), (100L, "q"), (200L, "x"),
+      (300L, null.asInstanceOf[String]),
       (1L, "x x"), (2L, "x"), (3L, "x x x"), (6L, "q"),
       (11L, "z"), (12L, "z"), (13L, "z")).toDF("doc_id", "text")
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (300L, Array(0.0f, 1.0f)),
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(-1.0f, 0.0f)), (11L, Array(0.8f, 0.2f)),
       (12L, Array(0.7f, 0.3f)), (13L, Array(0.6f, 0.4f)))
@@ -482,6 +492,16 @@ class TextAnalysisSpec extends SparkSuite {
       .contains((1, 6L, 1L, 0L)), s"eval 100 fusion: $eval100")
     assert(eval100.size == 5 && eval100.tail.forall(_._4 == 0L),
       s"eval 100 tail must be vector-only docs: $eval100")
+    // NULL-text probe: zero lexical terms, yet the vector arm must
+    // survive — the probe universe comes from probe ids, not tokens
+    val eval300 = rows.filter(_._1 == 300L)
+    assert(eval300 == List(
+      (300L, 1, 13L, 0L, 1L, 16393442L),
+      (300L, 2, 12L, 0L, 2L, 16129032L),
+      (300L, 3, 11L, 0L, 3L, 15873015L),
+      (300L, 4, 2L, 0L, 4L, 15625000L),
+      (300L, 5, 1L, 0L, 5L, 15384615L)),
+      s"null-text probe must fuse vector-only: $eval300")
   }
 
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {

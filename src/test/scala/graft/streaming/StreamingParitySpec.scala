@@ -951,6 +951,12 @@ class StreamingParitySpec extends SparkSuite {
     val schema = spark.read.parquet(root + "/probes").schema
     val served = scala.collection.mutable.Set[Seq[Any]]()
     var batches = 0
+    // no-growth census: the managed cleanup must return the persistent-
+    // RDD count to this baseline after every micro-batch (the assertion
+    // the r17 verdict asked for — it is what catches the next
+    // persist-without-a-handle regression)
+    val rddBaseline = spark.sparkContext.getPersistentRDDs.size
+    val rddGrowth = scala.collection.mutable.ArrayBuffer[Int]()
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
       .writeStream.trigger(Trigger.AvailableNow())
@@ -966,6 +972,9 @@ class StreamingParitySpec extends SparkSuite {
           val out = df.collect()
           cleanup()
           served.synchronized { served ++= out.map(_.toSeq) }
+          rddGrowth.synchronized {
+            rddGrowth += spark.sparkContext.getPersistentRDDs.size - rddBaseline
+          }
         }
         ()
       }.start()
@@ -973,6 +982,9 @@ class StreamingParitySpec extends SparkSuite {
     assert(batches > 1, s"need multiple micro-batches, got $batches")
     assert(served.toSet == batch,
       s"served rerank rows ${served.size} != batch ${batch.size}")
+    assert(rddGrowth.forall(_ <= 0),
+      s"persistent RDDs grew across micro-batches (per-batch deltas vs " +
+        s"baseline $rddBaseline: $rddGrowth) — a per-call persist leaked")
   }
 
   test("t26 adversarial: slicing-invariance holds for the real rerank and FAILS for a batch-pooled normalizer") {
@@ -1083,10 +1095,33 @@ class StreamingParitySpec extends SparkSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.dot(col("v"), col("v")))
       .persist(MEMORY_AND_DISK)
-    def fuse(p: DataFrame): Set[Seq[Any]] =
-      TextAnalysis.rrfFusion(TextAnalysis.bm25ProbeTerms(p), post, emb)
-        .collect().map(_.toSeq).toSet
-    val oneShot = fuse(docs)
+    def fuse(p: DataFrame): Set[Seq[Any]] = {
+      // managed form everywhere a caller materializes-then-moves-on: the
+      // serving loop below runs one fusion per micro-batch and MUST
+      // reclaim the per-call persisted frame (the r17 verdict's hygiene
+      // defect — rrfFusion used to persist with no handle)
+      val (df, cleanup) = TextAnalysis.rrfFusionManaged(p, post, emb)
+      val out = df.collect().map(_.toSeq).toSet
+      cleanup()
+      out
+    }
+    // warm the STATIC frames (post, emb, the shared tf build) into the
+    // persistent-RDD census once — they register lazily on first
+    // materialization and belong to the session, not to a fusion call
+    fuse(docs.filter(col("doc_id") % 100 === 0))
+    // teeth for the no-growth census below: a materialized fusion MUST
+    // visibly occupy the persistent-RDD census until its cleanup runs —
+    // otherwise "census never grew" would be vacuously true
+    val preTeeth = spark.sparkContext.getPersistentRDDs.size
+    val (teethDf, teethCleanup) = TextAnalysis.rrfFusionManaged(
+      docs.filter(col("doc_id") % 100 === 0), post, emb)
+    val oneShot = teethDf.collect().map(_.toSeq).toSet
+    assert(spark.sparkContext.getPersistentRDDs.size > preTeeth,
+      "materialized fusion did not register a persistent RDD — the " +
+        "no-growth census below has no teeth")
+    teethCleanup()
+    assert(spark.sparkContext.getPersistentRDDs.size == preTeeth,
+      "cleanup handle did not return the persistent-RDD census to baseline")
     assert(oneShot.nonEmpty, "one-shot fusion produced no rows")
     val root = Files.createTempDirectory("graft-t28-stream").toString
     docs.filter(col("doc_id") % 100 === 0).repartition(3)
@@ -1094,6 +1129,12 @@ class StreamingParitySpec extends SparkSuite {
     val schema = spark.read.parquet(root + "/probes").schema
     val served = scala.collection.mutable.Set[Seq[Any]]()
     var batches = 0
+    // the assertion that prevents the leak's third recurrence: the
+    // persistent-RDD census must return to this baseline after EVERY
+    // micro-batch — a fusion that persists without a handle (or a twin
+    // that forgets to call it) grows the census once per batch
+    val rddBaseline = spark.sparkContext.getPersistentRDDs.size
+    val rddGrowth = scala.collection.mutable.ArrayBuffer[Int]()
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
       .writeStream.trigger(Trigger.AvailableNow())
@@ -1101,9 +1142,11 @@ class StreamingParitySpec extends SparkSuite {
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           batches += 1
-          val out = TextAnalysis.rrfFusion(
-            TextAnalysis.bm25ProbeTerms(b), post, emb).collect()
-          served.synchronized { served ++= out.map(_.toSeq) }
+          val out = fuse(b)
+          served.synchronized { served ++= out }
+          rddGrowth.synchronized {
+            rddGrowth += spark.sparkContext.getPersistentRDDs.size - rddBaseline
+          }
         }
         ()
       }.start()
@@ -1111,6 +1154,9 @@ class StreamingParitySpec extends SparkSuite {
     assert(batches > 1, s"need multiple micro-batches, got $batches")
     assert(served.toSet == oneShot,
       s"served fusion rows ${served.size} != batch ${oneShot.size}")
+    assert(rddGrowth.forall(_ <= 0),
+      s"persistent RDDs grew across micro-batches (per-batch deltas vs " +
+        s"baseline $rddBaseline: $rddGrowth) — a per-call persist leaked")
 
     // adversarial teeth: the classic RRF implementation bug — ranking
     // an arm over the POOLED batch (a lost PARTITION BY eval_id) —
