@@ -271,7 +271,15 @@ object Similarity {
     * s13 already accepts interpreted HOFs, it touches probes, never the
     * corpus). The corpus-side joins stay stream-static equi-joins against
     * the frozen `enc`; `cb` rides in as a one-row broadcast. */
-  def ivfpqServeTop5(cb: DataFrame, enc: DataFrame, probes: DataFrame): DataFrame = {
+  def ivfpqServeTop5(cb: DataFrame, enc: DataFrame, probes: DataFrame): DataFrame =
+    ivfpqServeTopK(cb, enc, probes, 5)
+
+  /** [[ivfpqServeTop5]] at arbitrary depth k (the rank-list depth an RRF
+    * arm wants is 10, not the s22 family's 5) — the output column stays
+    * named `top5` so the three saved-index queries and their oracles are
+    * untouched; it holds k entries. */
+  def ivfpqServeTopK(cb: DataFrame, enc: DataFrame, probes: DataFrame,
+                     k: Int): DataFrame = {
     val qs = probes.crossJoin(broadcast(cb))
       .withColumn("nrm", dot(col("v"), col("v")))
     val scored = qs.withColumn("pcells",
@@ -299,7 +307,44 @@ object Similarity {
           .as("adc"))
       .groupBy(col("query_id"))
       .agg(slice(sort_array(collect_list(struct(col("adc"), col("vec_id")))),
-        1, 5).as("top5"))
+        1, k).as("top5"))
+  }
+
+  /** t29's SERVED vector arm: per-probe `(eval_id, train_id, vec_rank)`
+    * rank lists for the embedded %100 eval probes, served from a SAVED
+    * train-only IVF-PQ index — the composition t28's scaladoc claims
+    * ("at 100 TB this arm is the served ANN index"). The build follows
+    * s23's honest-file discipline: the coarse codebook (the 8 seed
+    * centroids — codebooks are trained on a sample, so eval vectors in
+    * the seed range stay eligible) is written and RE-READ, the TRAIN
+    * corpus (`vec_id % 10 <> 0` — the same universe as t28's brute-force
+    * arm) is encoded against the re-read file via [[subCbFromSaved]],
+    * and serving opens the files, never the build plan. Rank = position
+    * in the ADC-ascending (adc, vec_id) order — the same total tie-break
+    * the s22 family's oracle replays.
+    *
+    * Scale shape: identical to s22's serve (probes broadcast into the
+    * cell-equi-joined coded corpus; the corpus never shuffles); the rank
+    * list handed to the fusion is ≤k rows per probe. */
+  private[graft] def ivfpqServedTrainRanks(s: SparkSession, d: String,
+                                           k: Int): DataFrame = {
+    import s.implicits._
+    val e = vectors(s, d)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_t29_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val cb = ivfpqCoarseCb(e)
+    cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
+    val cbR = s.read.parquet(path + "/cb")
+    ivfpqEncode(ivfpqAssign(e.filter($"vec_id" % 10 =!= 0), cbR),
+        subCbFromSaved(cbR))
+      .write.mode("overwrite").parquet(path + "/enc")
+    val encR = s.read.parquet(path + "/enc")
+    val probes = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v")
+    ivfpqServeTopK(cbR, encR, probes, k)
+      .select($"query_id".as("eval_id"), posexplode($"top5"))
+      .select($"eval_id", $"col.vec_id".as("train_id"),
+        ($"pos" + 1).cast("long").as("vec_rank"))
   }
 
   /** The index's PERSISTED form: write the frozen IVF-PQ artifact (coarse

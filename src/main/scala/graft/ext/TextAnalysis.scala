@@ -633,21 +633,27 @@ object TextAnalysis {
     * [[hybridRerankManaged]] is the established pattern). */
   private[graft] def rrfFusionManaged(
       probes: DataFrame, post: DataFrame,
-      emb: DataFrame): (DataFrame, () => Unit) = {
-    val s = post.sparkSession
+      emb: DataFrame): (DataFrame, () => Unit) =
+    rrfFusedWithArmManaged(probes, post, rrfVecArmBrute(probes, emb))
+
+  /** t28's BRUTE-FORCE vector arm: per-probe top-10 exact-cosine rank
+    * list over the embedded train corpus — `(eval_id, train_id,
+    * vec_rank)`, s01's broadcast-probes-into-one-scan shape. The probe
+    * universe is the probe IDS that have an embedding (see
+    * [[rrfFusion]]). t29 swaps this arm for the SAVED-index serve
+    * ([[Similarity.ivfpqServedTrainRanks]]) — same frame shape, same
+    * fusion core. */
+  private[graft] def rrfVecArmBrute(probes: DataFrame,
+                                    emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    // persisted for t16's reason: TopK's range-partitioner sampling
-    // replays its input once more than you'd expect
-    val scored = bm25Scores(post, probeTermsOf(probes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lex = rrfLexArm(scored)
     val evV = emb.join(
         broadcast(probes.select($"doc_id".as("eval_id")).distinct()),
         $"vec_id" === $"eval_id")
       .select($"eval_id", $"v".as("ev"), $"nrm".as("enrm"))
     val trV = emb.filter($"vec_id" % 10 =!= 0)
       .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tnrm"))
-    val vec = graft.operators.TopK.perKey(
+    graft.operators.TopK.perKey(
         trV.crossJoin(broadcast(evV))
           .select($"eval_id", $"train_id",
             round(Similarity.cosineWithNorms($"tv", $"ev", $"tnrm", $"enrm")
@@ -655,7 +661,22 @@ object TextAnalysis {
         $"eval_id", Seq($"cfx".desc, $"train_id"), 10,
         saltFrom = $"train_id")
       .select($"eval_id", $"train_id", $"rn".cast("long").as("vec_rank"))
-    (rrfFuseRanks(lex, vec), () => { scored.unpersist(false); () })
+  }
+
+  /** The ONE fusion pipeline both t28 and t29 run: lexical retrieval
+    * ranks from the frozen impacts index fused with a SUPPLIED vector
+    * rank arm through [[rrfFuseRanks]]. t28 passes the brute-force arm,
+    * t29 the saved-IVF-PQ-served arm — proving the served composition
+    * exercises the identical combiner the oracle checks on t28. */
+  private[graft] def rrfFusedWithArmManaged(
+      probes: DataFrame, post: DataFrame,
+      vecArm: DataFrame): (DataFrame, () => Unit) = {
+    // persisted for t16's reason: TopK's range-partitioner sampling
+    // replays its input once more than you'd expect
+    val scored = bm25Scores(post, probeTermsOf(probes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (rrfFuseRanks(rrfLexArm(scored), vecArm),
+      () => { scored.unpersist(false); () })
   }
 
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
@@ -1329,6 +1350,34 @@ object TextAnalysis {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
       rrfFusion(docs.filter($"doc_id" % 100 === 0), post, emb)
+    },
+
+    // The PRODUCTION hybrid-search shape, end to end: t28's scaladoc
+    // says the vector arm "at 100 TB is the served ANN index" — this
+    // query PROVES that composition instead of claiming it. The lexical
+    // arm is t28's exact retrieval ranks; the vector arm is the top-10
+    // rank list SERVED from a saved train-only IVF-PQ index (s22's
+    // file-round-trip discipline: codebook written + re-read, train
+    // corpus encoded against the re-read file, probes served from the
+    // files); both fuse through the IDENTICAL rrfFuseRanks definition
+    // the oracle checks on t28 — per-probe integer-quotient rank
+    // fusion, FULL OUTER arms, (rrf_fx DESC, train_id) total tie-break.
+    // The oracle replays the ENTIRE served pipeline (assignment, PQ
+    // codes, multiprobe ADC, rank list) plus the fusion from the raw
+    // tables, so an index-build or serve regression hash-mismatches.
+    //
+    // Scale shape: the lexical arm never shuffles the corpus (t16);
+    // the served arm is s22's serve (probes broadcast into the
+    // cell-equi-joined coded corpus — the POINT of the composition:
+    // unlike t28's brute-force arm, nothing here scans the full
+    // embedding set per probe); the fusion join touches two
+    // ≤10-rows-per-probe frames.
+    "t29_rrf_served" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
+      rrfFusedWithArmManaged(docs.filter($"doc_id" % 100 === 0), post,
+        Similarity.ivfpqServedTrainRanks(s, d, 10))._1
     },
 
     // PII detection + redaction census — the scrubbing pass every
@@ -2270,6 +2319,78 @@ object TextAnalysis {
            |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS INTEGER) AS rank FROM fused)
            |SELECT eval_id, rank, train_id, lex_rank, vec_rank, CAST(rrf_fx AS BIGINT) AS rrf_fx
            |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin,
+
+    // t28's lexical CTEs fused with a FULL REPLAY of the served IVF-PQ
+    // pipeline (s22's oracle CTEs: 8-seed assignment, per-subspace PQ
+    // codes via the norm-expansion d2, multiprobe crn <= 4, flat
+    // 64-entry ADC tables) — probes are the %100 evals, candidates the
+    // train corpus only, rank = (adc ASC, vec_id), depth 10 both arms.
+    // A match proves the saved-index build, the file serve, AND the
+    // fusion in one hash.
+    "t29_rrf_served" -> {
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      val adcSum = (0 until 8)
+        .map(m => s"tq[($m*8 + code[${m + 1}] + 1)::INT]").mkString(" + ")
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx FROM sc GROUP BY eval_id, train_id),
+           |lex AS MATERIALIZED (SELECT eval_id, train_id, rrank AS lex_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank FROM agg)
+           |  WHERE rrank <= 10),
+           |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${Similarity.sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS MATERIALIZED (SELECT vec_id, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS MATERIALIZED (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND vec_id % 100 = 0),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE vec_id % 100 = 0 GROUP BY vec_id),
+           |scv AS (SELECT query_id, vec_id, $adcSum AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id
+           |        WHERE a.vec_id % 10 <> 0)),
+           |vec AS MATERIALIZED (SELECT query_id AS eval_id, vec_id AS train_id, r2 AS vec_rank FROM
+           |  (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS r2 FROM scv)
+           |  WHERE r2 <= 10),
+           |fused AS (SELECT COALESCE(l.eval_id, v.eval_id) AS eval_id,
+           |    COALESCE(l.train_id, v.train_id) AS train_id,
+           |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           |    CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+           |    (CASE WHEN l.lex_rank IS NULL THEN 0 ELSE 1000000000 // (60 + l.lex_rank) END)
+           |    + (CASE WHEN v.vec_rank IS NULL THEN 0 ELSE 1000000000 // (60 + v.vec_rank) END) AS rrf_fx
+           |  FROM lex l FULL OUTER JOIN vec v ON l.eval_id = v.eval_id AND l.train_id = v.train_id),
+           |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS INTEGER) AS rank FROM fused)
+           |SELECT eval_id, rank, train_id, lex_rank, vec_rank, CAST(rrf_fx AS BIGINT) AS rrf_fx
+           |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin
+    },
 
     // same planting, same regexes (RE2 == Java regex on this subset),
     // same scrub order; regexp_replace needs the 'g' flag (DuckDB

@@ -504,6 +504,73 @@ class TextAnalysisSpec extends SparkSuite {
       s"null-text probe must fuse vector-only: $eval300")
   }
 
+  test("t29 served fusion: rank-shape contract, served-arm wiring, both arms alive, recall vs the exact fusion") {
+    // The composition t28's scaladoc claims ("at 100 TB this arm is the
+    // served ANN index"), proven red-on-break: the fused output must
+    // keep the rank-shape contract WHEN THE ARM COMES FROM THE INDEX —
+    // dense per-probe ranks, integer RRF quotients recomputable from
+    // the emitted arm ranks, the (rrf_fx DESC, train_id) total
+    // tie-break — and its vector column must BE the saved-index serve's
+    // rank list, not a lookalike.
+    val rows = TextAnalysis.queries("t29_rrf_served")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "served fusion produced no rows")
+    // integer-quotient contract: rrf_fx is exactly the sum of
+    // 1e9 div (60 + rank) over the PRESENT arms (0 = absent sentinel)
+    rows.foreach { case (ev, rk, tr, lr, vr, fx) =>
+      val want = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (vr > 0) 1000000000L / (60 + vr) else 0L)
+      assert(fx == want, s"($ev, $tr) rrf_fx $fx != recomputed $want")
+      assert(lr >= 0 && lr <= 10 && vr >= 0 && vr <= 10, s"($ev, $tr) arm " +
+        s"ranks out of depth: lex $lr vec $vr")
+      assert(lr > 0 || vr > 0, s"($ev, $tr) fused with BOTH arms absent")
+      assert(rk >= 1 && rk <= 5, s"($ev, $tr) rank $rk out of [1, 5]")
+    }
+    // dense per-probe ranks + the total tie-break: emitted rank order
+    // must equal the (rrf_fx DESC, train_id ASC) sort of the same rows
+    rows.groupBy(_._1).foreach { case (ev, g) =>
+      val byRank = g.sortBy(_._2).toList
+      assert(byRank.map(_._2) == (1 to g.length).toList,
+        s"probe $ev ranks not dense: ${byRank.map(_._2)}")
+      val resorted = g.sortBy(r => (-r._6, r._3)).toList
+      assert(byRank == resorted,
+        s"probe $ev emitted order violates the (rrf_fx DESC, train_id) " +
+          s"total tie-break: $byRank vs $resorted")
+    }
+    // served-arm wiring: every emitted vec_rank is EXACTLY the saved
+    // index serve's rank for that (probe, neighbor) — and fused docs
+    // absent from the serve really are absent (sentinel 0)
+    val servedArm = Similarity.ivfpqServedTrainRanks(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (ev, _, tr, _, vr, _) =>
+      assert(servedArm.get((ev, tr)).getOrElse(0L) == vr,
+        s"($ev, $tr) vec_rank $vr != served index rank " +
+          s"${servedArm.get((ev, tr))}")
+    }
+    // teeth: the composition must exercise every full-outer case —
+    // genuinely fused rows, lexical-only rows, AND served-only rows
+    assert(rows.exists(r => r._4 > 0 && r._5 > 0), "no genuinely fused row")
+    assert(rows.exists(r => r._4 > 0 && r._5 == 0), "no lexical-only row")
+    assert(rows.exists(r => r._4 == 0 && r._5 > 0), "no served-only row")
+    // recall row (t27's discipline): the served fusion must recover a
+    // nontrivial share of the exact fusion's slate — measured 3/5 per
+    // probe at sf0.01; assert the generous data floor 1/5 so a
+    // served-arm regression to garbage (recall 0) is red while testdata
+    // regeneration noise is not
+    val exact = TextAnalysis.queries("t28_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = rows.groupBy(_._1).map { case (ev, g) =>
+      val o = g.map(_._3).toSet.intersect(exact.getOrElse(ev, Set.empty))
+      ev -> o.size
+    }
+    info(s"fused-served vs fused-exact slate overlap@5 per probe: " +
+      overlaps.toSeq.sortBy(_._1).mkString(", "))
+    assert(overlaps.values.sum.toDouble / overlaps.size >= 1.0,
+      s"served fusion lost the exact fusion entirely: $overlaps")
+  }
+
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
     import spark.implicits._
     // hand-constructed token counts around every boundary: 1, 63, 64
