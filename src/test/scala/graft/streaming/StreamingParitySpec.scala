@@ -1328,6 +1328,112 @@ class StreamingParitySpec extends SparkSuite {
     post.unpersist(); emb.unpersist()
   }
 
+  test("t28 RRF fusion served through ExactlyOnceSink: crash-mid-batch replay converges to the once-applied slate ledger") {
+    // The r17 verdict's optional ask #6: with t26-through-ExactlyOnceSink
+    // proven, the SECOND standard hybrid combiner gets the same
+    // end-to-end treatment — per micro-batch of arriving probe docs, the
+    // managed rank fusion lands its slate in the partitioned ledger
+    // through ExactlyOnceSink; an injected crash in the post-sink/
+    // pre-offset-commit window must leave the ledger equal to the
+    // once-applied one-shot fusion. Rank-fusion slates are immutable per
+    // probe (no cross-probe state at all), so the same remerge-dedup
+    // applies. Both hybrid combiners are now effectively-once end to end.
+    import graft.ext.{Similarity, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+      .persist(MEMORY_AND_DISK)
+    def norm(df: DataFrame): Set[Seq[Any]] = df
+      .select(col("eval_id").cast("long"), col("rank"), col("train_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_fx"))
+      .collect().map(_.toSeq).toSet
+    val (osDf, osCleanup) = TextAnalysis.rrfFusionManaged(
+      docs.filter(col("doc_id") % 100 === 0), post, emb)
+    val oneShot = norm(osDf)
+    osCleanup()
+    assert(oneShot.nonEmpty, "one-shot fusion produced no slate rows")
+    // a probe's fused slate is immutable once served: the remerge just
+    // deduplicates identical rows a replay re-presents
+    def remerge(df: DataFrame): DataFrame = df.distinct()
+
+    val root = Files.createTempDirectory("graft-t28-e1").toString
+    docs.filter(col("doc_id") % 100 === 0).repartition(3)
+      .write.mode("overwrite").parquet(root + "/probes")
+    val schema = spark.read.parquet(root + "/probes").schema
+    @volatile var armed = true
+    val outcomes = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            ExactlyOnceSink.pruneStages(root, id, b)
+            val (slate, cleanup) = TextAnalysis.rrfFusionManaged(b, post, emb)
+            if (id == 0 && armed)
+              slate.write.mode("overwrite").parquet(root + "/b0_capture")
+            val out = ExactlyOnceSink.applyBatch(
+              root, id, slate, remerge, "eval_id")
+            cleanup()
+            outcomes.synchronized { outcomes += ((id, out.toString)) }
+            if (id == 0 && armed)
+              throw new RuntimeException(
+                "injected crash: slate applied, offsets not yet committed")
+          }
+          ()
+        }.start()
+
+    // run 1: batch 0's slate lands in the ledger, then dies pre-commit
+    val q1 = run()
+    val failed =
+      try { q1.awaitTermination(180000); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(failed, "run 1 must fail from the injected pre-commit crash")
+    assert(outcomes.toList == List((0L, "Merged")),
+      s"run 1 must have fully applied exactly batch 0, got $outcomes")
+    val afterCrash = norm(spark.read.parquet(root + "/roll"))
+    val b0 = norm(spark.read.parquet(root + "/b0_capture"))
+    assert(afterCrash == b0 && b0.nonEmpty && b0.subsetOf(oneShot),
+      "the crashed run's ledger must already hold exactly batch 0's slate")
+
+    // counterfactual teeth: the crash provably landed in the dangerous
+    // window, so a naive append-on-replay would double the rows — while
+    // the sink's remerge collapses the same union back to once-applied
+    val cols = Seq("eval_id", "rank", "train_id", "lex_rank", "vec_rank",
+      "rrf_fx")
+    val ledgerDf = spark.read.parquet(root + "/roll")
+      .select(col("eval_id").cast("long") +: cols.tail.map(col): _*)
+    val b0Df = spark.read.parquet(root + "/b0_capture")
+      .select(col("eval_id").cast("long") +: cols.tail.map(col): _*)
+    val naiveReplay = ledgerDf.unionByName(b0Df)
+    assert(naiveReplay.count() == 2 * ledgerDf.count() && ledgerDf.count() > 0,
+      "naive append-on-replay must double the already-applied slate rows")
+    assert(norm(remerge(naiveReplay)) == afterCrash,
+      "the sink's remerge must collapse the replayed union to once-applied")
+
+    // run 2: same checkpoint, crash disarmed — batch 0 replays through
+    // the idempotent path, the remaining probes merge normally
+    armed = false
+    val q2 = run()
+    assert(q2.awaitTermination(180000), "restart did not finish within 180 s")
+    val byRun2 = outcomes.toList.drop(1)
+    assert(byRun2.headOption.contains((0L, "Replayed")),
+      s"batch 0 must replay through the idempotent path, got $byRun2")
+    assert(byRun2.tail.nonEmpty && byRun2.tail.forall(_._2 == "Merged"),
+      s"later batches must merge normally, got $byRun2")
+
+    // the ledger equals the once-applied one-shot fusion: nothing
+    // doubled by the replay, nothing lost by the crash
+    assert(norm(spark.read.parquet(root + "/roll")) == oneShot,
+      "slate ledger after crash-replay must equal the one-shot fusion")
+    post.unpersist(); emb.unpersist()
+  }
+
   test("c26 adversarial: an eval vector landing in a corpus-EMPTY cell gets a sentinel census row, online == batch") {
     // The c26 twin screens against the full harness layout, where every
     // cell happens to hold train vectors — so a left→inner join refactor
