@@ -329,6 +329,19 @@ object Similarity {
   private[graft] def ivfpqServedTrainRanks(s: SparkSession, d: String,
                                            k: Int): DataFrame = {
     import s.implicits._
+    val (cbR, encR) = ivfpqSaveTrainIndex(s, d)
+    val probes = vectors(s, d).filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v")
+    ivfpqServedRanksFor(cbR, encR, probes, k)
+  }
+
+  /** The t29 index's BUILD half, factored so a serving twin can build
+    * once and serve many probe micro-batches: write + re-read the
+    * coarse codebook, encode the TRAIN corpus against the re-read file,
+    * write + re-read the coded corpus. */
+  private[graft] def ivfpqSaveTrainIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val e = vectors(s, d)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_t29_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
@@ -338,14 +351,20 @@ object Similarity {
     ivfpqEncode(ivfpqAssign(e.filter($"vec_id" % 10 =!= 0), cbR),
         subCbFromSaved(cbR))
       .write.mode("overwrite").parquet(path + "/enc")
-    val encR = s.read.parquet(path + "/enc")
-    val probes = e.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v")
-    ivfpqServeTopK(cbR, encR, probes, k)
-      .select($"query_id".as("eval_id"), posexplode($"top5"))
-      .select($"eval_id", $"col.vec_id".as("train_id"),
-        ($"pos" + 1).cast("long").as("vec_rank"))
+    (cbR, s.read.parquet(path + "/enc"))
   }
+
+  /** The t29 index's SERVE half: rank lists `(eval_id, train_id,
+    * vec_rank)` for an arbitrary probe frame `(query_id, v)` — batch or
+    * per-micro-batch — against the re-read index files. Pure per-probe
+    * work over the stream-safe [[ivfpqServeTopK]], so the union over
+    * any probe batching equals the one-shot run. */
+  private[graft] def ivfpqServedRanksFor(cbR: DataFrame, encR: DataFrame,
+                                         probes: DataFrame, k: Int): DataFrame =
+    ivfpqServeTopK(cbR, encR, probes, k)
+      .select(col("query_id").as("eval_id"), posexplode(col("top5")))
+      .select(col("eval_id"), col("col.vec_id").as("train_id"),
+        (col("pos") + 1).cast("long").as("vec_rank"))
 
   /** The index's PERSISTED form: write the frozen IVF-PQ artifact (coarse
     * codebook + PQ-coded corpus) as parquet files and hand back the

@@ -1326,7 +1326,8 @@ object TextAnalysis {
     // score = Σ_arms 1/(k + rank_arm), k = 60, over the lexical top-10
     // (t16's sqrt-idf retrieval) and the vector top-10 (brute-force
     // cosine over the embedded train corpus; at 100 TB this arm is the
-    // served ANN index — s13/s22/s28 — same (eval, train, rank) shape).
+    // served ANN index — PROVEN as t29, which fuses the saved-IVF-PQ
+    // serve's rank list through the identical rrfFuseRanks core).
     // Rank-space fusion needs no score normalization at all, which is
     // why it wins operationally: arms with incomparable score scales
     // fuse without a calibration step. Engine-exact trivially: ranks

@@ -1241,6 +1241,76 @@ class StreamingParitySpec extends SparkSuite {
     post.unpersist(); emb.unpersist()
   }
 
+  test("served-index RRF fusion serves arriving probe docs per micro-batch against the SAVED IVF-PQ index files (t29)") {
+    // The PRODUCTION hybrid-search serving shape end to end: the
+    // impacts index, the embedding table, and the saved IVF-PQ index
+    // FILES are all static (built once, as a nightly job would); probe
+    // documents arrive live and each micro-batch runs the identical
+    // rrfFusedWithArmManaged definition with the vector arm SERVED from
+    // the files for exactly that batch's probes. Both arms rank per
+    // probe and the serve is pure per-probe work against static files,
+    // so the union over any probe batching equals the one-shot run —
+    // and the one-shot run must equal the t29 batch query itself (the
+    // twin serves the oracle-checked definition, not a lookalike).
+    import graft.ext.{Similarity, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(MEMORY_AND_DISK)
+    // the oracle-checked batch query FIRST: it rebuilds the index at the
+    // same per-sfDir path, which would invalidate file-backed frames
+    // captured earlier (overwrite replaces the part files under them)
+    val q29 = graft.SparkEntry.queries("t29_rrf_served")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // nightly build: once, before serving starts
+    val (cbR, encR) = Similarity.ivfpqSaveTrainIndex(spark, sf)
+    def fuse(p: DataFrame): Set[Seq[Any]] = {
+      // the batch's probe VECTORS — ids joined to the embedding table
+      // (the same id-not-terms discipline as the brute-force arm); a
+      // probe without an embedding simply has no vector arm
+      val probesVec = emb.join(broadcast(p.select(col("doc_id"))),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("query_id"), col("v"))
+      val (df, cleanup) = TextAnalysis.rrfFusedWithArmManaged(
+        p, post, Similarity.ivfpqServedRanksFor(cbR, encR, probesVec, 10))
+      val out = df.collect().map(_.toSeq).toSet
+      cleanup()
+      out
+    }
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val oneShot = fuse(probes)
+    assert(oneShot.nonEmpty, "one-shot served fusion produced no rows")
+    // wiring: the twin's composition IS the oracle-checked t29 query
+    assert(oneShot == q29,
+      s"twin composition (${oneShot.size} rows) != the t29 batch query " +
+        s"(${q29.size} rows) — the twin is not serving the checked definition")
+    val root = Files.createTempDirectory("graft-t29-stream").toString
+    probes.repartition(3).write.mode("overwrite").parquet(root + "/probes")
+    val schema = spark.read.parquet(root + "/probes").schema
+    val served = scala.collection.mutable.Set[Seq[Any]]()
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/probes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          batches += 1
+          val out = fuse(b)
+          served.synchronized { served ++= out }
+        }
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "t29 twin did not finish within 180 s")
+    assert(batches > 1, s"need multiple micro-batches, got $batches")
+    assert(served.toSet == oneShot,
+      s"served fusion rows ${served.size} != one-shot ${oneShot.size}")
+    post.unpersist(); emb.unpersist()
+  }
+
   test("t26 rerank served through ExactlyOnceSink: crash-mid-batch replay converges to the once-applied slate ledger") {
     // The flagship serving composition (r16 verdict ask #4): the t26
     // twin proves slicing-invariance to a MEMORY sink; ExactlyOnceSink
