@@ -679,6 +679,69 @@ object TextAnalysis {
       () => { scored.unpersist(false); () })
   }
 
+  /** t30's recall census for the SERVED fusion — t27's ablation
+    * discipline applied to the index swap: per embedded eval probe,
+    *  - `fusion_recall`: overlap@5 of t29's served-fusion slate with
+    *    t28's exact-fusion slate — the END-TO-END price of serving the
+    *    vector arm from the compressed index instead of brute force;
+    *  - `arm_recall`: overlap@10 of the served rank list with the exact
+    *    cosine rank list — the ARM-level recall (s06's discipline on
+    *    the IVF-PQ serve) that explains the slate divergence.
+    * The lexical arm and the [[rrfFuseRanks]] core are SHARED between
+    * the two fusions (built once here), so any divergence is
+    * attributable to the vector arm alone. Universe: embedded eval
+    * probes, LEFT-joined with sentinel zeros (c26's vanished-row
+    * lesson). Scale shape: one lexical retrieval, one brute-force rank
+    * pass (the irreducible exact-ground-truth cost, s01's scan-parallel
+    * shape), one served rank pass (cell-local), and intersections over
+    * ≤10-rows-per-probe frames. */
+  private[graft] def servedFusionRecallManaged(
+      probes: DataFrame, post: DataFrame, emb: DataFrame,
+      vecServed: DataFrame): (DataFrame, () => Unit) = {
+    val s = post.sparkSession
+    import s.implicits._
+    val scored = bm25Scores(post, probeTermsOf(probes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lex = rrfLexArm(scored)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecExact = rrfVecArmBrute(probes, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecSrv = vecServed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactSlate = rrfFuseRanks(lex, vecExact)
+      .select($"eval_id", $"train_id")
+    val servedSlate = rrfFuseRanks(lex, vecSrv)
+      .select($"eval_id", $"train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evU = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("eval_id"))
+    val ns = servedSlate.groupBy($"eval_id").agg(count(lit(1)).as("n_served"))
+    val fh = servedSlate.join(exactSlate, Seq("eval_id", "train_id"))
+      .groupBy($"eval_id").agg(count(lit(1)).as("fusion_hits"))
+    val ah = vecSrv.select($"eval_id", $"train_id")
+      .join(vecExact.select($"eval_id", $"train_id"),
+        Seq("eval_id", "train_id"))
+      .groupBy($"eval_id").agg(count(lit(1)).as("arm_hits"))
+    val out = evU
+      .join(ns, Seq("eval_id"), "left")
+      .join(fh, Seq("eval_id"), "left")
+      .join(ah, Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_served", lit(0L)).as("n_served"),
+        coalesce($"fusion_hits", lit(0L)).as("fusion_hits"),
+        round(coalesce($"fusion_hits", lit(0L)).cast("double") / lit(5.0), 6)
+          .as("fusion_recall"),
+        coalesce($"arm_hits", lit(0L)).as("arm_hits"),
+        round(coalesce($"arm_hits", lit(0L)).cast("double") / lit(10.0), 6)
+          .as("arm_recall"))
+      .orderBy($"eval_id")
+    (out, () => {
+      scored.unpersist(false); lex.unpersist(false)
+      vecExact.unpersist(false); vecSrv.unpersist(false)
+      servedSlate.unpersist(false); ()
+    })
+  }
+
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
     * hash) set, hashed IN THE SCAN STAGE so the one corpus-wide distinct
     * exchanges fixed 8-byte keys, never shingle text (t09's scaladoc has
@@ -1379,6 +1442,28 @@ object TextAnalysis {
       val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
       rrfFusedWithArmManaged(docs.filter($"doc_id" % 100 === 0), post,
         Similarity.ivfpqServedTrainRanks(s, d, 10))._1
+    },
+
+    // The served composition's RECALL CENSUS — the ablation every index
+    // swap ships with (t27 graded the rerank; this grades the t29 index
+    // swap): per embedded eval probe, how much of the exact fusion's
+    // slate does the SERVED fusion keep (fusion_recall, overlap@5), and
+    // how much of the exact cosine rank list does the IVF-PQ serve
+    // recover (arm_recall, overlap@10 — s06's discipline on the served
+    // arm, the number that explains the slate divergence). The lexical
+    // arm and the rrfFuseRanks core are built ONCE and shared by both
+    // fusions, so divergence is attributable to the vector arm alone.
+    // Engine-exact: both slates and both rank lists are integer-ranked
+    // with total tie-breaks, so the intersections are exact set counts.
+    "t30_served_fusion_recall" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      servedFusionRecallManaged(docs.filter($"doc_id" % 100 === 0), post,
+        emb, Similarity.ivfpqServedTrainRanks(s, d, 10))._1
     },
 
     // PII detection + redaction census — the scrubbing pass every
@@ -2391,6 +2476,103 @@ object TextAnalysis {
            |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS INTEGER) AS rank FROM fused)
            |SELECT eval_id, rank, train_id, lex_rank, vec_rank, CAST(rrf_fx AS BIGINT) AS rrf_fx
            |FROM rk WHERE rank <= 5 ORDER BY eval_id, rank""".stripMargin
+    },
+
+    // BOTH fusion chains replayed from the raw tables — the shared
+    // lexical arm, t28's exact-cosine vector arm, t29's full served
+    // IVF-PQ pipeline — then the two top-5 slates and two rank lists
+    // intersected per probe. Integer-ranked everywhere, so the recall
+    // counts are exact set arithmetic in both engines.
+    "t30_served_fusion_recall" -> {
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      val adcSum = (0 until 8)
+        .map(m => s"tq[($m*8 + code[${m + 1}] + 1)::INT]").mkString(" + ")
+      val rrf = (l: String, v: String) =>
+        s"""SELECT COALESCE(l.eval_id, v.eval_id) AS eval_id,
+           |    COALESCE(l.train_id, v.train_id) AS train_id,
+           |    (CASE WHEN l.lex_rank IS NULL THEN 0 ELSE 1000000000 // (60 + l.lex_rank) END)
+           |    + (CASE WHEN v.vec_rank IS NULL THEN 0 ELSE 1000000000 // (60 + v.vec_rank) END) AS rrf_fx
+           |  FROM $l l FULL OUTER JOIN $v v ON l.eval_id = v.eval_id AND l.train_id = v.train_id""".stripMargin
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx FROM sc GROUP BY eval_id, train_id),
+           |lex AS MATERIALIZED (SELECT eval_id, train_id, rrank AS lex_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank FROM agg)
+           |  WHERE rrank <= 10),
+           |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 100 = 0),
+           |tr AS (SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0),
+           |ex AS (SELECT ev.eval_id, tr.train_id,
+           |    CAST(round(list_dot_product(tr.v, ev.v)
+           |      / sqrt(list_dot_product(tr.v, tr.v) * list_dot_product(ev.v, ev.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM ev CROSS JOIN tr),
+           |vecx AS MATERIALIZED (SELECT eval_id, train_id, r2 AS vec_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cfx DESC, train_id) AS r2 FROM ex)
+           |  WHERE r2 <= 10),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${Similarity.sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS MATERIALIZED (SELECT vec_id, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS MATERIALIZED (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND vec_id % 100 = 0),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE vec_id % 100 = 0 GROUP BY vec_id),
+           |scv AS (SELECT query_id, vec_id, $adcSum AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id
+           |        WHERE a.vec_id % 10 <> 0)),
+           |vecs AS MATERIALIZED (SELECT query_id AS eval_id, vec_id AS train_id, r2 AS vec_rank FROM
+           |  (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS r2 FROM scv)
+           |  WHERE r2 <= 10),
+           |fusedx AS (${rrf("lex", "vecx")}),
+           |exact_slate AS MATERIALIZED (SELECT eval_id, train_id FROM
+           |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS rank FROM fusedx)
+           |  WHERE rank <= 5),
+           |fuseds AS (${rrf("lex", "vecs")}),
+           |served_slate AS MATERIALIZED (SELECT eval_id, train_id FROM
+           |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS rank FROM fuseds)
+           |  WHERE rank <= 5),
+           |evu AS (SELECT vec_id AS eval_id FROM e WHERE vec_id % 100 = 0),
+           |ns AS (SELECT eval_id, COUNT(*) AS n_served FROM served_slate GROUP BY 1),
+           |fh AS (SELECT s2.eval_id, COUNT(*) AS fusion_hits FROM served_slate s2 JOIN exact_slate USING (eval_id, train_id) GROUP BY 1),
+           |ah AS (SELECT v1.eval_id, COUNT(*) AS arm_hits FROM vecs v1 JOIN vecx USING (eval_id, train_id) GROUP BY 1)
+           |SELECT u.eval_id,
+           |  CAST(COALESCE(ns.n_served, 0) AS BIGINT) AS n_served,
+           |  CAST(COALESCE(fh.fusion_hits, 0) AS BIGINT) AS fusion_hits,
+           |  round(CAST(COALESCE(fh.fusion_hits, 0) AS DOUBLE) / 5.0, 6) AS fusion_recall,
+           |  CAST(COALESCE(ah.arm_hits, 0) AS BIGINT) AS arm_hits,
+           |  round(CAST(COALESCE(ah.arm_hits, 0) AS DOUBLE) / 10.0, 6) AS arm_recall
+           |FROM evu u
+           |LEFT JOIN ns USING (eval_id) LEFT JOIN fh USING (eval_id) LEFT JOIN ah USING (eval_id)
+           |ORDER BY eval_id""".stripMargin
     },
 
     // same planting, same regexes (RE2 == Java regex on this subset),

@@ -133,7 +133,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s31_hard_negative_mining" -> 64,  // measured 10 KB (anchors broadcast, corpus scored in one narrow pass; the exchange is the salted top-3 partials + 5 positive argmax rows)
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200,   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
-    "t29_rrf_served" -> 420)           // measured 210 KB (t16's lexical retrieval exchanges + the saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
+    "t29_rrf_served" -> 420,           // measured 210 KB (t16's lexical retrieval exchanges + the saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
+    "t30_served_fusion_recall" -> 470)  // measured 233 KB (the shared lexical arm built once, t28's exact-arm TopK partials, t29's index-build encode partials + file writes; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
 
   private lazy val written = {
     val w = new LongAdder
@@ -162,7 +163,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 72,
+    assert(ceilingsKb.size == 73,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
     // ...and check the footnote TEXT itself, so the doc can never drift
