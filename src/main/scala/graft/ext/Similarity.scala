@@ -335,16 +335,36 @@ object Similarity {
     ivfpqServedRanksFor(cbR, encR, probes, k)
   }
 
-  /** The t29 index's BUILD half, factored so a serving twin can build
-    * once and serve many probe micro-batches: write + re-read the
-    * coarse codebook, encode the TRAIN corpus against the re-read file,
-    * write + re-read the coded corpus. */
+  /** The t29 index's BUILD half, MEMOIZED per (session, dataset) over a
+    * session-unique artifact path (the r18 verdict's ask: the previous
+    * fixed per-sfDir tmpdir path let any two concurrent callers
+    * overwrite part files under each other's open serves — the t29
+    * twin had to sequence its own steps around exactly that hazard —
+    * and t29, t30, and their specs each paid a duplicated build).
+    * One build per session now serves every caller, the knnMemo
+    * pattern: the memoized value is the pair of RE-READ file-backed
+    * frames, which survive `clearCache` (they are parquet reads, not
+    * CacheManager entries), so Verify's per-query hygiene cannot force
+    * a rebuild either. A production rebuild loop that WANTS fresh
+    * builds calls [[ivfpqSaveTrainIndexAt]] with its own versioned
+    * path, exactly like a nightly job writing dated artifacts. */
   private[graft] def ivfpqSaveTrainIndex(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    hookEviction(s)
+    val fresh = new IndexCell(() =>
+      ivfpqSaveTrainIndexAt(s, d, indexRoot(s, "t29", d)))
+    trainIndexMemo.putIfAbsent((s, d), fresh).getOrElse(fresh).value
+  }
+
+  /** The raw (non-memoized) build at an EXPLICIT path: write + re-read
+    * the coarse codebook, encode the TRAIN corpus against the re-read
+    * file, write + re-read the coded corpus — s23's honest-file
+    * discipline. Callers own the path's lifecycle; the catalog goes
+    * through the memoized [[ivfpqSaveTrainIndex]] instead. */
+  private[graft] def ivfpqSaveTrainIndexAt(
+      s: SparkSession, d: String, path: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val e = vectors(s, d)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_t29_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
     val cb = ivfpqCoarseCb(e)
     cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
     val cbR = s.read.parquet(path + "/cb")
@@ -373,12 +393,14 @@ object Similarity {
     * open the files, never the build plan). Doubles round-trip parquet
     * bit-exactly, so serving from the files is value-identical to
     * serving from the in-session frames — which s22's oracle proves by
-    * replaying the saved-code ADC from the raw tables. Per-sfDir path: a
-    * serving layer must never open another scale's index. */
+    * replaying the saved-code ADC from the raw tables. Path is per
+    * (session, sfDir) via [[indexRoot]]: per-sfDir because a serving
+    * layer must never open another scale's index, per-session because a
+    * fixed shared path let concurrent sessions overwrite part files
+    * under each other's open serves (r18 verdict). */
   def ivfpqSaveIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (cb, enc) = ivfpqFrozenIndex(s, d)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_s22_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val path = indexRoot(s, "s22", d)
     cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
     enc.write.mode("overwrite").parquet(path + "/enc")
     (s.read.parquet(path + "/cb"), s.read.parquet(path + "/enc"))
@@ -428,6 +450,46 @@ object Similarity {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** [[MemoCell]] for a (codebook, coded-corpus) frame PAIR — the saved
+    * train index's memo slot (same per-key lazy-init build-once
+    * guarantee; the build runs Spark write jobs, so it must never hold
+    * a lock another key's caller waits on). */
+  private final class IndexCell(build: () => (DataFrame, DataFrame)) {
+    lazy val value: (DataFrame, DataFrame) = build()
+  }
+
+  private val trainIndexMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), IndexCell]()
+
+  /** One saved-index artifact root per SESSION under java.io.tmpdir.
+    * Fixed per-sfDir paths (the pre-r19 convention) made two concurrent
+    * sessions on the same dataset overwrite part files under each
+    * other's open serves — lazily-evaluated file-backed frames would
+    * then read a sibling's half-written index. A random per-session
+    * root closes the window across sessions AND JVMs; within a session
+    * the memos guarantee build-once, so nothing ever overwrites a path
+    * an open frame reads. A JVM shutdown hook deletes the tree
+    * best-effort (artifacts are small: one codebook row + the coded
+    * corpus). */
+  private val indexRootMemo =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+
+  private[graft] def indexRoot(s: SparkSession, family: String,
+                               d: String): String = {
+    val root = indexRootMemo.getOrElseUpdate(s, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_index_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }))
+      dir.getAbsolutePath
+    })
+    root + "/" + family + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   /** Evict every memo entry owned by `s`. Called automatically when the
     * owning SparkContext ends; call it explicitly when tearing down a
     * SESSION whose shared context lives on (e.g. `newSession()` pools) —
@@ -436,8 +498,23 @@ object Similarity {
     * until the context dies. */
   private[graft] def evictKnnMemo(s: SparkSession): Unit = {
     knnMemo.keySet.filter(_._1 eq s).foreach(knnMemo.remove)
+    trainIndexMemo.keySet.filter(_._1 eq s).foreach(trainIndexMemo.remove)
+    indexRootMemo.remove(s)
     knnMemoHooked.remove(s)
   }
+
+  /** Register the context-end eviction listener for `s` once — shared
+    * by every memo keyed on the session ([[knnMemoized]],
+    * [[ivfpqSaveTrainIndex]], [[indexRoot]]). */
+  private def hookEviction(s: SparkSession): Unit =
+    if (knnMemoHooked.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictKnnMemo(s)
+        })
+    }
 
   /** Lifecycle: entries are evicted when the owning session's context
     * ends (a listener registered on first insert); see [[evictKnnMemo]]
@@ -452,14 +529,7 @@ object Similarity {
     * ([[TextAnalysis.bm25TfMemo]]). */
   private[graft] def knnMemoized(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame = {
-    if (knnMemoHooked.add(s)) {
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            evictKnnMemo(s)
-        })
-    }
+    hookEviction(s)
     val fresh = new MemoCell(() => build)
     knnMemo.putIfAbsent((s, d, key), fresh).getOrElse(fresh).value
   }
@@ -571,8 +641,9 @@ object Similarity {
       import s.implicits._
       val e = vectors(s, d)
       val isNew = col("vec_id") % 10 === 7
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_s23_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      // session-unique artifact path (see ivfpqSaveIndex): the rebuild
+      // per invocation is the point of this query, the path is not
+      val path = indexRoot(s, "s23", d)
       // the saved base index (in production: last night's artifact)
       val cb = ivfpqCoarseCb(e)
       cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
@@ -621,8 +692,7 @@ object Similarity {
       import s.implicits._
       val e = vectors(s, d)
       val isDel = col("vec_id") % 10 === 3
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_s24_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val path = indexRoot(s, "s24", d)
       val cb = ivfpqCoarseCb(e)
       cb.coalesce(1).write.mode("overwrite").parquet(path + "/cb")
       val cbR = s.read.parquet(path + "/cb")

@@ -391,13 +391,15 @@ object TextAnalysis {
     hybridRerankManaged(probeTerms, post, emb)._1
 
   /** [[hybridRerank]] plus a cleanup handle that unpersists the two
-    * intermediate frames (`scored`, `cand`) it caches per call. A batch
-    * query can ignore it (query-end cleanup reclaims them); a
-    * LONG-RUNNING serving caller — one rerank per micro-batch — must
-    * invoke the handle after materializing each batch's result, or the
-    * per-batch cache entries accumulate bounded only by LRU eviction
-    * pressure (r16 ADVICE). Unpersist is non-blocking: the frames are
-    * dead by then, eviction can lag the next batch safely. */
+    * intermediate frames (`scored`, `cand`) it caches per call. The
+    * catalog lambda defers its handle to the runner via
+    * [[graft.core.QueryCleanup]] (the runner materializes the frame
+    * after the lambda returns — r18 ADVICE: Bench's no-clear reps mode
+    * otherwise accumulated the per-call persists); a LONG-RUNNING
+    * serving caller — one rerank per micro-batch — invokes the handle
+    * inline after materializing each batch's result. Unpersist is
+    * non-blocking: the frames are dead by then, eviction can lag the
+    * next batch safely. */
   private[graft] def hybridRerankManaged(
       probeTerms: DataFrame, post: DataFrame,
       emb: DataFrame): (DataFrame, () => Unit) = {
@@ -504,10 +506,11 @@ object TextAnalysis {
     * (the r17 verdict's one hygiene defect): the census persists three
     * frames per call — the inner scoring pair via [[rerankJointScores]]
     * plus its own `joint`/`slate` — and a long-running caller (an
-    * ablation sweep re-grading per index rebuild) must reclaim them
-    * after materializing each census, exactly like
-    * [[hybridRerankManaged]]. Batch callers (the t27 query) may ignore
-    * the handle: Verify clears the cache per query. */
+    * ablation sweep re-grading per index rebuild — the t30 rebuild-loop
+    * spec exercises exactly this rhythm) must reclaim them after
+    * materializing each census, exactly like [[hybridRerankManaged]].
+    * The t27 catalog lambda defers its handle to the runner via
+    * [[graft.core.QueryCleanup]]. */
   private[graft] def rerankRecallManaged(
       probeTerms: DataFrame, post: DataFrame,
       emb: DataFrame): (DataFrame, () => Unit) = {
@@ -1362,7 +1365,14 @@ object TextAnalysis {
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      hybridRerank(bm25ProbeTerms(docs), post, emb)
+      // a catalog lambda cannot invoke the cleanup handle itself (the
+      // runner materializes the frame after we return) — register it so
+      // the runner drains it post-materialization (QueryCleanup; the
+      // r18 ADVICE: Bench's no-clear reps mode otherwise accumulates
+      // each managed query's per-call persists under LRU pressure only)
+      val (out, cleanup) = hybridRerankManaged(bm25ProbeTerms(docs), post, emb)
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
     },
 
     // Recall census for the hybrid retrieve-then-rerank pipeline — the
@@ -1380,7 +1390,10 @@ object TextAnalysis {
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      rerankRecall(bm25ProbeTerms(docs), post, emb)
+      // cleanup deferred to the runner's drain (see t26)
+      val (out, cleanup) = rerankRecallManaged(bm25ProbeTerms(docs), post, emb)
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
     },
 
     // Reciprocal-rank fusion — the OTHER standard hybrid-search
@@ -1413,7 +1426,11 @@ object TextAnalysis {
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      rrfFusion(docs.filter($"doc_id" % 100 === 0), post, emb)
+      // cleanup deferred to the runner's drain (see t26)
+      val (out, cleanup) =
+        rrfFusionManaged(docs.filter($"doc_id" % 100 === 0), post, emb)
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
     },
 
     // The PRODUCTION hybrid-search shape, end to end: t28's scaladoc
@@ -1440,8 +1457,14 @@ object TextAnalysis {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
-      rrfFusedWithArmManaged(docs.filter($"doc_id" % 100 === 0), post,
-        Similarity.ivfpqServedTrainRanks(s, d, 10))._1
+      // the served arm rides the MEMOIZED train index (one build per
+      // session serves t29, t30, and the twins — r18 verdict ask #1);
+      // cleanup deferred to the runner's drain (see t26)
+      val (out, cleanup) =
+        rrfFusedWithArmManaged(docs.filter($"doc_id" % 100 === 0), post,
+          Similarity.ivfpqServedTrainRanks(s, d, 10))
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
     },
 
     // The served composition's RECALL CENSUS — the ablation every index
@@ -1462,8 +1485,13 @@ object TextAnalysis {
       val emb = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.dot($"v", $"v"))
-      servedFusionRecallManaged(docs.filter($"doc_id" % 100 === 0), post,
-        emb, Similarity.ivfpqServedTrainRanks(s, d, 10))._1
+      // shares t29's memoized index build; cleanup deferred to the
+      // runner's drain (see t26)
+      val (out, cleanup) =
+        servedFusionRecallManaged(docs.filter($"doc_id" % 100 === 0), post,
+          emb, Similarity.ivfpqServedTrainRanks(s, d, 10))
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
     },
 
     // PII detection + redaction census — the scrubbing pass every

@@ -75,6 +75,49 @@ class KnnMemoSpec extends SparkSuite {
     Similarity.evictKnnMemo(spark)
   }
 
+  test("saved train index: one memoized build per (session, dataset) — t30 rides t29's files, fresh-path build agrees, eviction rebuilds") {
+    // r18 verdict ask #1: t29, t30, and the twins used to each rebuild
+    // the saved train index at a FIXED shared tmpdir path (duplicated
+    // build cost + a latent overwrite-under-open-serve race). The memo
+    // contract: (1) every caller in a session gets the SAME frame pair;
+    // (2) the memoized content equals a fresh build at an independent
+    // versioned path (the rebuild-loop path); (3) running the t29 then
+    // t30 catalog queries rewrites NO index file — t30 really rides
+    // t29's files; (4) eviction releases the memo for rebuild.
+    val sf = "/root/testdata/sf0.001"
+    val (cb1, enc1) = Similarity.ivfpqSaveTrainIndex(spark, sf)
+    val (cb2, enc2) = Similarity.ivfpqSaveTrainIndex(spark, sf)
+    assert((cb1 eq cb2) && (enc1 eq enc2),
+      "second call must return the memoized frame pair, not a rebuild")
+    val fresh = java.nio.file.Files.createTempDirectory("graft-idx-fresh").toString
+    val (cbF, encF) = Similarity.ivfpqSaveTrainIndexAt(spark, sf, fresh)
+    assert(enc1.collect().map(_.toSeq).toSet == encF.collect().map(_.toSeq).toSet,
+      "memoized coded corpus must equal a fresh build's")
+    assert(cb1.collect().map(_.toSeq).toSet == cbF.collect().map(_.toSeq).toSet,
+      "memoized codebook must equal a fresh build's")
+    // file-level proof that the two catalog consumers share ONE build:
+    // the coded-corpus part listing (name, mtime, size) must be
+    // identical before and after each query — an overwrite would bump
+    // mtimes even with equal bytes
+    val encDir = new java.io.File(Similarity.indexRoot(spark, "t29", sf) + "/enc")
+    def listing: Set[(String, Long, Long)] = encDir.listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val snap = listing
+    assert(graft.SparkEntry.queries("t29_rrf_served")(spark, sf).count() > 0)
+    graft.core.QueryCleanup.drain(spark)
+    assert(listing == snap, "the t29 query rebuilt the memoized index")
+    assert(graft.SparkEntry.queries("t30_served_fusion_recall")(spark, sf)
+      .count() > 0)
+    graft.core.QueryCleanup.drain(spark)
+    assert(listing == snap,
+      "the t30 query rebuilt the index t29 already built — the memo is " +
+        "not shared across the two consumers")
+    Similarity.evictKnnMemo(spark)
+    val (cb3, _) = Similarity.ivfpqSaveTrainIndex(spark, sf)
+    assert(!(cb3 eq cb1), "post-eviction call must rebuild")
+    Similarity.evictKnnMemo(spark)
+  }
+
   test("evictKnnMemo drops the session's entries so a rebuild happens") {
     val builds = new AtomicInteger(0)
     def get() = Similarity.knnMemoized(spark, "memo-spec-ds3", "k") {

@@ -571,6 +571,109 @@ class TextAnalysisSpec extends SparkSuite {
       s"served fusion lost the exact fusion entirely: $overlaps")
   }
 
+  test("t30 census: hand-computed recalls on a constructed index swap, sentinel row for an unserved probe, non-universe probe excluded") {
+    import spark.implicits._
+    // t27's synthetic arrangement with a HAND-BUILT served arm standing
+    // in for the IVF-PQ serve (the census grades WHATEVER arm it is
+    // handed — the t29 wiring is oracle-checked; this pins the set
+    // arithmetic). Eval 0 (probe "x"): lex ranks 3 > 1 > 2; exact vec
+    // ranks 1, 2, 11, 12, 13, 3 (cosines vs (1,0)); exact-fusion slate
+    // = {1, 2, 3, 11, 12}. The served arm is built to MISS docs 1 and 2
+    // (13 -> 1, 11 -> 2, 12 -> 3): served slate fuses to {3, 13, 1, 11,
+    // 2} (quotient ties broken by train_id: 3 < 13, 1 < 11, 2 < 12), so
+    // fusion_hits = |{3,13,1,11,2} ∩ {1,2,3,11,12}| = 4 -> 0.8 and
+    // arm_hits = |{13,11,12} ∩ exact-top10| = 3 -> 0.3. Eval 100 (probe
+    // "q"): lexical arm {6} only, served arm EMPTY — the served slate
+    // keeps the lexical row (n_served = 1) and recovers 1 of the exact
+    // fusion's slate {6, 13, 12, 11, 2} -> 0.2, arm_recall 0. Eval 400
+    // (probe "w", matching NO train doc, served arm empty): both arms
+    // empty -> the SENTINEL row (0, 0, 0.0, 0, 0.0) — a vanished row
+    // would read as "not measured" (c26's lesson). Eval 200 has no
+    // embedding: outside the census universe entirely.
+    val docs = Seq(
+      (0L, "x"), (100L, "q"), (200L, "x"), (400L, "w"),
+      (1L, "x x"), (2L, "x"), (3L, "x x x"), (6L, "q"),
+      (11L, "z"), (12L, "z"), (13L, "z")).toDF("doc_id", "text")
+    val embRaw = Seq(
+      (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (400L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)), (13L, Array(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val emb = embRaw
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot($"v", $"v"))
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+    val served = Seq((0L, 13L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("eval_id", "train_id", "vec_rank")
+    val (census, cleanup) = TextAnalysis.servedFusionRecallManaged(
+      docs.filter($"doc_id" % 100 === 0), post, emb, served)
+    val rows = census.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toList
+    cleanup()
+    assert(rows == List(
+      (0L, 5L, 4L, 0.8, 3L, 0.3),
+      (100L, 1L, 1L, 0.2, 0L, 0.0),
+      (400L, 0L, 0L, 0.0, 0L, 0.0)),
+      s"census rows: $rows")
+  }
+
+  test("t30 periodic ablation: recall re-graded per index REBUILD through the managed handles, census flat, rounds agree") {
+    // The production rhythm the managed handles exist for (r18 verdict
+    // optional ask #6): a long-running ablation loop rebuilds the index
+    // nightly — each rebuild at its OWN versioned path via the raw
+    // ivfpqSaveTrainIndexAt, the way a nightly job writes dated
+    // artifacts (the session memo is for consumers of the CURRENT
+    // index) — and re-grades the served fusion's recall after each
+    // rebuild, invoking the cleanup handle once the census
+    // materializes. Deterministic build ⇒ every round's census is
+    // identical; the persistent-RDD census must be FLAT after round 1
+    // (id-set diff vs the post-round-1 baseline — immune to the async
+    // ContextCleaner and to alien suite frames), which is exactly the
+    // accumulation a dropped handle would break.
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = graft.core.Tables.documents(spark, sf)
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+      .persist(MEMORY_AND_DISK)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot(col("v"), col("v")))
+      .persist(MEMORY_AND_DISK)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-t30-loop").toString
+    def persisted: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    var firstRows: List[Seq[Any]] = null
+    var baseline: Set[Int] = null
+    (1 to 3).foreach { i =>
+      val (cbR, encR) =
+        Similarity.ivfpqSaveTrainIndexAt(spark, sf, s"$root/v$i")
+      val probesVec = emb.join(broadcast(probes.select(col("doc_id"))),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("query_id"), col("v"))
+      val (census, cleanup) = TextAnalysis.servedFusionRecallManaged(
+        probes, post, emb,
+        Similarity.ivfpqServedRanksFor(cbR, encR, probesVec, 10))
+      val rows = census.collect().map(_.toSeq).toList
+      cleanup()
+      assert(rows.nonEmpty, s"round $i graded no probes")
+      if (i == 1) { firstRows = rows; baseline = persisted }
+      else {
+        assert(rows == firstRows,
+          s"round $i census diverged from round 1 — the rebuild is not " +
+            "deterministic or a stale frame leaked across rounds")
+        val extra = (persisted -- baseline).toSeq.sorted
+          .map(id => spark.sparkContext.getPersistentRDDs.get(id)
+            .map(r => s"$id=${r.toString}").getOrElse(s"$id=<gone>"))
+        assert(extra.isEmpty,
+          s"round $i left NEW persistent RDDs $extra — " +
+            "a managed handle lost its cleanup in the rebuild loop")
+      }
+    }
+    post.unpersist(); emb.unpersist()
+  }
+
   test("t23 chunker: window/stride boundaries, tail semantics, position-weighted checksum") {
     import spark.implicits._
     // hand-constructed token counts around every boundary: 1, 63, 64

@@ -229,8 +229,11 @@ def main() -> int:
     # --- the ratchet alarm (r17 ADVICE): three consecutive borderline
     # captures walk the rolling floor down with each one individually
     # inside the band — the gate must WARN when the band min has
-    # declined > 15% from the all-time same-mode max, so the creep gets
-    # adjudicated instead of silently re-centering the band
+    # declined > 25% from the all-time same-mode max (the implemented
+    # threshold: accept_bench_record.py deliberately widened the
+    # ADVICE's 15% to 25% to clear honest committed-history scatter),
+    # so the creep gets adjudicated instead of silently re-centering
+    # the band
     with tempfile.TemporaryDirectory() as td:
         r16 = load_committed("r16_default_idle.json")
         walked = [6.0, 5.1, 4.4]  # each >= 0.85 * previous min, yet -27%
