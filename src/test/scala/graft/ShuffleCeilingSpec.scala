@@ -133,8 +133,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s31_hard_negative_mining" -> 64,  // measured 10 KB (anchors broadcast, corpus scored in one narrow pass; the exchange is the salted top-3 partials + 5 positive argmax rows)
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200,   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
-    "t29_rrf_served" -> 420,           // measured 210 KB (t16's lexical retrieval exchanges + the saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
-    "t30_served_fusion_recall" -> 470)  // measured 233 KB (the shared lexical arm built once, t28's exact-arm TopK partials, t29's index-build encode partials + file writes; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
+    "t29_rrf_served" -> 420,           // measured 283 KB r19 (r18: 210 — run-context scatter, see the NOTE below; t16's lexical retrieval exchanges + the once-per-session saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
+    "t30_served_fusion_recall" -> 470)  // measured 268 KB r19 (r18: 233; the shared lexical arm built once, t28's exact-arm TopK partials; rides t29's memoized index since r19; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
 
   private lazy val written = {
     val w = new LongAdder
@@ -188,6 +188,9 @@ class ShuffleCeilingSpec extends SparkSuite {
     assume(new java.io.File(s"$sf/lineitem.parquet").exists(),
       s"$sf testdata absent — ceilings only apply to driver-generated data")
     val got = shuffleWriteKb(name)
+    // always-visible headroom (r19): a silent pass hides a query creeping
+    // toward its ceiling — the margin only becomes inspectable on failure
+    info(f"measured $got%.1f KB (ceiling $kb KB)")
     assert(got <= kb,
       f"$name shuffled $got%.1f KB (ceiling $kb KB) — a broadcast was " +
         "lost or a join/window started exchanging the corpus; run " +
