@@ -553,8 +553,7 @@ object Curation {
         .withColumn("shard", expr("cum0 div 2000"))
         .select($"shard", $"doc_id", $"source", $"text")
       // per-sfDir path: a census must never read another scale's shards
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_c13_shards_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val path = graft.core.ArtifactRoot.path(s, "c13_shards", d)
       assigned
         .repartition($"shard")
         .sortWithinPartitions($"doc_id")
@@ -608,8 +607,7 @@ object Curation {
       val lateDay = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(1))
       val isInc = $"day" === lit(maxDay) ||
         ($"day" === lit(lateDay) && $"event_id" % 7 === 3)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_c21_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val path = graft.core.ArtifactRoot.path(s, "c21_rollup", d)
       // last night's ledger: all non-increment events, partitioned by day
       state(ev.filter(!isInc))
         .write.mode("overwrite").partitionBy("day").parquet(path + "/roll")
@@ -664,8 +662,7 @@ object Curation {
     "c20_format_roundtrip" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_c20_formats_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val path = graft.core.ArtifactRoot.path(s, "c20_formats", d)
       docs.write.mode("overwrite").orc(path + "/orc")
       docs.write.mode("overwrite").option("compression", "gzip")
         .json(path + "/json_gz")
@@ -849,10 +846,13 @@ object Curation {
     // layout write below runs EAGERLY at DataFrame-construction time —
     // the census must read the files actually on disk, so plan-only
     // tooling (ExplainAudit / ShuffleAudit / PlanShapeSpec) pays one
-    // sf-sized parquet write to java.io.tmpdir/graft_c22_zorder_<sf>.
-    // The dir is overwrite-mode per sf (bounded: one copy per scale
-    // factor, ~MBs at test SFs), not deleted, so ZOrderSpec can
-    // re-open the same files for its row-group-skipping measurements.
+    // sf-sized parquet write to the session's ArtifactRoot
+    // (c22_zorder_<sf> under the per-session tmpdir since r19). The
+    // dir is overwrite-mode per (session, sf) — bounded: one copy per
+    // scale factor per session, ~MBs at test SFs, reclaimed by the
+    // root's JVM shutdown hook — and stays readable within the
+    // session, so ZOrderSpec can re-open the same files for its
+    // row-group-skipping measurements via ArtifactRoot.path.
     "c22_zorder_layout" -> { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber",
@@ -861,8 +861,7 @@ object Curation {
       val z = li
         .withColumn("z", graft.operators.ZOrder.interleave($"x", $"y"))
         .withColumn("zcell", expr("CAST(z div 4096 AS INT)"))
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_c22_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val path = graft.core.ArtifactRoot.path(s, "c22_zorder", d)
       z.repartition($"zcell").sortWithinPartitions($"z")
         .write.mode("overwrite").partitionBy("zcell").parquet(path)
       def census(rows: DataFrame, cell: Column, layout: String): DataFrame =
@@ -910,8 +909,7 @@ object Curation {
     "c23_schema_evolution" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_c23_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val root = graft.core.ArtifactRoot.path(s, "c23_evo", d)
       docs.filter($"doc_id" % 3 === 0)
         .write.mode("overwrite").parquet(root + "/gen=1")
       docs.filter($"doc_id" % 3 === 1)

@@ -184,8 +184,10 @@ object Dedup {
     * joins co-partitioned. */
   def ledgerSidecars(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_d22_ledgers_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    // session-unique artifact root since r19 (graft.core.ArtifactRoot):
+    // the fixed per-sfDir path risked cross-session overwrites under
+    // open lazily-read ledger frames
+    val path = graft.core.ArtifactRoot.path(s, "d22_ledgers", d)
     base.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .write.mode("overwrite").parquet(path + "/fp")
     sigsOf(base).write.mode("overwrite").parquet(path + "/sigs")

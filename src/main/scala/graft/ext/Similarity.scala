@@ -461,34 +461,16 @@ object Similarity {
   private val trainIndexMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), IndexCell]()
 
-  /** One saved-index artifact root per SESSION under java.io.tmpdir.
-    * Fixed per-sfDir paths (the pre-r19 convention) made two concurrent
-    * sessions on the same dataset overwrite part files under each
-    * other's open serves — lazily-evaluated file-backed frames would
-    * then read a sibling's half-written index. A random per-session
-    * root closes the window across sessions AND JVMs; within a session
-    * the memos guarantee build-once, so nothing ever overwrites a path
-    * an open frame reads. A JVM shutdown hook deletes the tree
-    * best-effort (artifacts are small: one codebook row + the coded
-    * corpus). */
-  private val indexRootMemo =
-    scala.collection.concurrent.TrieMap[SparkSession, String]()
-
+  /** Session-unique saved-index path — [[graft.core.ArtifactRoot]] is
+    * the shared implementation (every file-materializing family rides
+    * it since r19; the fixed per-sfDir convention it replaces let
+    * concurrent sessions overwrite part files under each other's open
+    * serves). Within a session the memos above additionally guarantee
+    * build-once, so nothing ever overwrites a path an open frame
+    * reads. */
   private[graft] def indexRoot(s: SparkSession, family: String,
-                               d: String): String = {
-    val root = indexRootMemo.getOrElseUpdate(s, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_index_").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-      }))
-      dir.getAbsolutePath
-    })
-    root + "/" + family + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
-  }
+                               d: String): String =
+    graft.core.ArtifactRoot.path(s, family, d)
 
   /** Evict every memo entry owned by `s`. Called automatically when the
     * owning SparkContext ends; call it explicitly when tearing down a
@@ -499,7 +481,7 @@ object Similarity {
   private[graft] def evictKnnMemo(s: SparkSession): Unit = {
     knnMemo.keySet.filter(_._1 eq s).foreach(knnMemo.remove)
     trainIndexMemo.keySet.filter(_._1 eq s).foreach(trainIndexMemo.remove)
-    indexRootMemo.remove(s)
+    graft.core.ArtifactRoot.evict(s)
     knnMemoHooked.remove(s)
   }
 

@@ -174,8 +174,7 @@ class CurationSpec extends SparkSuite {
     // write-layout invariants: exactly one data file per shard, rows
     // inside each file in ascending doc_id order (deterministic layout a
     // trainer can stream without sorting)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_c13_shards_" + sf.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val path = graft.core.ArtifactRoot.path(spark, "c13_shards", sf)
     val rows = spark.read.parquet(path)
       .select(col("shard").cast("long").as("shard"), col("doc_id"),
         input_file_name().as("f"))
@@ -307,8 +306,8 @@ class CurationSpec extends SparkSuite {
     // two jobs must have written the ledger, and the second one must have
     // touched exactly the two maintained day partitions — a full rewrite
     // (one uuid everywhere) or an over-eager swap both fail here
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_c21_rollup__root_testdata_sf0_001/roll")
+    val root = new java.io.File(graft.core.ArtifactRoot.path(
+      spark, "c21_rollup", "/root/testdata/sf0.001") + "/roll")
     val dayDirs = root.listFiles().filter(_.getName.startsWith("day="))
     assert(dayDirs.length >= 3, s"need >2 day partitions, got ${dayDirs.length}")
     val uuidByDay = dayDirs.map { dir =>
@@ -347,8 +346,7 @@ class CurationSpec extends SparkSuite {
       }
     }
     // the merged schema carries the union of all generations' columns
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_c23_evo_" + sf.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+    val root = graft.core.ArtifactRoot.path(spark, "c23_evo", sf)
     val gens = Seq(1, 2, 3).map(g => s"$root/gen=$g")
     val merged = spark.read.option("mergeSchema", "true")
       .option("basePath", root).parquet(gens: _*)
