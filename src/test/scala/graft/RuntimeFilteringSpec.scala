@@ -38,8 +38,10 @@ class RuntimeFilteringSpec extends SparkSuite {
   test("dynamic partition pruning: the fact scan reads only the dimension-selected days") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/events.parquet").exists())
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_dpp_events").getAbsolutePath
+    // spec-owned fixture, but the same session-unique convention as the
+    // query artifacts: a fixed tmpdir name would let a concurrent
+    // session overwrite the layout between this write and the pruned read
+    val path = graft.core.ArtifactRoot.path(spark, "spec_dpp_events", sf)
     val ev = graft.core.Tables.events(spark, sf)
       .select(to_date($"ts").cast("string").as("day"), $"event_id", $"value")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)

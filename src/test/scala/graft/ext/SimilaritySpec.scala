@@ -177,8 +177,11 @@ class SimilaritySpec extends SparkSuite {
     val expected = e.filter($"vec_id" % 10 =!= 3).count()
     assert(nLive == expected, s"n_live $nLive != surviving corpus $expected")
     // and the files themselves are clean: re-read the compacted index
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_s24_index__root_testdata_sf0_001").getAbsolutePath
+    // from the query's session-unique artifact path (resolving via
+    // ArtifactRoot is the r19 contract — reconstructing the pre-r19
+    // fixed tmpdir string here silently read stale pre-migration files)
+    val path = graft.core.ArtifactRoot.path(
+      spark, "s24", "/root/testdata/sf0.001")
     val ghosts = spark.read.parquet(path + "/enc")
       .filter(col("vec_id") % 10 === 3).count()
     assert(ghosts == 0L, s"$ghosts tombstoned rows survive in the files")
