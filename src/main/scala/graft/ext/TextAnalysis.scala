@@ -745,6 +745,100 @@ object TextAnalysis {
     })
   }
 
+  /** NDCG@5 discount weights as INTEGER fixed-point millionths —
+    * `round(1e6 / log2(rank + 1))` precomputed as literals so BOTH
+    * engines do exact integer arithmetic instead of each taking its own
+    * `log` (cross-engine doubles from transcendental functions are not
+    * bitwise-comparable; the quantization error vs the real discount is
+    * < 1e-6 relative, far below the 6-dp output rounding). */
+  private def ndcgW(rank: Column): Column =
+    when(rank === 1, lit(1000000L)).when(rank === 2, lit(630930L))
+      .when(rank === 3, lit(500000L)).when(rank === 4, lit(430677L))
+      .otherwise(lit(386853L))
+
+  /** t31's RANK-AWARE grading of the index swap — t30's recall census
+    * says whether the served fusion keeps the exact fusion's documents;
+    * this says whether it keeps their ORDER (the metric pair every
+    * retrieval-stack swap actually ships: set overlap alone calls a
+    * slate with the top-1 demoted to 5th "perfect"). Ground truth per
+    * embedded eval probe is the EXACT fusion's slate with graded
+    * relevance `rel = 6 - exact_rank` (top-1 grades 5 … 5th grades 1,
+    * off-slate grades 0); the served slate is scored by
+    *  - `ndcg`: DCG@5 / IDCG@5 with the [[ndcgW]] integer discounts —
+    *    both numerator and denominator are exact BIGINT sums, so the
+    *    only doubles are the final guarded division rounded to 6 dp;
+    *  - `mrr`: 1 / first served rank that hits the exact slate at all
+    *    (binary relevance — the companion number for "how deep does a
+    *    user dig before the first right answer"), 6-dp-rounded exact
+    *    reciprocal; sentinel 0 when no served row hits.
+    * The arms and both fusions are SHARED with t30's construction (one
+    * lexical retrieval, rrfFuseRanks core both sides) so the metrics
+    * grade exactly the slates t30 counts. Universe: embedded eval
+    * probes LEFT-joined with sentinel zeros (c26's vanished-row
+    * lesson). Scale shape: identical to t30 — one lexical retrieval,
+    * one exact rank pass (the irreducible ground-truth cost), one
+    * served rank pass (cell-local), then grading joins over
+    * ≤5-rows-per-probe slates; nothing downstream of the arms scales
+    * with the corpus. */
+  private[graft] def servedRankingMetricsManaged(
+      probes: DataFrame, post: DataFrame, emb: DataFrame,
+      vecServed: DataFrame): (DataFrame, () => Unit) = {
+    val s = post.sparkSession
+    import s.implicits._
+    val scored = bm25Scores(post, probeTermsOf(probes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lex = rrfLexArm(scored)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the arms are each consumed once here, but the fusion's TopK
+    // range-partitioner sampling replays its input (t16's lesson), and
+    // the brute exact arm is the expensive one — persist both, as t30
+    val vecExact = rrfVecArmBrute(probes, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecSrv = vecServed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the exact slate feeds BOTH the IDCG aggregate and the
+    // graded join
+    val exactSlate = rrfFuseRanks(lex, vecExact)
+      .select($"eval_id", $"train_id", $"rank".cast("long").as("exact_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val servedSlate = rrfFuseRanks(lex, vecSrv)
+      .select($"eval_id", $"train_id", $"rank".cast("long").as("srv_rank"))
+    val graded = servedSlate
+      .join(exactSlate, Seq("eval_id", "train_id"), "left")
+      .select($"eval_id", $"srv_rank",
+        when($"exact_rank".isNull, lit(0L))
+          .otherwise(lit(6L) - $"exact_rank").as("rel"))
+    val dcg = graded.groupBy($"eval_id").agg(
+      sum($"rel" * ndcgW($"srv_rank")).as("dcg"),
+      min(when($"rel" > 0, $"srv_rank")).as("first_hit"))
+    val idcg = exactSlate.groupBy($"eval_id").agg(
+      count(lit(1)).as("n_exact"),
+      sum((lit(6L) - $"exact_rank") * ndcgW($"exact_rank")).as("idcg"))
+    val evU = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("eval_id"))
+    val out = evU
+      .join(idcg, Seq("eval_id"), "left")
+      .join(dcg, Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"dcg", lit(0L)).as("dcg"),
+        coalesce($"idcg", lit(0L)).as("idcg"),
+        when(coalesce($"idcg", lit(0L)) > 0,
+          round(coalesce($"dcg", lit(0L)).cast("double") /
+            $"idcg".cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        coalesce($"first_hit", lit(0L)).as("first_hit"),
+        when(coalesce($"first_hit", lit(0L)) > 0,
+          round(lit(1.0) / $"first_hit".cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr"))
+      .orderBy($"eval_id")
+    (out, () => {
+      scored.unpersist(false); lex.unpersist(false)
+      vecExact.unpersist(false); vecSrv.unpersist(false)
+      exactSlate.unpersist(false); ()
+    })
+  }
+
   /** t09/t21's shared sketch input: the distinct (source, 60-bit shingle
     * hash) set, hashed IN THE SCAN STAGE so the one corpus-wide distinct
     * exchanges fixed 8-byte keys, never shingle text (t09's scaladoc has
@@ -1489,6 +1583,31 @@ object TextAnalysis {
       // runner's drain (see t26)
       val (out, cleanup) =
         servedFusionRecallManaged(docs.filter($"doc_id" % 100 === 0), post,
+          emb, Similarity.ivfpqServedTrainRanks(s, d, 10))
+      graft.core.QueryCleanup.register(s, cleanup)
+      out
+    },
+
+    // The served composition's RANK-AWARE grading — the companion t30's
+    // recall census needs before an index swap ships: NDCG@5 of the
+    // served slate against the exact fusion's graded slate (does the
+    // served index keep the ORDER, not just the set) and MRR (how deep
+    // is the first hit). Engine-exact by construction: graded relevance
+    // and both rank lists are integers, the NDCG discounts are
+    // precomputed integer millionths (ndcgW — no cross-engine log), so
+    // DCG and IDCG are exact BIGINT sums and the only doubles are two
+    // guarded 6-dp-rounded divisions. Shares t29/t30's memoized index
+    // build and the one-per-session BM25 tokenization; cleanup deferred
+    // to the runner's drain (see t26).
+    "t31_ranking_metrics" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val post = bm25ImpactsFromTf(bm25TfMemo(s, d), sqrtIdf)
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.dot($"v", $"v"))
+      val (out, cleanup) =
+        servedRankingMetricsManaged(docs.filter($"doc_id" % 100 === 0), post,
           emb, Similarity.ivfpqServedTrainRanks(s, d, 10))
       graft.core.QueryCleanup.register(s, cleanup)
       out
@@ -2600,6 +2719,117 @@ object TextAnalysis {
            |  round(CAST(COALESCE(ah.arm_hits, 0) AS DOUBLE) / 10.0, 6) AS arm_recall
            |FROM evu u
            |LEFT JOIN ns USING (eval_id) LEFT JOIN fh USING (eval_id) LEFT JOIN ah USING (eval_id)
+           |ORDER BY eval_id""".stripMargin
+    },
+
+    // t30's two fusion chains replayed with RANKS kept on both slates,
+    // then the NDCG@5 / MRR grading tail. The discount weights are the
+    // same integer millionths the Spark ndcgW chain hardcodes
+    // (round(1e6/log2(r+1))) — no engine takes a log, so DCG/IDCG are
+    // exact BIGINT sums (cast from DuckDB's HUGEINT SUM) and the only
+    // doubles are the two guarded divisions rounded to 6 dp.
+    "t31_ranking_metrics" -> {
+      val d2 =
+        "list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], v[(m*8+1)::INT:(m*8+8)::INT])" +
+          " - 2*list_dot_product(v[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])" +
+          " + list_dot_product(cv[(m*8+1)::INT:(m*8+8)::INT], cv[(m*8+1)::INT:(m*8+8)::INT])"
+      val adcSum = (0 until 8)
+        .map(m => s"tq[($m*8 + code[${m + 1}] + 1)::INT]").mkString(" + ")
+      val rrf = (l: String, v: String) =>
+        s"""SELECT COALESCE(l.eval_id, v.eval_id) AS eval_id,
+           |    COALESCE(l.train_id, v.train_id) AS train_id,
+           |    (CASE WHEN l.lex_rank IS NULL THEN 0 ELSE 1000000000 // (60 + l.lex_rank) END)
+           |    + (CASE WHEN v.vec_rank IS NULL THEN 0 ELSE 1000000000 // (60 + v.vec_rank) END) AS rrf_fx
+           |  FROM $l l FULL OUTER JOIN $v v ON l.eval_id = v.eval_id AND l.train_id = v.train_id""".stripMargin
+      val w = (r: String) =>
+        s"(CASE $r WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 ELSE 386853 END)"
+      raw"""WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w FROM documents),
+           |trainw AS (SELECT doc_id AS train_id, unnest(w) AS t FROM dw WHERE doc_id % 10 <> 0),
+           |tf AS (SELECT train_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM trainw GROUP BY train_id, t),
+           |dl AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS dl FROM trainw GROUP BY train_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+           |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS eval_id, unnest(w) AS t FROM dw WHERE doc_id % 100 = 0),
+           |sc AS (SELECT eval_id, train_id,
+           |    CAST(round(sqrt(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_train AS DOUBLE)))))
+           |      * 1000000.0) AS BIGINT) AS fx
+           |  FROM tf JOIN q USING (t) JOIN dft USING (t) JOIN dl USING (train_id) CROSS JOIN stats),
+           |agg AS (SELECT eval_id, train_id, CAST(SUM(fx) AS BIGINT) AS sfx FROM sc GROUP BY eval_id, train_id),
+           |lex AS MATERIALIZED (SELECT eval_id, train_id, rrank AS lex_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY sfx DESC, train_id) AS rrank FROM agg)
+           |  WHERE rrank <= 10),
+           |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 100 = 0),
+           |tr AS (SELECT vec_id AS train_id, v FROM e WHERE vec_id % 10 <> 0),
+           |ex AS (SELECT ev.eval_id, tr.train_id,
+           |    CAST(round(list_dot_product(tr.v, ev.v)
+           |      / sqrt(list_dot_product(tr.v, tr.v) * list_dot_product(ev.v, ev.v))
+           |      * 1000000.0) AS BIGINT) AS cfx
+           |  FROM ev CROSS JOIN tr),
+           |vecx AS MATERIALIZED (SELECT eval_id, train_id, r2 AS vec_rank FROM
+           |  (SELECT eval_id, train_id, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cfx DESC, train_id) AS r2 FROM ex)
+           |  WHERE r2 <= 10),
+           |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+           |ac AS (SELECT vec_id, v, cent_id, ${Similarity.sqlCosine("v", "cv")} AS ccos
+           |  FROM e CROSS JOIN cents),
+           |ranked AS MATERIALIZED (SELECT vec_id, cent_id, ccos,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+           |  FROM ac),
+           |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+           |sub AS MATERIALIZED (SELECT e.vec_id, cent_id, m, $d2 AS d2
+           |  FROM e CROSS JOIN cents
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+           |cr AS (SELECT vec_id, m, cent_id, d2,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cent_id) AS rn
+           |  FROM sub),
+           |codes AS (SELECT vec_id, list(cent_id ORDER BY m) AS code
+           |  FROM cr WHERE rn = 1 GROUP BY vec_id),
+           |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+           |  FROM ranked WHERE crn <= 4 AND vec_id % 100 = 0),
+           |tqf AS (SELECT vec_id AS query_id, list(d2 ORDER BY m, cent_id) AS tq
+           |  FROM sub WHERE vec_id % 100 = 0 GROUP BY vec_id),
+           |scv AS (SELECT query_id, vec_id, $adcSum AS adc
+           |  FROM (SELECT p.query_id, a.vec_id, t.tq, c.code
+           |        FROM assigned a JOIN probes p ON a.cell = p.probe AND a.vec_id <> p.query_id
+           |        JOIN codes c ON c.vec_id = a.vec_id
+           |        JOIN tqf t ON t.query_id = p.query_id
+           |        WHERE a.vec_id % 10 <> 0)),
+           |vecs AS MATERIALIZED (SELECT query_id AS eval_id, vec_id AS train_id, r2 AS vec_rank FROM
+           |  (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS r2 FROM scv)
+           |  WHERE r2 <= 10),
+           |fusedx AS (${rrf("lex", "vecx")}),
+           |exact_slate AS MATERIALIZED (SELECT eval_id, train_id, CAST(rrank AS BIGINT) AS exact_rank FROM
+           |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS rrank FROM fusedx)
+           |  WHERE rrank <= 5),
+           |fuseds AS (${rrf("lex", "vecs")}),
+           |served_slate AS MATERIALIZED (SELECT eval_id, train_id, CAST(rrank AS BIGINT) AS srv_rank FROM
+           |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY rrf_fx DESC, train_id) AS rrank FROM fuseds)
+           |  WHERE rrank <= 5),
+           |graded AS (SELECT s2.eval_id, s2.srv_rank,
+           |    CASE WHEN x.exact_rank IS NULL THEN 0 ELSE 6 - x.exact_rank END AS rel
+           |  FROM served_slate s2 LEFT JOIN exact_slate x USING (eval_id, train_id)),
+           |dcg AS (SELECT eval_id, CAST(SUM(rel * ${w("srv_rank")}) AS BIGINT) AS dcg,
+           |    MIN(CASE WHEN rel > 0 THEN srv_rank END) AS first_hit
+           |  FROM graded GROUP BY eval_id),
+           |idcg AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |    CAST(SUM((6 - exact_rank) * ${w("exact_rank")}) AS BIGINT) AS idcg
+           |  FROM exact_slate GROUP BY eval_id),
+           |evu AS (SELECT vec_id AS eval_id FROM e WHERE vec_id % 100 = 0)
+           |SELECT u.eval_id,
+           |  CAST(COALESCE(i.n_exact, 0) AS BIGINT) AS n_exact,
+           |  CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,
+           |  CAST(COALESCE(i.idcg, 0) AS BIGINT) AS idcg,
+           |  CASE WHEN COALESCE(i.idcg, 0) > 0
+           |    THEN round(CAST(COALESCE(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+           |    ELSE 0.0 END AS ndcg,
+           |  CAST(COALESCE(d.first_hit, 0) AS BIGINT) AS first_hit,
+           |  CASE WHEN COALESCE(d.first_hit, 0) > 0
+           |    THEN round(1.0 / CAST(d.first_hit AS DOUBLE), 6)
+           |    ELSE 0.0 END AS mrr
+           |FROM evu u
+           |LEFT JOIN idcg i USING (eval_id) LEFT JOIN dcg d USING (eval_id)
            |ORDER BY eval_id""".stripMargin
     },
 

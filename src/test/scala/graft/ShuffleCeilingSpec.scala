@@ -134,7 +134,8 @@ class ShuffleCeilingSpec extends SparkSuite {
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200,   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
     "t29_rrf_served" -> 420,           // measured 283 KB r19 (r18: 210 — run-context scatter, see the NOTE below; t16's lexical retrieval exchanges + the once-per-session saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
-    "t30_served_fusion_recall" -> 470)  // measured 268 KB r19 (r18: 233; the shared lexical arm built once, t28's exact-arm TopK partials; rides t29's memoized index since r19; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
+    "t30_served_fusion_recall" -> 470,  // measured 268 KB r19 (r18: 233; the shared lexical arm built once, t28's exact-arm TopK partials; rides t29's memoized index since r19; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
+    "t31_ranking_metrics" -> 470)      // measured 233 KB r19 (t30's arm profile — shared lexical arm, exact-arm TopK partials, memoized index; the grading tail joins/aggregates <=5-rows-per-probe slates, adding ~0)
 
   private lazy val written = {
     val w = new LongAdder
@@ -163,7 +164,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     // SCALE.md's "Ceiling-coverage note" cites this number; the footnote
     // went stale twice (r13: 48→49 uncounted, r14: 49 while the spec
     // grew to 61) — pin it so adding a guard forces the doc update
-    assert(ceilingsKb.size == 73,
+    assert(ceilingsKb.size == 74,
       s"ShuffleCeilingSpec now guards ${ceilingsKb.size} queries — " +
         "update SCALE.md's ceiling-coverage note (and this assertion)")
     // ...and check the footnote TEXT itself, so the doc can never drift

@@ -620,6 +620,65 @@ class TextAnalysisSpec extends SparkSuite {
       s"census rows: $rows")
   }
 
+  test("t31 metrics: hand-computed NDCG@5/MRR on the constructed index swap, empty-served-slate sentinel") {
+    import spark.implicits._
+    // The t30 arrangement re-graded RANK-AWARE. Hand derivation:
+    //  Eval 0: exact slate 1>2>3>11>12 (grades 5,4,3,2,1); served slate
+    //   3>13>1>11>2 (quotient ties broken by train_id) -> rels
+    //   (3,0,5,2,4); DCG = 3·W1 + 5·W3 + 2·W4 + 4·W5 = 7,908,766;
+    //   IDCG = 5·W1+4·W2+3·W3+2·W4+1·W5 = 10,271,927; ndcg 0.769940;
+    //   first hit at served rank 1 -> mrr 1.0.
+    //  Eval 100: served arm EMPTY, lexical row 6 survives at served
+    //   rank 1 with grade 5 (exact slate 6>13>12>11>2) -> DCG
+    //   5,000,000, ndcg 0.486764, mrr 1.0.
+    //  Eval 400: exact slate exists (vector-only: 13>12>11>2>1, IDCG
+    //   10,271,927) but BOTH served arms are empty -> the served slate
+    //   VANISHES; the metrics row must still appear with dcg 0 /
+    //   ndcg 0.0 / first_hit 0 / mrr 0.0 against the real idcg — the
+    //   NULL-dcg-under-positive-idcg edge both engines coalesce.
+    //  Eval 200 (no embedding): outside the universe.
+    val docs = Seq(
+      (0L, "x"), (100L, "q"), (200L, "x"), (400L, "w"),
+      (1L, "x x"), (2L, "x"), (3L, "x x x"), (6L, "q"),
+      (11L, "z"), (12L, "z"), (13L, "z")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (100L, Array(0.0f, 1.0f)),
+      (400L, Array(0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)), (13L, Array(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.dot($"v", $"v"))
+    val post = TextAnalysis.bm25ImpactsIdf(spark, docs, TextAnalysis.sqrtIdf)
+    val served = Seq((0L, 13L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("eval_id", "train_id", "vec_rank")
+    val (metrics, cleanup) = TextAnalysis.servedRankingMetricsManaged(
+      docs.filter($"doc_id" % 100 === 0), post, emb, served)
+    val rows = metrics.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toList
+    cleanup()
+    assert(rows == List(
+      (0L, 5L, 7908766L, 10271927L, 0.76994, 1L, 1.0),
+      (100L, 5L, 5000000L, 10271927L, 0.486764, 1L, 1.0),
+      (400L, 5L, 0L, 10271927L, 0.0, 0L, 0.0)),
+      s"metric rows: $rows")
+    // a perfectly-preserved slate must grade 1.0 exactly: feed the
+    // EXACT vector arm back in as "served" for eval 400's vector-only
+    // probe and the served slate equals the exact slate
+    val perfect = Seq((400L, 13L, 1L), (400L, 12L, 2L), (400L, 11L, 3L),
+      (400L, 2L, 4L), (400L, 1L, 5L), (400L, 3L, 6L))
+      .toDF("eval_id", "train_id", "vec_rank")
+    val (m2, c2) = TextAnalysis.servedRankingMetricsManaged(
+      docs.filter($"doc_id" % 100 === 0), post, emb, perfect)
+    val r400 = m2.collect().map(r => (r.getLong(0), r.getDouble(4),
+      r.getDouble(6))).find(_._1 == 400L)
+    c2()
+    assert(r400.contains((400L, 1.0, 1.0)),
+      s"identical slate must grade ndcg = mrr = 1.0: $r400")
+  }
+
   test("t30 periodic ablation: recall re-graded per index REBUILD through the managed handles, census flat, rounds agree") {
     // The production rhythm the managed handles exist for (r18 verdict
     // optional ask #6): a long-running ablation loop rebuilds the index
