@@ -679,7 +679,7 @@ class TextAnalysisSpec extends SparkSuite {
       s"identical slate must grade ndcg = mrr = 1.0: $r400")
   }
 
-  test("t30 periodic ablation: recall re-graded per index REBUILD through the managed handles, census flat, rounds agree") {
+  test("t30/t31 periodic ablation: recall + ranking metrics re-graded per index REBUILD through the managed handles, census flat, rounds agree") {
     // The production rhythm the managed handles exist for (r18 verdict
     // optional ask #6): a long-running ablation loop rebuilds the index
     // nightly — each rebuild at its OWN versioned path via the raw
@@ -711,11 +711,17 @@ class TextAnalysisSpec extends SparkSuite {
       val probesVec = emb.join(broadcast(probes.select(col("doc_id"))),
           col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("query_id"), col("v"))
+      val servedArm =
+        Similarity.ivfpqServedRanksFor(cbR, encR, probesVec, 10)
       val (census, cleanup) = TextAnalysis.servedFusionRecallManaged(
-        probes, post, emb,
-        Similarity.ivfpqServedRanksFor(cbR, encR, probesVec, 10))
-      val rows = census.collect().map(_.toSeq).toList
-      cleanup()
+        probes, post, emb, servedArm)
+      // the full ablation a real swap ships: recall AND rank-aware
+      // metrics, re-graded per rebuild through their managed handles
+      val (metrics, mCleanup) = TextAnalysis.servedRankingMetricsManaged(
+        probes, post, emb, servedArm)
+      val rows = census.collect().map(_.toSeq).toList ++
+        metrics.collect().map(_.toSeq).toList
+      cleanup(); mCleanup()
       assert(rows.nonEmpty, s"round $i graded no probes")
       if (i == 1) { firstRows = rows; baseline = persisted }
       else {
