@@ -37,15 +37,69 @@ object Graph {
 
   /** Distinct (customer, supplier) relationships — the graph's raw
     * bipartite edge set, shared by the node-encoded PageRank edges and
-    * the co-occurrence projection. */
-  private def custSupp(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
-      .distinct()
-  }
+    * the co-occurrence projection. MEMOIZED per (session, dataset) and
+    * localCheckpoint'd (r19, guide §2.4 "remove shuffles outright"):
+    * before the memo, every graph query re-ran the orders⋈lineitem
+    * distillation join per invocation — g04 alone derived it THREE
+    * times (bitmap build + per-supplier counts + the nc census are
+    * three independent consumers of one unpersisted frame), and the
+    * g01/g02/g05/g10 sharing relied on CacheManager plan-matching, the
+    * mechanism the r14 incident showed breaks silently (CLAUDE.md).
+    * One ~|relationships|-row (c, sp) long-pair frame (9 MB at sf0.1)
+    * now materializes once per session; the checkpoint also truncates
+    * every downstream loop's analyzed plan to a LogicalRDD base. The
+    * distinct's row ORDER is nondeterministic but every consumer is
+    * order-insensitive (aggregates, joins, ranked windows with total
+    * tie-breaks), so results are unchanged. */
+  private def custSupp(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_cs") {
+      import s.implicits._
+      Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  /** The supplier co-occurrence PAIR STRENGTHS (sa, sb, shared, ca, cb)
+    * — the 500k-pair sorted-set intersection quadratic that is the
+    * documented cost center of g03, g06, g07, g08 and g09 (SCALE.md).
+    * MEMOIZED per (session, dataset) (r19): before, g03 ran its own
+    * intersection pass and [[mutualTopEdges]] ran a SECOND one whose
+    * pair stage differed only in the ca/cb size columns — the two plans
+    * could not CacheManager-match, so a Bench session paid the
+    * quadratic twice. One localCheckpoint'd frame (≤ |suppliers|²/2
+    * rows of five longs) now feeds both; the build-side `sets` persist
+    * is released as soon as the checkpoint materializes. */
+  private[ext] def coPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_pairs") {
+      import s.implicits._
+      val sets = custSupp(s, d).groupBy($"sp")
+        .agg(sort_array(collect_set($"c")).as("cs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
+        .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
+          // codegen'd linear merge over the sorted sets —
+          // size(array_intersect(...)) hash-builds per row and was
+          // measured 3.5× slower on this stage (g03's bake-off)
+          graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
+            .as("shared"),
+          size(col("a.cs")).cast("long").as("ca"),
+          size(col("b.cs")).cast("long").as("cb"))
+        .filter($"shared" > 0)
+        .localCheckpoint()
+      sets.unpersist(false)
+      out
+    }
+
+  /** The graph's 1-row distinct-customer census, shared by g03/g04's
+    * lift denominators — memoized so neither pays a custSupp pass. */
+  private def coNc(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_nc") {
+      import s.implicits._
+      custSupp(s, d).agg(countDistinct($"c").as("nc")).localCheckpoint()
+    }
 
   /** Undirected bipartite edge list, both directions: node id = 2·custkey
     * for customers, 2·suppkey+1 for suppliers (disjoint id spaces). */
@@ -67,37 +121,38 @@ object Graph {
     * the mutuality join's x/y arms would each recompute the 500k-pair
     * intersection build). End-of-life: g04's documented policy
     * (MEMORY_AND_DISK LRU + Verify's per-query clearCache). */
-  private def mutualTopEdges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sets = custSupp(s, d).groupBy($"sp")
-      .agg(sort_array(collect_set($"c")).as("cs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
-      .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
-        graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
-          .as("shared"))
-      .filter($"shared" > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
-      .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
-    // w carries the edge's INTEGER traversal cost for g09 (inverse
-    // co-occurrence strength, floored — strong ties are cheap to cross);
-    // shared is pair-symmetric so the x-side value is THE pair's value.
-    // Callers that only need topology select (u, v) off the one shared
-    // persisted frame — the extra long does not change the build.
-    val top = dir.withColumn("rk", row_number().over(
-        Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
-      .filter($"rk" <= 6)
-      .select($"n", $"p", expr("1000000 DIV shared").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u
-    top.as("x").join(top.as("y"),
-        col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
-          col("x.n") < col("x.p"))
-      .select(col("x.n").as("u"), col("x.p").as("v"), col("x.w").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def mutualTopEdges(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_mutual") {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = coPairs(s, d)
+      val dir = pairs.select($"sa".as("n"), $"sb".as("p"), $"shared")
+        .union(pairs.select($"sb".as("n"), $"sa".as("p"), $"shared"))
+      // w carries the edge's INTEGER traversal cost for g09 (inverse
+      // co-occurrence strength, floored — strong ties are cheap to cross);
+      // shared is pair-symmetric so the x-side value is THE pair's value.
+      // Callers that only need topology select (u, v) off the one shared
+      // memoized frame — the extra long does not change the build.
+      val top = dir.withColumn("rk", row_number().over(
+          Window.partitionBy($"n").orderBy($"shared".desc, $"p")))
+        .filter($"rk" <= 6)
+        .select($"n", $"p", expr("1000000 DIV shared").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // mutual sparsification: keep (u,v) iff u ranks v AND v ranks u.
+      // localCheckpoint'd (r19, was a lazy persist shared only by
+      // CacheManager plan-matching): the ≤6-degree edge frame is tiny,
+      // the memo makes g06/g07/g08/g09 share one build by construction,
+      // and the checkpoint base collapsed g06's analyzed plan from
+      // ~340 KB (five InMemoryRelation splices of the whole build tree,
+      // re-walked by Catalyst per invocation) to round-local size.
+      val out = top.as("x").join(top.as("y"),
+          col("x.n") === col("y.p") && col("x.p") === col("y.n") &&
+            col("x.n") < col("x.p"))
+        .select(col("x.n").as("u"), col("x.p").as("v"), col("x.w").as("w"))
+        .localCheckpoint()
+      top.unpersist(false)
+      out
+    }
 
   /** g07's peel loop over any undirected `(u, v)` edge frame (u < v
     * canonical): `rounds` bounded peels of nodes with degree < `k`,
@@ -265,22 +320,14 @@ object Graph {
     "g03_cooccurrence" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val sets = custSupp(s, d).groupBy($"sp")
-        .agg(sort_array(collect_set($"c")).as("cs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = sets.select(explode($"cs").as("c"))
-        .agg(countDistinct($"c").as("nc"))
-      sets.as("a").join(sets.as("b"), col("a.sp") < col("b.sp"))
-        .select(col("a.sp").as("sa"), col("b.sp").as("sb"),
-          // codegen'd linear merge over the sorted sets —
-          // size(array_intersect(...)) hash-builds per row and was
-          // measured 3.5× slower on this stage
-          graft.functions.SortedIntersectCount(col("a.cs"), col("b.cs"))
-            .as("shared"),
-          size(col("a.cs")).cast("long").as("ca"),
-          size(col("b.cs")).cast("long").as("cb"))
-        .filter($"shared" > 0)
-        .crossJoin(broadcast(n))
+      // r19: the pair-strength build and the nc census are the memoized
+      // shared frames (see coPairs — before the memo this query ran its
+      // own intersection quadratic and mutualTopEdges ran a second one;
+      // values, ordering and schema are unchanged: nc over the exploded
+      // per-supplier sets equals nc over the distinct (c, sp) pairs, and
+      // ca/cb are the same size(cs) longs, now carried on the pair row)
+      coPairs(s, d)
+        .crossJoin(broadcast(coNc(s, d)))
         .select($"sa", $"sb", $"shared",
           round(($"shared".cast("double") * $"nc") / ($"ca" * $"cb"), 6)
             .as("lift"))
@@ -342,7 +389,7 @@ object Graph {
         // longs — bounded) and Verify's per-query clearCache() in sweeps
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = cs.groupBy($"sp").agg(count(lit(1)).as("cnt"))
-      val n = cs.agg(countDistinct($"c").as("nc"))
+      val n = coNc(s, d)
       val sharedExpr = (0 until words).map(k =>
         bit_count(col(s"a.w$k").bitwiseAND(col(s"b.w$k"))).cast("long"))
         .reduce(_ + _)
@@ -691,6 +738,22 @@ object Graph {
   // layout exchange — plus the per-round contribution partials, which
   // ARE the Pregel cost). This is the local stand-in for bucketing both
   // tables on the node id at scale.
+  // NOT memoized, deliberately (r19, measured): a memoized variant was
+  // tried both ways and rejected — (a) memo + persist registers the
+  // cache entry exactly once, so the first sweep-side clearCache()
+  // (Verify per query, ShuffleCeilingSpec per test) strips it
+  // permanently and every later loop round re-runs the repartition
+  // exchange (g05's ceiling tripped 1.38 → 3.5 MB); (b) memo +
+  // localCheckpoint loses the advertised hashpartitioning(u) layout —
+  // this Spark build's LogicalRDD does not carry the checkpointed
+  // plan's output partitioning, so EVERY round's edges⋈scores join
+  // re-exchanged the full edge frame (g01's ceiling tripped 1.40 →
+  // 3.7 MB, plan showed `Exchange hashpartitioning(u)` over
+  // `Scan ExistingRDD` per round). The per-invocation persist below
+  // re-registers per call (clearCache-safe) and g01/g02/g05/g10 share
+  // it via CacheManager plan-matching — which stays sound here because
+  // all four build from the SAME memoized custSupp LogicalRDD, so their
+  // canonical plans are identical by construction.
   private def ed2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     edges(s, d).repartition($"u")

@@ -2127,6 +2127,18 @@ object Similarity {
     // Scale shape: identical to s28 per width — frontiers broadcast,
     // the graph builds once (shared, checkpointed), cost scales as
     // Σ widths × hops × degree, corpus-size-independent at serve time.
+    //
+    // r19 (guide §2.6 — overlap independent work): the three width arms
+    // used to run as THREE sequential hop loops, 9 in-loop eager
+    // localCheckpoint jobs + 3 plan arms for frames of a few dozen rows
+    // — pure scheduling cost (measured 2.60 s steady, 7.4 cpu-s, almost
+    // none of it data). The widths never interact, so the sweep now
+    // rides ONE loop over a width-TAGGED beam: every frame carries `bw`,
+    // the rank window partitions by (bw, query_id), and the keep-filter
+    // compares rn ≤ bw — per (bw, query) the row set evolves exactly as
+    // the separate loops evolved it, so each width's found set, hits and
+    // fixed-point cosine sum are value-identical; 3 checkpoints instead
+    // of 9, one plan instead of three.
     "s30_beam_width_sweep" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2135,42 +2147,46 @@ object Similarity {
       val g = knnG(s, d)
       val qs = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-      def scoreIds(ids: DataFrame, width: Int): DataFrame = e
+      val w = Window.partitionBy($"bw", $"query_id")
+        .orderBy($"cos".desc, $"vec_id")
+      def scoreIds(ids: DataFrame): DataFrame = e
         .join(broadcast(ids), Seq("vec_id"))
         .join(broadcast(qs), Seq("query_id"))
         .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id",
+        .select($"bw", $"query_id", $"vec_id",
           cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" <= width)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= $"bw")
       val exact = e.crossJoin(broadcast(qs))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id",
           cosineWithNorms($"qv", $"v", $"qn", $"nrm").as("cos"))
-        .withColumn("xrn", row_number().over(w)).filter($"xrn" <= 4)
+        .withColumn("xrn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")))
+        .filter($"xrn" <= 4)
         .select($"query_id", $"vec_id", lit(1).as("hit"))
         .localCheckpoint()
       val seeds = e.filter($"vec_id" < 8)
         .crossJoin(broadcast(qs.select($"query_id")))
-        .select($"query_id", $"vec_id").localCheckpoint()
-      Seq(2, 4, 8).map { width =>
-        var beam = scoreIds(seeds, width)
-        for (_ <- 1 to 3) {
-          val base = beam.select($"query_id", $"vec_id").localCheckpoint()
-          val exp = base.select($"query_id", $"vec_id".as("i"))
-            .join(g, Seq("i")).select($"query_id", $"j".as("vec_id"))
-          beam = scoreIds(base.unionByName(exp).distinct(), width)
-        }
-        beam.join(exact, Seq("query_id", "vec_id"), "left")
-          .agg(count(lit(1)).as("n_found"),
-            sum(coalesce($"hit", lit(0))).cast("long").as("n_hits4"),
-            sum(round($"cos" * 1000000.0).cast("long")).as("sfx"))
-          .select(lit(width).as("beam_width"), $"n_found", $"n_hits4",
-            round($"n_hits4".cast("double") / 20.0, 6).as("recall_at_4"),
-            round($"sfx".cast("double")
-              / ($"n_found".cast("double") * 1000000.0), 6)
-              .as("mean_found_cos"))
-      }.reduceLeft(_.unionByName(_)).orderBy($"beam_width")
+        .crossJoin(broadcast(Seq(2, 4, 8).toDF("bw")))
+        .select($"bw", $"query_id", $"vec_id").localCheckpoint()
+      var beam = scoreIds(seeds)
+      for (_ <- 1 to 3) {
+        val base = beam.select($"bw", $"query_id", $"vec_id").localCheckpoint()
+        val exp = base.select($"bw", $"query_id", $"vec_id".as("i"))
+          .join(g, Seq("i")).select($"bw", $"query_id", $"j".as("vec_id"))
+        beam = scoreIds(base.unionByName(exp).distinct())
+      }
+      beam.join(exact, Seq("query_id", "vec_id"), "left")
+        .groupBy($"bw")
+        .agg(count(lit(1)).as("n_found"),
+          sum(coalesce($"hit", lit(0))).cast("long").as("n_hits4"),
+          sum(round($"cos" * 1000000.0).cast("long")).as("sfx"))
+        .select($"bw".as("beam_width"), $"n_found", $"n_hits4",
+          round($"n_hits4".cast("double") / 20.0, 6).as("recall_at_4"),
+          round($"sfx".cast("double")
+            / ($"n_found".cast("double") * 1000000.0), 6)
+            .as("mean_found_cos"))
+        .orderBy($"beam_width")
     }
   )
 

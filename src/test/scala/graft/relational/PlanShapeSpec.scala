@@ -348,28 +348,51 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), "df wordcount must partial-aggregate map-side")
   }
 
-  test("t12: merge rounds broadcast the winner back — the corpus is never exchanged") {
+  test("t12: the query reads the memoized checkpointed round tables — no training replay in its plan") {
+    // r19: the 3-round training is the memoized shared build
+    // (TextAnalysis.bpeRound5 — localCheckpoint'd per session+dataset,
+    // shared with t14/t25); t12's own plan must be the union of the
+    // three 5-row RDD-backed tables, with the training's joins and
+    // corpus scans nowhere in it
     val p = plan("t12_bpe_merge_train")
-    // applying a merge is a 1-row broadcast against the corpus scan; a
-    // SortMergeJoin anywhere would mean word sequences rode a shuffle
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"),
+      "round tables must be the memoized checkpointed frames")
+    assert(!p.contains("shingle_arr"),
+      "the pair census must not replay inside the query plan — it lives in the memoized build")
+  }
+
+  test("bpe training build: merge rounds broadcast the winner back — the corpus is never exchanged") {
+    // the training-shape assertions that used to sit on t12's plan, now
+    // on the memo build's UNCHECKPOINTED plan (the plan the first
+    // toucher actually executes once per session): applying a merge is
+    // a 1-row broadcast against the corpus scan; a SortMergeJoin
+    // anywhere would mean word sequences rode a shuffle
+    val p = {
+      val qe = graft.ext.TextAnalysis.bpeRound5Build(spark, sf, 3).queryExecution
+      qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin"), "winner pair must broadcast")
     assert(p.contains("partial"), "pair counts must partial-aggregate map-side")
     assert(p.contains("TakeOrderedAndProject"), "argmax via per-partition heaps")
-    // 5-row round tables are persisted — that cache holds the composed
-    // 3-round plan to one corpus scan per round
-    assert(p.contains("InMemoryTableScan"), "per-round winner tables must be cached")
+    assert(p.contains("shingle_arr"), "pairs must come from the codegen'd expression")
   }
 
   test("t14: encode pass is narrow — merges broadcast, text never sort-merge-joins") {
     val p = plan("t14_bpe_encode")
-    // same discipline as t12's training side, now also on the apply side:
-    // the three merge applications are 1-row broadcasts into the doc scan
+    // same discipline as the training side, now also on the apply side:
+    // the three merge applications are 1-row broadcasts into the doc
+    // scan. r19: the winners are the memoized 1-row checkpointed frames
+    // (TextAnalysis.bpeWinner), so the training lineage must be GONE
+    // from the encode plan entirely
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin"), "merge winners must broadcast")
-    assert(p.contains("InMemoryTableScan"), "winner tables must be cached")
+    assert(p.contains("Scan ExistingRDD"),
+      "winners must be the memoized checkpointed 1-row frames")
     assert(p.contains("partial"), "per-doc census must partial-aggregate map-side")
   }
 
