@@ -95,7 +95,7 @@ object Graph {
 
   /** The graph's 1-row distinct-customer census, shared by g03/g04's
     * lift denominators — memoized so neither pays a custSupp pass. */
-  private def coNc(s: SparkSession, d: String): DataFrame =
+  private[graft] def coNc(s: SparkSession, d: String): DataFrame =
     Similarity.knnMemoized(s, d, "g_nc") {
       import s.implicits._
       custSupp(s, d).agg(countDistinct($"c").as("nc")).localCheckpoint()

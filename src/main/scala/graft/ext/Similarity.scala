@@ -526,7 +526,7 @@ object Similarity {
     * 25 rows; ground truth for a fixed (corpus, query set) is a
     * constant, which is exactly what a production recall harness
     * computes once and reuses across every index evaluation. */
-  private def exactTop5(s: SparkSession, d: String): DataFrame =
+  private[graft] def exactTop5(s: SparkSession, d: String): DataFrame =
     knnMemoized(s, d, "s01_top5") {
       queries("s01_cosine_topk")(s, d)
         .filter(col("rn") <= 5).select(col("query_id"), col("neighbor_id"))

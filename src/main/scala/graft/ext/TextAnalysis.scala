@@ -851,7 +851,7 @@ object TextAnalysis {
     * tables via [[bpeWinner]]. Winner identity: rnk=1 of the round's
     * top-5 is the round's argmax pair, the same row the old
     * `orderBy(cnt desc, pair).limit(1)` produced. */
-  private def bpeRound5(s: SparkSession, d: String, i: Int): DataFrame =
+  private[graft] def bpeRound5(s: SparkSession, d: String, i: Int): DataFrame =
     Similarity.knnMemoized(s, d, s"bpe_t5_$i") {
       // localCheckpoint, NOT persist: a memoized frame's persist would
       // register in the CacheManager exactly once and the first
@@ -904,7 +904,7 @@ object TextAnalysis {
     * training lineage used to sit (t25's plan was 60 KB), and the
     * training executes at most once per session (a cache read when t12
     * has already run, the full 3-scan replay otherwise). */
-  private def bpeWinner(s: SparkSession, d: String, i: Int): DataFrame =
+  private[graft] def bpeWinner(s: SparkSession, d: String, i: Int): DataFrame =
     Similarity.knnMemoized(s, d, s"bpe_w$i") {
       import s.implicits._
       bpeRound5(s, d, i).filter($"rnk" === 1).select($"pair").localCheckpoint()
