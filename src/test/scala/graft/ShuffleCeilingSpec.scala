@@ -77,11 +77,11 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s24_ivfpq_delete_compact" -> 128, // measured 60 KB (build partials; compaction swap is file I/O)
     "c20_format_roundtrip" -> 64,      // ~0: format writes are I/O, census partials only
     // graph: node/edge ids only
-    "g01_pagerank" -> 2900,            // measured 1.40 MB (edge build + 3 rounds)
-    "g05_labelprop_converged" -> 2800, // measured 1.38 MB (edge build + 4 convergence rounds)
-    "g03_cooccurrence" -> 416,         // measured 190 KB (one set-building exchange)
-    "g04_cooccurrence_bitmap" -> 1100, // measured 540 KB (segment bitmaps + pair partials)
-    "g06_triangle_census" -> 416,      // measured 190 KB (the g03 set-building exchange; triangle join adds ~0)
+    "g01_pagerank" -> 2900,            // measured r19 1.37 MB cold / 0.96 MB memo-warm (custSupp build attribution follows the first toucher; + 3 rounds)
+    "g05_labelprop_converged" -> 2800, // measured r19 880 KB (ed2 re-materialization + convergence rounds; the custSupp build lands on the first g toucher)
+    "g03_cooccurrence" -> 416,         // measured r19 160 KB (the memoized coPairs build when this runs first; near-0 when a sibling built it)
+    "g04_cooccurrence_bitmap" -> 1100, // measured r19 104 KB, was 540 (the three custSupp derivations now read the memoized frame; segment bitmaps + pair partials remain)
+    "g06_triangle_census" -> 416,      // measured r19 39 KB, was 190 (rides the memoized coPairs/mutual frames; triangle join adds ~0)
     // relational: dimension broadcasts, two-phase aggs
     "q03_shipping_priority" -> 64,     // measured 20 KB (dims broadcast)
     "q19_above_nation_avg" -> 64,      // ~0: 25-row stats broadcast back
@@ -96,9 +96,9 @@ class ShuffleCeilingSpec extends SparkSuite {
     "c11_incremental_build" -> 128,    // measured 60 KB (ledger keys + chunk hashes)
     "c21_rollup_maintenance" -> 64,    // measured 20 KB (day-type state partials; swap is file I/O)
     "c14_sequence_pack" -> 64,         // measured 10 KB (prefix-sum partials)
-    "t12_bpe_merge_train" -> 64,       // measured 10 KB ((pair,count) partials/round)
-    "t14_bpe_encode" -> 88,            // measured 40 KB (per-doc checksum partials)
-    "t25_bpe_roundtrip" -> 104,        // measured 50 KB (t14's training partials + per-doc identity partials; the vocab rides as one broadcast map row, decode never exchanges tokens)
+    "t12_bpe_merge_train" -> 64,       // measured r19 5 KB ((pair,count) partials/round, build-once via the memo)
+    "t14_bpe_encode" -> 88,            // measured r19 30 KB (per-doc checksum partials; training rides the memoized winners)
+    "t25_bpe_roundtrip" -> 104,        // measured r19 28 KB (per-doc identity partials; training rides the memoized winners; the vocab rides as one broadcast map row, decode never exchanges tokens)
     // codecs: encode/decode live scan-side; only the output sort exchanges
     "m12_gif_decode" -> 64,            // ~0: LZW round-trip never shuffles
     "m13_qoi_decode" -> 64,            // ~0: QOI round-trip never shuffles
@@ -107,7 +107,7 @@ class ShuffleCeilingSpec extends SparkSuite {
     "q55_gapfill_spine" -> 1100,       // measured 532 KB ((ck,midx) partials + ck window)
     "s25_maxsim_late_interaction" -> 416, // measured 195 KB (one (query,vec) max-reduce row per pair)
     "c22_zorder_layout" -> 2600,       // measured 1.25 MB (the inherent layout co-location move)
-    "g07_kcore_peel" -> 416,           // measured 195 KB (the g03/g06 set-building exchange; peels add node-sized semi-joins)
+    "g07_kcore_peel" -> 416,           // measured r19 8 KB, was 195 (rides the memoized mutual frame; peels add node-sized semi-joins)
     // round-13 back half
     "s27_binary_hamming" -> 64,        // measured 20 KB (16-byte codes; queries broadcast)
     "s26_mmr_rerank" -> 88,            // measured 40 KB (narrow (query,vec,rel) rank rows; vectors re-fetched by broadcast probe — 0.72 MB with vectors riding the rank shuffle, the red case)
@@ -118,10 +118,10 @@ class ShuffleCeilingSpec extends SparkSuite {
     // round-14 additions
     "t22_kn_trigram_bits" -> 1200,     // measured 570 KB (the trigram-type table build — vocab-bounded (w1,w2,w3,count) partials; scoring side exchanges only per-doc integer partials, tables broadcast)
     "s29_layered_beam_entry" -> 1400,  // measured 660 KB (both graph builds — layer-0 cell-bounded + the 64×-smaller sampled upper layer; the two-layer beam serve itself adds ~0 — frontiers broadcast)
-    "g08_bfs_hops" -> 416,             // measured 200 KB (the g03/g06/g07 set-building exchange again; the 4 BFS rounds exchange node-sized frontier/reached keys only)
+    "g08_bfs_hops" -> 416,             // measured r19 21 KB, was 200 (rides the memoized mutual frame; the 4 BFS rounds exchange node-sized frontier/reached keys only)
     "c23_schema_evolution" -> 64,      // ~0: generation writes are file I/O, the merged read is one scan, census is per-gen integer partials
-    "s30_beam_width_sweep" -> 1400,    // measured 670 KB (one shared graph build; the three width searches add only broadcast frontiers)
-    "g09_sssp_relax" -> 640,           // measured 310 KB (the g03/g06 set-building exchange + 4 relaxation rounds of node-sized (n, dist) candidate/min partials — weights ride the same rows)
+    "s30_beam_width_sweep" -> 1400,    // measured r19 39 KB, was 670 (one shared graph build via the memo; the single width-tagged loop adds only broadcast frontiers)
+    "g09_sssp_relax" -> 640,           // measured r19 22 KB, was 310 (rides the memoized mutual frame; 4 relaxation rounds of node-sized (n, dist) candidate/min partials — weights ride the same rows)
     "c24_scd2_merge" -> 1500,          // measured 710 KB (the per-key event exchange feeding the two windows + the full merged history crossing the output sort — history-sized because the query DUMPS the table; the merge's own joins move affected-key rows only)
     "t23_chunk_windows" -> 64,         // measured 30 KB (ONE census row per doc — chunk text never moves; hashes computed scan-side, partials collapse map-side)
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
