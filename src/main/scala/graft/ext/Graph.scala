@@ -203,14 +203,37 @@ object Graph {
     out.result().reduceLeft(_.unionByName(_)).orderBy($"round")
   }
 
+  /** The SHARED bidirectional adjacency `(a, b, w)` over the mutual
+    * top-6 graph plus its node universe — g08's BFS and g09's SSSP each
+    * rebuilt this identical frame pair per invocation (a union +
+    * localCheckpoint job and a distinct), the exact per-invocation
+    * duplication the custSupp memo removed for the census family (r20,
+    * guide §2.4; the r19 verdict's named candidate for the g08/g09
+    * in-catalog drift). One checkpointed build per (session, dataset)
+    * now serves both loops; layout-free by construction (every consumer
+    * join broadcasts the node-sized frontier/dist side), so the
+    * ed2 checkpoint-loses-partitioning hazard does not apply. */
+  private def mutualAdj(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_adj") {
+      val ed = mutualTopEdges(s, d)
+      ed.select(col("u").as("a"), col("v").as("b"), col("w"))
+        .unionByName(ed.select(col("v").as("a"), col("u").as("b"), col("w")))
+        .localCheckpoint()
+    }
+
+  /** The mutual graph's node universe `(n)` — bfs seeds/strands and
+    * sssp seeds both derive from it; memoized beside [[mutualAdj]]. */
+  private def mutualNodes(s: SparkSession, d: String): DataFrame =
+    Similarity.knnMemoized(s, d, "g_adjn") {
+      mutualAdj(s, d).select(col("a").as("n")).distinct().localCheckpoint()
+    }
+
   /** g08's multi-source BFS over any undirected `(u, v)` edge frame:
     * `rounds` depth-capped frontier expansions from the nodes matching
     * `sourcePred` (applied to the node column `n`), returning one
     * `(n, hop)` row per node — hop −1 for nodes never reached. Factored
-    * so `GraphSpec` drives it on hand-computed fixtures. Each round is
-    * frontier⋈edges + distinct + anti-join against the reached set —
-    * node-bounded exchanges; round frames localCheckpoint (the loop
-    * references `reached` twice per round — the g07 lineage lesson). */
+    * so `GraphSpec` drives it on hand-computed fixtures; the catalog
+    * query rides [[bfsHopsOn]] with the memoized adjacency instead. */
   private[ext] def bfsHops(edges0: DataFrame, sourcePred: Column,
       rounds: Int): DataFrame = {
     val s = edges0.sparkSession
@@ -218,8 +241,20 @@ object Graph {
     val adj = edges0.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges0.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
-    val nodes = adj.select($"a".as("n")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select($"a".as("n")).distinct().localCheckpoint()
+    bfsHopsOn(adj, nodes, sourcePred, rounds)
+  }
+
+  /** The BFS loop over PRE-BUILT `(a, b, …)` adjacency and `(n)` node
+    * frames (both expected materialized — the per-round plans stay
+    * round-local). Each round is frontier⋈edges + distinct + anti-join
+    * against the reached set — node-bounded exchanges; round frames
+    * localCheckpoint (the loop references `reached` twice per round —
+    * the g07 lineage lesson). */
+  private def bfsHopsOn(adj: DataFrame, nodes: DataFrame,
+      sourcePred: Column, rounds: Int): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
     var reached = nodes.filter(sourcePred)
       .select($"n", lit(0).as("hop")).localCheckpoint()
     var frontier = reached.select($"n")
@@ -258,7 +293,18 @@ object Graph {
     val adj = edges0.select(col("u").as("a"), col("v").as("b"), col("w"))
       .unionByName(edges0.select(col("v").as("a"), col("u").as("b"), col("w")))
       .localCheckpoint()
-    var dist = adj.select($"a".as("n")).distinct().filter(sourcePred)
+    ssspRoundsOn(adj, adj.select($"a".as("n")).distinct(), sourcePred, rounds)
+  }
+
+  /** The relaxation loop over PRE-BUILT `(a, b, w)` adjacency and `(n)`
+    * node frames — the catalog query rides the memoized [[mutualAdj]]/
+    * [[mutualNodes]] pair; the fixture-driven [[ssspRounds]] builds its
+    * own. Per-round shape documented on [[ssspRounds]]. */
+  private def ssspRoundsOn(adj: DataFrame, nodes: DataFrame,
+      sourcePred: Column, rounds: Int): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    var dist = nodes.filter(sourcePred)
       .select($"n", lit(0L).as("dist")).localCheckpoint()
     val out = Seq.newBuilder[DataFrame]
     out += dist.select(lit(0).as("round"), $"n", $"dist")
@@ -571,7 +617,12 @@ object Graph {
     // node (g07's note) and every per-round join co-locates.
     "g08_bfs_hops" -> { (s, d) =>
       import s.implicits._
-      bfsHops(mutualTopEdges(s, d), col("n") % 7 === 3, rounds = 4)
+      // rides the memoized adjacency/node pair (r20): the per-invocation
+      // union+checkpoint+distinct rebuild was the r19 verdict's named
+      // in-catalog drift candidate — one build per session now serves
+      // g08 and g09; the loop itself is unchanged (hash-pinned output)
+      bfsHopsOn(mutualAdj(s, d), mutualNodes(s, d), col("n") % 7 === 3,
+          rounds = 4)
         .groupBy($"hop".cast("int").as("hop"))
         .agg(count(lit(1)).as("n_nodes"),
           sum($"n").cast("long").as("node_checksum"),
@@ -599,7 +650,9 @@ object Graph {
     // not by luck.
     "g09_sssp_relax" -> { (s, d) =>
       import s.implicits._
-      ssspRounds(mutualTopEdges(s, d), col("n") % 7 === 3, rounds = 4)
+      // same memoized adjacency/node pair as g08 (see there)
+      ssspRoundsOn(mutualAdj(s, d), mutualNodes(s, d), col("n") % 7 === 3,
+          rounds = 4)
         .groupBy($"round")
         .agg(count(lit(1)).as("n_reached"),
           sum($"n").cast("long").as("node_checksum"),
