@@ -398,13 +398,36 @@ class PlanShapeSpec extends SparkSuite {
 
   test("t16: probe terms broadcast into the postings — train side never sort-merge-joins them") {
     val p = plan("t16_bm25_retrieval")
-    assert(p.contains("BroadcastHashJoin"), "probe/df lookups must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "probe lookups must broadcast")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("InMemoryTableScan"), "postings must be persisted, not re-scanned")
+    assert(p.contains("InMemoryTableScan"), "scored frame must be persisted, not re-scanned")
     assert(p.contains("partial"), "per-(eval, doc) sums must partial-aggregate map-side")
+    // r20: the impacts index is the memoized checkpointed frame — the
+    // tokenization lineage must be GONE from the query plan (the build's
+    // doc-local shape is guarded on the build plan below)
+    assert(p.contains("Scan ExistingRDD"),
+      "postings must be the memoized checkpointed impacts frame")
+    assert(!p.contains("word_counts"),
+      "the tokenization build must not replay inside the query plan")
+    assert(!p.contains("SortMergeJoin"), "no posting-side sort-merge join")
+  }
+
+  test("bm25 impacts build: doc-local postings — no per-posting exchange, df/stats broadcast") {
+    // the UNMEMOIZED build composition (what bm25ImpactsMemo checkpoints
+    // once per session): the t16 guard above used to inspect this shape
+    // through the query plan; the memo truncates that plan, so the
+    // discipline is pinned on the build itself (the bpeRound5Build
+    // precedent)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = graft.ext.TextAnalysis.bm25ImpactsFromTf(
+      graft.ext.TextAnalysis.bm25Tf(spark, docs),
+      graft.ext.TextAnalysis.bitLenIdf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("word_counts"),
       "postings must come from the doc-local codegen'd wordcount, not a groupBy exchange")
+    assert(p.contains("BroadcastHashJoin"), "df lookup must broadcast")
     assert(!p.contains("SortMergeJoin"), "no posting-side sort-merge join")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("t26: candidates broadcast into the embeddings scan — the corpus side never sort-merge-joins") {
@@ -421,10 +444,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"),
       "no embedding-side sort-merge join — the corpus must never exchange")
-    assert(p.contains("word_counts"),
-      "stage 1 must stay t16's doc-local postings build")
+    // r20: stage 1 is the memoized checkpointed probe scoring — the
+    // tokenization/scoring lineage must be GONE from the query plan
+    // (the build shape is guarded by the "bm25 impacts build" test)
+    assert(p.contains("Scan ExistingRDD"),
+      "stage 1 must be the memoized checkpointed probe scoring")
+    assert(!p.contains("word_counts"),
+      "the tokenization build must not replay inside the query plan")
     assert(p.contains("partial"),
-      "per-(eval, doc) sums must partial-aggregate map-side")
+      "per-candidate stats must partial-aggregate map-side")
   }
 
   test("m04: pair curation has no quadratic stage — gates are aggs, alignment equi-joins") {
