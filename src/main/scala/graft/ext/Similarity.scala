@@ -2182,6 +2182,14 @@ object Similarity {
           .join(g, Seq("i")).select($"bw", $"query_id", $"j".as("vec_id"))
         beam = scoreIds(base.unionByName(exp).distinct())
       }
+      // degenerate-corpus note (r19 ADVICE, accepted + documented): a
+      // width whose beam ends EMPTY would emit no row here, where the
+      // pre-r19 per-width global agg emitted a zero row. Unreachable on
+      // any corpus this query accepts: the seed frame cross-joins every
+      // width with the 8 seed vectors, scoreIds only drops the probe
+      // itself, and the keep-filter is rn <= bw (>= 2) — so every
+      // (bw, query) beam holds >= 1 row whenever the corpus has >= 2
+      // vectors, which the <256-vector degradation path already assumes.
       beam.join(exact, Seq("query_id", "vec_id"), "left")
         .groupBy($"bw")
         .agg(count(lit(1)).as("n_found"),

@@ -1342,8 +1342,8 @@ object TextAnalysis {
       import s.implicits._
       // r19: the per-round 5-row (pair, cnt, rnk) tables are the memoized
       // shared training (see bpeRound5 — the single-symbol filter, the
-      // rank-1 broadcast merge pattern, and the per-round persists live
-      // there unchanged); t14/t25 now derive their winners from the SAME
+      // rank-1 broadcast merge pattern, and the per-round checkpoints
+      // live there); t14/t25 now derive their winners from the SAME
       // tables instead of replaying the 3-scan training per query.
       val t1 = bpeRound5(s, d, 1)
       val t2 = bpeRound5(s, d, 2)
