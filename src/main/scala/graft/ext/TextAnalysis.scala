@@ -331,20 +331,18 @@ object TextAnalysis {
       out
     }
 
-  /** The FROZEN impacts index `(t, train_id, fx)` for one idf form,
-    * MEMOIZED per (session, dataset, key) and localCheckpoint'd (r20,
-    * guide §2.4): seven catalog queries derive an impacts index from the
-    * memoized tf frame — t16 the bit-length form, t26–t31 the identical
-    * sqrt form — and each previously re-ran the df shuffle + stats fold
-    * + idf×tfn projection per invocation (six rebuilds of one constant
-    * frame per sweep). A frozen index is exactly what a serving process
-    * materializes once; the checkpoint also truncates every consumer
-    * plan to a LogicalRDD base (t27's analyzed plan was 302 KB). */
-  private[graft] def bm25ImpactsMemo(s: SparkSession, d: String,
-      key: String, idf: (Column, Column) => Column): DataFrame =
-    Similarity.knnMemoized(s, d, key) {
-      bm25ImpactsFromTf(bm25TfMemo(s, d), idf).localCheckpoint()
-    }
+  /** The impacts index for one idf form over the MEMOIZED tf frame —
+    * the df fold and idf×tfn projection stay LAZY (r20, measured): each
+    * idf form has exactly one consumer chain (t16's scored frame; the
+    * sqrt family's [[probeScoredMemo]]), so a separate checkpointed
+    * impacts memo added a full extra materialization pass to the first
+    * toucher's cold time (+0.6 s on t26 in the first r20 capture) and
+    * bought nothing downstream — the shared consumable is the SCORED
+    * frame, not the index. The tf checkpoint already bounds the build
+    * at one tokenization per session. */
+  private[graft] def bm25ImpactsIdfMemoTf(s: SparkSession, d: String,
+      idf: (Column, Column) => Column): DataFrame =
+    bm25ImpactsFromTf(bm25TfMemo(s, d), idf)
 
   /** The impacts index `(t, train_id, fx)` from a prebuilt [[bm25Tf]]
     * frame — the df/stats folds and the fixed-point idf×tfn projection. */
@@ -755,7 +753,7 @@ object TextAnalysis {
     * micro-batch's probes are not the session constant. */
   private[graft] def probeScoredMemo(s: SparkSession, d: String): DataFrame =
     Similarity.knnMemoized(s, d, "bm25sc_sq") {
-      bm25Scores(bm25ImpactsMemo(s, d, "bm25imp_sq", sqrtIdf),
+      bm25Scores(bm25ImpactsIdfMemoTf(s, d, sqrtIdf),
           bm25ProbeTerms(Tables.documents(s, d)))
         .localCheckpoint()
     }
@@ -1599,10 +1597,10 @@ object TextAnalysis {
     "t16_bm25_retrieval" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // the impacts index is memoized per (session, dataset) — one
-      // tokenization AND one df/stats/idf build per session (r20); t26's
-      // sqrt-idf index rides the same memoized tf frame
-      val post = bm25ImpactsMemo(s, d, "bm25imp_bl", bitLenIdf)
+      // the tokenized tf frame is the memoized checkpointed session
+      // constant (r20); the df/idf derivation stays lazy — see
+      // bm25ImpactsIdfMemoTf for why it is not its own memo
+      val post = bm25ImpactsIdfMemoTf(s, d, bitLenIdf)
       // distinct query terms per probe item (ShingleArr width 1)
       val q = bm25ProbeTerms(docs)
       // persisted: the final orderBy's range partitioner runs a SAMPLING
