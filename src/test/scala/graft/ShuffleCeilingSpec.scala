@@ -64,10 +64,10 @@ class ShuffleCeilingSpec extends SparkSuite {
     // text analysis: integer partials only
     "t09_kmv_distinct" -> 1600,        // measured 790 KB (60-bit key distinct)
     "t15_lm_bits" -> 96,               // measured 40 KB (bigram partials)
-    "t16_bm25_retrieval" -> 256,       // measured 120 KB (df + score partials)
-    "t26_hybrid_rerank" -> 384,        // measured ~170 KB (t16's retrieval exchanges + the 10·n_eval-row candidate TopK; embeddings never exchange — candidates broadcast into their scan)
-    "t27_rerank_recall" -> 512,        // measured ~440 KB (t26's stages ranked twice + the brute-force exact arm: probes broadcast into ONE embedded-train scan, per-probe top-5 TopK partials — corpus never exchanges)
-    "t28_rrf_fusion" -> 448,           // measured ~370 KB (t16's lexical retrieval exchanges + the s01-shape vector arm's TopK partials; the fusion full-outer join touches two <=10-rows-per-probe frames)
+    "t16_bm25_retrieval" -> 256,       // measured r20 120 KB incl. the session tf/scored builds (df + score partials; ceiling kept)
+    "t26_hybrid_rerank" -> 384,        // measured r20 60 KB riding the memoized scored frame, was ~170 KB (t16's retrieval exchanges + the 10·n_eval-row candidate TopK; embeddings never exchange — candidates broadcast into their scan)
+    "t27_rerank_recall" -> 512,        // measured r20 30 KB riding the memoized scored/brute arms, was ~440 KB (t26's stages ranked twice + the brute-force exact arm: probes broadcast into ONE embedded-train scan, per-probe top-5 TopK partials — corpus never exchanges)
+    "t28_rrf_fusion" -> 448,           // measured r20 20 KB riding the memoized lex/brute arms, was ~370 KB (t16's lexical retrieval exchanges + the s01-shape vector arm's TopK partials; the fusion full-outer join touches two <=10-rows-per-probe frames)
     // similarity: codebooks/queries broadcast, corpus never exchanges
     "s02_ann_buckets" -> 64,           // ~0: bucket equi-join, queries broadcast
     "s12_kmeans_lloyd3" -> 160,        // measured 70 KB (3 rounds of fixed-point partials)
@@ -118,10 +118,10 @@ class ShuffleCeilingSpec extends SparkSuite {
     // round-14 additions
     "t22_kn_trigram_bits" -> 1200,     // measured 570 KB (the trigram-type table build — vocab-bounded (w1,w2,w3,count) partials; scoring side exchanges only per-doc integer partials, tables broadcast)
     "s29_layered_beam_entry" -> 1400,  // measured 660 KB (both graph builds — layer-0 cell-bounded + the 64×-smaller sampled upper layer; the two-layer beam serve itself adds ~0 — frontiers broadcast)
-    "g08_bfs_hops" -> 416,             // measured r19 21 KB, was 200 (rides the memoized mutual frame; the 4 BFS rounds exchange node-sized frontier/reached keys only)
+    "g08_bfs_hops" -> 416,             // r20: rides the memoized adjacency (first toucher carries the family build: 620 KB build-inclusive in an isolated audit, marginal ~20 KB); r19 21 KB, was 200 (rides the memoized mutual frame; the 4 BFS rounds exchange node-sized frontier/reached keys only)
     "c23_schema_evolution" -> 64,      // ~0: generation writes are file I/O, the merged read is one scan, census is per-gen integer partials
     "s30_beam_width_sweep" -> 1400,    // measured r19 39 KB, was 670 (one shared graph build via the memo; the single width-tagged loop adds only broadcast frontiers)
-    "g09_sssp_relax" -> 640,           // measured r19 22 KB, was 310 (rides the memoized mutual frame; 4 relaxation rounds of node-sized (n, dist) candidate/min partials — weights ride the same rows)
+    "g09_sssp_relax" -> 640,           // measured r20 20 KB riding the memoized adjacency; r19 22 KB, was 310 (rides the memoized mutual frame; 4 relaxation rounds of node-sized (n, dist) candidate/min partials — weights ride the same rows)
     "c24_scd2_merge" -> 1500,          // measured 710 KB (the per-key event exchange feeding the two windows + the full merged history crossing the output sort — history-sized because the query DUMPS the table; the merge's own joins move affected-key rows only)
     "t23_chunk_windows" -> 64,         // measured 30 KB (ONE census row per doc — chunk text never moves; hashes computed scan-side, partials collapse map-side)
     "c25_scd2_pointintime" -> 600,     // measured 280 KB (the fact side's one key exchange into the versioned-dimension equi-join — the inherent move; census partials are (tier, year) groups)
@@ -133,9 +133,9 @@ class ShuffleCeilingSpec extends SparkSuite {
     "s31_hard_negative_mining" -> 64,  // measured 10 KB (anchors broadcast, corpus scored in one narrow pass; the exchange is the salted top-3 partials + 5 positive argmax rows)
     "d24_winnow_fingerprint" -> 200,   // measured 80 KB (the exploded (fp, doc) pair exchange — winnowing's ~2/(W+1) density bound; selection itself is scan-side array work)
     "t24_keyword_extraction" -> 200,   // measured 10 KB at sf0.01 / 1.08 MB at sf0.1 (the (doc, word, tf) rows crossing once for the per-doc rank window; df broadcasts; headroom for partition-count variance on the tiny-SF exchange)
-    "t29_rrf_served" -> 420,           // measured 283 KB r19 (r18: 210 — run-context scatter, see the NOTE below; t16's lexical retrieval exchanges + the once-per-session saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
-    "t30_served_fusion_recall" -> 470,  // measured 268 KB r19 (r18: 233; the shared lexical arm built once, t28's exact-arm TopK partials; rides t29's memoized index since r19; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
-    "t31_ranking_metrics" -> 470)      // measured 233 KB r19 (t30's arm profile — shared lexical arm, exact-arm TopK partials, memoized index; the grading tail joins/aggregates <=5-rows-per-probe slates, adding ~0)
+    "t29_rrf_served" -> 420,           // measured r20 60 KB riding the memoized lex arm (index build exchanges remain), r19 283 KB (r18: 210 — run-context scatter, see the NOTE below; t16's lexical retrieval exchanges + the once-per-session saved-index BUILD's encode groupBy and file write — the SERVE adds ~0: probes broadcast into the cell-equi-joined coded corpus, the fusion joins touch two <=10-rows-per-probe frames. Less than t28's 448: the served arm replaces the brute-force corpus-scan TopK partials with cell-local candidates)
+    "t30_served_fusion_recall" -> 470,  // measured r20 40 KB riding the memoized arms/slate, r19 268 KB (r18: 233; the shared lexical arm built once, t28's exact-arm TopK partials; rides t29's memoized index since r19; both fusions and all intersections touch <=10-rows-per-probe frames — the census adds ~0 beyond its two arms)
+    "t31_ranking_metrics" -> 470)      // measured r20 30 KB riding the memoized arms/slate, r19 233 KB (t30's arm profile — shared lexical arm, exact-arm TopK partials, memoized index; the grading tail joins/aggregates <=5-rows-per-probe slates, adding ~0)
 
   private lazy val written = {
     val w = new LongAdder
